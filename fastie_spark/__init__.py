@@ -1,0 +1,22 @@
+"""fastie_spark — a PySpark-native knowledge-graph construction engine.
+
+Re-expresses the capabilities of the fastIE reference
+(information-extraction framework: NER + relation extraction + metrics +
+dataset loaders) as an idiomatic Spark DataFrame pipeline:
+
+    source docs (repo, path, commit, lang, content)
+        → sentence rows (doc_key, sent_id, tokens)
+        → mention detection   (Arrow-batched, broadcast model)
+        → relation typing     (span-pair enumeration + broadcast scorer)
+        → entity linking      (blocked candidate generation + scoring)
+        → canonicalization    (connected components via iterative joins)
+        → triple / node / edge tables (partitioned by repo, lang)
+
+Everything relational is plain DataFrame ops planned by Catalyst; Python
+only runs inside Arrow-batched ``mapInPandas`` / pandas UDFs (never
+per-row).
+"""
+
+__version__ = "0.1.0"
+
+from fastie_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,90 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the ``input_hint`` table ``(repo, path, commit, lang, content)``
+entirely inside Spark (no driver-side row materialization): a
+``spark.range`` seed column expanded with pure built-in expressions, so
+the generator itself scales to any row count without collecting anything.
+
+Skew is intentional: one hot repo holds ~30% of rows to exercise the
+salted-join path, mirroring hot-repo skew at 10^12-file scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Small fixed vocabulary so tokenization is reproducible (FIXTURES.md §1).
+_VOCAB = [
+    "def", "class", "import", "return", "self", "value", "config", "parse",
+    "load", "save", "index", "token", "graph", "node", "edge", "query",
+    "spark", "batch", "stream", "shuffle", "join", "filter", "agg", "map",
+]
+_ENTITIES = [
+    ("DataLoader", "CLASS"), ("SparkEngine", "CLASS"), ("GraphBuilder", "CLASS"),
+    ("parse_config", "FUNC"), ("load_index", "FUNC"), ("emit_triples", "FUNC"),
+    ("numpy", "LIB"), ("pyarrow", "LIB"), ("duckdb", "LIB"),
+]
+_LANGS = ["py", "java", "go", "md"]
+_EXT = {"py": "py", "java": "java", "go": "go", "md": "md"}
+
+
+def synthetic_source_docs(
+    spark: SparkSession, n_docs: int = 1000, sentences_per_doc: int = 4
+) -> DataFrame:
+    """Build the deterministic corpus as a lazy DataFrame.
+
+    repo: ``org{i%7}/repo{i%23}``, except ~30% of rows are routed to the
+    hot repo ``org0/repo0`` (i%10 < 3). lang cycles py/java/go/md.
+    content: ``sentences_per_doc`` newline-separated "sentences" of
+    vocab/entity tokens chosen by arithmetic on the row id — fully
+    deterministic, no RNG, no Python rows.
+    """
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    ents = F.array(*[F.lit(e) for e, _ in _ENTITIES])
+    langs = F.array(*[F.lit(lang) for lang in _LANGS])
+
+    repo = F.when(
+        (F.col("i") % 10) < 3, F.lit("org0/repo0")
+    ).otherwise(
+        F.format_string("org%d/repo%d", (F.col("i") % 7).cast("int"), (F.col("i") % 23).cast("int"))
+    )
+    lang = F.element_at(langs, (F.col("i") % 4 + 1).cast("int"))
+    path = F.format_string(
+        "src/mod%d/file%d.%s",
+        (F.col("i") % 13).cast("int"),
+        (F.col("i") / 13).cast("int"),
+        F.element_at(F.array(*[F.lit(_EXT[lang_]) for lang_ in _LANGS]), (F.col("i") % 4 + 1).cast("int")),
+    )
+
+    # One "sentence" s of doc i = 6 vocab tokens + 2 entity tokens + a
+    # relation verb, positions decided by (i, s, t) arithmetic.
+    sent = lambda s: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(ents, ((F.col("i") * 3 + s) % 9 + 1).cast("int")),
+        F.lit("calls"),
+        F.element_at(ents, ((F.col("i") * 5 + s * 2) % 9 + 1).cast("int")),
+        *[
+            F.element_at(vocab, ((F.col("i") * 7 + s * 11 + t * 3) % 24 + 1).cast("int"))
+            for t in range(6)
+        ],
+    )
+    content = F.concat_ws("\n", *[sent(s) for s in range(sentences_per_doc)])
+
+    out = df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.substring(F.sha2(F.concat_ws(":", repo, path), 256), 1, 12).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+    # Per-row invariant column (BASELINE.json input_hint): carried through
+    # every stage and re-checked at each boundary.
+    return out.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def entity_gazetteer() -> list[tuple[str, str]]:
+    """The (surface, label) pairs planted in the synthetic corpus."""
+    return list(_ENTITIES)

@@ -1,0 +1,3 @@
+from fastie_spark.extraction.ner import GazetteerNER, gazetteer_join_mentions  # noqa: F401
+from fastie_spark.extraction.relation import PairRelationModel  # noqa: F401
+from fastie_spark.extraction.pipeline import extract_triples, triples_from_docs  # noqa: F401

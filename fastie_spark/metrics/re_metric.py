@@ -1,0 +1,172 @@
+"""REMetric as distributed DataFrame aggregation (survey A2-A4, A6).
+
+Semantics transcribed from ``/root/reference/fastie/metrics/
+re_metric.py``:
+
+* per-label counts (update, :104-141): every *pred* mention counts once
+  toward ``pred_cnt`` and toward ``pred_correct_cnt`` iff it occurs in
+  the sentence's target list (tuple equality — span AND label); every
+  *target* mention counts toward ``correct_cnt``.
+* strict relation (:122-137): a correct relation is strict-correct iff
+  some predicted entity equals the subject span AND is itself in the
+  entity target, and likewise for the object span.
+* micro roll-up (:143-180 + :7-19): entity = Σ over entity labels,
+  relation = Σ over relation labels; P = tp/(tp+fp), R = tp/(tp+fn),
+  F = 2PR/(P+R), all with 0-guards.
+
+The reference gathers counts with ``all_gather_object``; Spark's
+partial+final aggregation does this for free (A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def calculate_prf(tp: float, pred_cnt: float, correct_cnt: float) -> dict:
+    """re_metric.py:7-19 with the same zero-division guards."""
+    fp = pred_cnt - tp
+    fn = correct_cnt - tp
+    p = 0.0 if tp + fp == 0 else tp / (tp + fp)
+    r = 0.0 if tp + fn == 0 else tp / (tp + fn)
+    f = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    return {
+        "pred_correct_cnt": int(tp),
+        "correct_cnt": int(correct_cnt),
+        "pred_cnt": int(pred_cnt),
+        "precision": p,
+        "recall": r,
+        "F-1": f,
+    }
+
+
+def _explode_ents(df: DataFrame, col: str) -> DataFrame:
+    return df.select(
+        "doc_key", "sent_id", F.explode(col).alias("m")
+    ).select(
+        "doc_key", "sent_id",
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.label").alias("label"),
+    )
+
+
+def _explode_rels(df: DataFrame, col: str) -> DataFrame:
+    return df.select(
+        "doc_key", "sent_id", F.explode(col).alias("r")
+    ).select(
+        "doc_key", "sent_id",
+        F.col("r.s_start").alias("s_start"),
+        F.col("r.s_end").alias("s_end"),
+        F.col("r.o_start").alias("o_start"),
+        F.col("r.o_end").alias("o_end"),
+        F.col("r.label").alias("label"),
+    )
+
+
+def entity_counts(pred: DataFrame, target: DataFrame,
+                  pred_col: str = "ent_pred",
+                  target_col: str = "entity_mentions") -> DataFrame:
+    """Per-label (pred_cnt, pred_correct_cnt, correct_cnt) DataFrame."""
+    p = _explode_ents(pred, pred_col)
+    t = _explode_ents(target, target_col)
+    keys = ["doc_key", "sent_id", "start", "end", "label"]
+    # membership test = left-semi join against the deduped target set;
+    # pred multiplicity is preserved (reference counts each pred element)
+    correct = p.join(t.dropDuplicates(keys), on=keys, how="left_semi")
+    agg = (
+        p.groupBy("label").agg(F.count("*").alias("pred_cnt"))
+        .join(correct.groupBy("label").agg(F.count("*").alias("pred_correct_cnt")),
+              on="label", how="outer")
+        .join(t.groupBy("label").agg(F.count("*").alias("correct_cnt")),
+              on="label", how="outer")
+    )
+    return agg.na.fill(0, ["pred_cnt", "pred_correct_cnt", "correct_cnt"])
+
+
+def relation_counts(pred: DataFrame, target: DataFrame,
+                    rel_pred_col: str = "rel_pred",
+                    rel_target_col: str = "relation_mentions",
+                    ent_pred_col: str | None = "ent_pred",
+                    ent_target_col: str | None = "entity_mentions") -> DataFrame:
+    """Per-label relation counts incl. strict_pred_correct_cnt."""
+    p = _explode_rels(pred, rel_pred_col)
+    t = _explode_rels(target, rel_target_col)
+    keys = ["doc_key", "sent_id", "s_start", "s_end", "o_start", "o_end",
+            "label"]
+    correct = p.join(t.dropDuplicates(keys), on=keys, how="left_semi")
+
+    if ent_pred_col and ent_target_col:
+        ep = _explode_ents(pred, ent_pred_col)
+        et = _explode_ents(target, ent_target_col)
+        ekeys = ["doc_key", "sent_id", "start", "end", "label"]
+        # spans of predicted entities that are also in the target —
+        # re_metric.py:126-134's subject_check/object_check set
+        good_spans = (
+            ep.join(et.dropDuplicates(ekeys), on=ekeys, how="left_semi")
+            .select("doc_key", "sent_id", "start", "end")
+            .dropDuplicates()
+        )
+        strict = (
+            correct
+            .join(good_spans.withColumnRenamed("start", "s_start")
+                            .withColumnRenamed("end", "s_end"),
+                  on=["doc_key", "sent_id", "s_start", "s_end"], how="left_semi")
+            .join(good_spans.withColumnRenamed("start", "o_start")
+                            .withColumnRenamed("end", "o_end"),
+                  on=["doc_key", "sent_id", "o_start", "o_end"], how="left_semi")
+        )
+    else:
+        strict = correct
+
+    agg = (
+        p.groupBy("label").agg(F.count("*").alias("pred_cnt"))
+        .join(correct.groupBy("label").agg(F.count("*").alias("pred_correct_cnt")),
+              on="label", how="outer")
+        .join(strict.groupBy("label").agg(F.count("*").alias("strict_pred_correct_cnt")),
+              on="label", how="outer")
+        .join(t.groupBy("label").agg(F.count("*").alias("correct_cnt")),
+              on="label", how="outer")
+    )
+    return agg.na.fill(0, ["pred_cnt", "pred_correct_cnt",
+                           "strict_pred_correct_cnt", "correct_cnt"])
+
+
+def re_metric(pred: DataFrame, target: DataFrame,
+              evaluate_entity: bool = True, evaluate_relation: bool = True,
+              use_strict: bool = True, **cols) -> dict:
+    """Micro P/R/F1 roll-up — reference-shaped result dict."""
+    result: dict = {}
+    if evaluate_entity:
+        ec = entity_counts(
+            pred, target,
+            pred_col=cols.get("ent_pred_col", "ent_pred"),
+            target_col=cols.get("ent_target_col", "entity_mentions"),
+        ).agg(
+            F.sum("pred_correct_cnt").alias("tp"),
+            F.sum("pred_cnt").alias("pred"),
+            F.sum("correct_cnt").alias("gold"),
+        ).collect()[0]
+        result["entity"] = calculate_prf(ec["tp"] or 0, ec["pred"] or 0,
+                                         ec["gold"] or 0)
+    if evaluate_relation:
+        rc_df = relation_counts(
+            pred, target,
+            rel_pred_col=cols.get("rel_pred_col", "rel_pred"),
+            rel_target_col=cols.get("rel_target_col", "relation_mentions"),
+            ent_pred_col=cols.get("ent_pred_col", "ent_pred") if use_strict else None,
+            ent_target_col=cols.get("ent_target_col", "entity_mentions") if use_strict else None,
+        )
+        rc = rc_df.agg(
+            F.sum("pred_correct_cnt").alias("tp"),
+            F.sum("strict_pred_correct_cnt").alias("strict_tp"),
+            F.sum("pred_cnt").alias("pred"),
+            F.sum("correct_cnt").alias("gold"),
+        ).collect()[0]
+        result["relation"] = calculate_prf(rc["tp"] or 0, rc["pred"] or 0,
+                                           rc["gold"] or 0)
+        if use_strict:
+            result["relation_strict"] = calculate_prf(
+                rc["strict_tp"] or 0, rc["pred"] or 0, rc["gold"] or 0)
+    return result

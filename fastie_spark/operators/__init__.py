@@ -1,0 +1,7 @@
+from fastie_spark.operators.spans import enumerate_spans, filter_in_bound  # noqa: F401
+from fastie_spark.operators.pairs import enumerate_pairs, label_pairs  # noqa: F401
+from fastie_spark.operators.windows import (  # noqa: F401
+    cross_sentence_window,
+    sliding_window_split,
+)
+from fastie_spark.operators.symmetric import symmetric_closure  # noqa: F401

@@ -1,0 +1,78 @@
+"""Span-pair enumeration + gold-label lookup (survey J1, J2).
+
+PURE's relation stage enumerates the ordered cartesian product of
+predicted entities within a sentence, subject != object
+(``/root/reference/fastie/tasks/re/pure/pure_pipe.py:222-239``), and
+labels each pair from the gold relation dict with default 'None'
+(pure_pipe.py:232-239).
+
+Spark-first shape: pairs are **sentence-local**, so the cartesian product
+is an in-row array comprehension (flatten/transform) — no self-join, no
+shuffle.  The flat exploded form then left-joins gold labels
+relationally when needed; at 100 TB the join is on (doc_key, sent_id,
+spans), which co-partitions with the upstream explode so AQE keeps it
+local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAIR_ARRAY_EXPR = """
+flatten(transform({col}, s ->
+    transform(filter({col}, o -> NOT (o.start = s.start AND o.end = s.end
+                                      AND o.label = s.label)),
+              o -> struct(s as subj, o as obj))))
+"""
+
+
+def enumerate_pairs(sentences: DataFrame, mentions_col: str = "ent_pred",
+                    flat: bool = True) -> DataFrame:
+    """Ordered (subj, obj) pairs of distinct mentions per sentence.
+
+    Note the reference excludes pairs where subject == object as a full
+    tuple (span AND label), pure_pipe.py:224 — mirrored here.
+    """
+    with_arr = sentences.withColumn(
+        "pairs", F.expr(PAIR_ARRAY_EXPR.format(col=mentions_col))
+    )
+    if not flat:
+        return with_arr
+    return with_arr.select(
+        "doc_key", "sent_id", F.explode("pairs").alias("pair")
+    ).select(
+        "doc_key", "sent_id",
+        F.col("pair.subj.start").alias("s_start"),
+        F.col("pair.subj.end").alias("s_end"),
+        F.col("pair.subj.label").alias("subj_label"),
+        F.col("pair.obj.start").alias("o_start"),
+        F.col("pair.obj.end").alias("o_end"),
+        F.col("pair.obj.label").alias("obj_label"),
+    )
+
+
+def label_pairs(pairs: DataFrame, sentences: DataFrame,
+                relations_col: str = "relation_mentions") -> DataFrame:
+    """Gold-label lookup (J2): left join exploded gold relations on the
+    span pair, ``coalesce(label, 'None')`` — the relational form of the
+    reference's dict lookup with default 0/'None'."""
+    gold = sentences.select(
+        "doc_key", "sent_id", F.explode(relations_col).alias("r")
+    ).select(
+        "doc_key", "sent_id",
+        F.col("r.s_start").alias("s_start"),
+        F.col("r.s_end").alias("s_end"),
+        F.col("r.o_start").alias("o_start"),
+        F.col("r.o_end").alias("o_end"),
+        F.col("r.label").alias("gold_label"),
+    ).dropDuplicates(["doc_key", "sent_id", "s_start", "s_end",
+                      "o_start", "o_end"])
+    joined = pairs.join(
+        gold,
+        on=["doc_key", "sent_id", "s_start", "s_end", "o_start", "o_end"],
+        how="left",
+    )
+    return joined.withColumn(
+        "gold_label", F.coalesce("gold_label", F.lit("None"))
+    )

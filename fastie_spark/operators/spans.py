@@ -1,0 +1,60 @@
+"""Span enumeration + span filters (survey W4, P5).
+
+Matches PURE's candidate-span table (``/root/reference/fastie/tasks/re/
+pure/pure_pipe.py:59-74``): all ``(s, e)`` with ``e - s < max_span_len``
+per sentence, right-exclusive in our convention (the reference stores
+inclusive ends there and +1s elsewhere; we normalize).
+
+Pure built-in expressions: ``transform`` over a ``sequence`` per row —
+narrow, shuffle-free, codegen'd.  The exploded flat form is provided for
+relational consumers (joins with gold labels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def span_array_expr(tokens_col: str = "tokens", max_span_len: int = 8) -> str:
+    """SQL expr producing array<struct<start,end,width>> of all candidate
+    spans (right-exclusive end)."""
+    return f"""
+    flatten(transform(sequence(0, size({tokens_col}) - 1), s ->
+        transform(sequence(s, least(s + {max_span_len} - 1,
+                                    size({tokens_col}) - 1)), e ->
+            struct(cast(s as int) as start,
+                   cast(e + 1 as int) as end,
+                   cast(e - s + 1 as int) as width))))
+    """
+
+
+def enumerate_spans(sentences: DataFrame, max_span_len: int = 8,
+                    flat: bool = True) -> DataFrame:
+    """Sentence rows → candidate spans.
+
+    flat=True explodes to one row per span (for label joins); flat=False
+    keeps the array column ``spans`` (for in-batch model scoring).
+    """
+    with_arr = sentences.withColumn(
+        "spans", F.expr(span_array_expr("tokens", max_span_len))
+    )
+    if not flat:
+        return with_arr
+    return with_arr.select(
+        "doc_key", "sent_id",
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_key", "sent_id",
+        F.col("span.start").alias("start"),
+        F.col("span.end").alias("end"),
+        F.col("span.width").alias("width"),
+    )
+
+
+def filter_in_bound(mentions_col: str, start: str, end: str) -> F.Column:
+    """``is_in_bound`` (tplinker_pipe.py:9-20): keep right-exclusive spans
+    fully inside the [start, end) window — as an array filter column."""
+    return F.expr(
+        f"filter({mentions_col}, m -> m.start >= {start} AND m.end <= {end})"
+    )

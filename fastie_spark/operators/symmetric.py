@@ -1,0 +1,51 @@
+"""Symmetric-relation closure (survey U1).
+
+The reference duplicates relations whose label is in ``symmetric_label``
+with subject/object swapped at load time
+(``/root/reference/fastie/dataset/io/jsonlinesRE.py:119-122``).  Two
+forms here: the in-array form (used by the loaders, no shuffle) and the
+relational form over a flat triple table (union + dropDuplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetric_closure_array(df: DataFrame, labels: list[str],
+                            col: str = "relation_mentions") -> DataFrame:
+    """In-array closure: each symmetric relation is followed by its
+    mirror (loader order), non-symmetric kept as-is."""
+    labels_sql = ", ".join(f"'{lab}'" for lab in labels)
+    return df.withColumn(
+        col,
+        F.expr(
+            f"flatten(transform({col}, r -> "
+            f" case when array_contains(array({labels_sql}), r.label)"
+            "  then array(r, struct(r.o_start as s_start, r.o_end as s_end,"
+            "       r.s_start as o_start, r.s_end as o_end, r.label as label))"
+            "  else array(r) end))"
+        ),
+    )
+
+
+def symmetric_closure(triples: DataFrame, labels: list[str]) -> DataFrame:
+    """Relational closure over a flat triple table with columns
+    (..., s_start, s_end, o_start, o_end, pred): union the swapped copy
+    for symmetric predicates, then dedupe."""
+    swapped = triples.where(F.col("pred").isin(labels)).select(
+        *[
+            {"s_start": F.col("o_start").alias("s_start"),
+             "s_end": F.col("o_end").alias("s_end"),
+             "o_start": F.col("s_start").alias("o_start"),
+             "o_end": F.col("s_end").alias("o_end"),
+             "subj_text": F.col("obj_text").alias("subj_text"),
+             "obj_text": F.col("subj_text").alias("obj_text"),
+             "subj_label": F.col("obj_label").alias("subj_label"),
+             "obj_label": F.col("subj_label").alias("obj_label"),
+             }.get(c, F.col(c))
+            for c in triples.columns
+        ]
+    )
+    return triples.unionByName(swapped).dropDuplicates()

@@ -1,0 +1,141 @@
+"""Sequence/window operators (survey W1-W3, J3).
+
+* ``cross_sentence_window`` — the reference pads each sentence to
+  ``cross_sent_window`` tokens with neighbor sentences of the same doc,
+  left budget ``(W - len) // 2``, remainder right; the left fill walks
+  backwards taking token suffixes, the right fill forwards taking
+  prefixes; doc boundaries stop the fill
+  (``/root/reference/fastie/utils/utils.py:256-295``).  Spark shape: one
+  bounded window ``collect_list`` over (doc_key, sent_id) followed by
+  in-row array arithmetic — a single shuffle by doc_key which the later
+  per-doc stages reuse.
+
+* ``sliding_window_split`` — TPLinker re-chunks long sentences with a
+  token window of ``max_seq_len`` and stride ``slide_window``, rebasing
+  mention spans into each chunk and keeping only fully-contained ones
+  (``/root/reference/fastie/tasks/re/tplinker/tplinker_pipe.py:23-76``;
+  the reference measures window length in wordpieces — we use tokens,
+  the semantics of span rebasing/containment are identical).  Pure
+  ``posexplode(sequence(...))`` + array exprs, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# How many neighbor sentences the window aggregation gathers on each side.
+# At W tokens budget and ≥1 token per sentence this bounds the fill; the
+# reference walks arbitrarily far, but ±W sentences is exact for any doc
+# whose sentences are non-empty (each step consumes ≥1 token of budget).
+_NEIGHBOR_SENTS = 64
+
+
+def cross_sentence_window(sentences: DataFrame, window: int = 200,
+                          neighbor_sents: int = _NEIGHBOR_SENTS) -> DataFrame:
+    """Add ``cross_sent_tokens`` + ``sent_start`` (offset of the original
+    sentence inside the padded token list)."""
+    w_left = (
+        Window.partitionBy("doc_key").orderBy("sent_id")
+        .rowsBetween(-neighbor_sents, -1)
+    )
+    w_right = (
+        Window.partitionBy("doc_key").orderBy("sent_id")
+        .rowsBetween(1, neighbor_sents)
+    )
+    df = sentences.withColumn(
+        "_left", F.coalesce(F.collect_list("tokens").over(w_left),
+                            F.expr("array()"))
+    ).withColumn(
+        "_right", F.coalesce(F.collect_list("tokens").over(w_right),
+                             F.expr("array()"))
+    )
+
+    # Exact reference arithmetic, in-row:
+    #   add_left = (W - len) // 2 ; add_right = (W - len) - add_left
+    # left fill = last add_left' tokens of flatten(_left) where the walk
+    # consumes whole-sentence suffixes: taking the global suffix of the
+    # flattened left context is equivalent to the reference's loop
+    # (it takes tokens[-add_left:] per sentence, decrementing) — both
+    # yield the last min(add_left, available) tokens in order.
+    # Same for the right prefix.
+    expr = f"""
+    case when size(tokens) >= {window} then
+        struct(tokens as cross_sent_tokens, cast(0 as int) as sent_start)
+    else
+        struct(
+            concat(
+                slice(flatten(_left),
+                      greatest(1, size(flatten(_left))
+                                  - cast(({window} - size(tokens)) / 2 as int) + 1),
+                      cast(({window} - size(tokens)) / 2 as int)),
+                tokens,
+                slice(flatten(_right), 1,
+                      ({window} - size(tokens))
+                      - cast(({window} - size(tokens)) / 2 as int))
+            ) as cross_sent_tokens,
+            cast(least(size(flatten(_left)),
+                 cast(({window} - size(tokens)) / 2 as int)) as int) as sent_start)
+    end
+    """
+    df = df.withColumn("_cs", F.expr(expr))
+    return df.withColumn("cross_sent_tokens", F.col("_cs.cross_sent_tokens")) \
+             .withColumn("sent_start", F.col("_cs.sent_start")) \
+             .drop("_left", "_right", "_cs")
+
+
+def sliding_window_split(sentences: DataFrame, max_seq_len: int = 100,
+                         slide_window: int = 50) -> DataFrame:
+    """Split each sentence into overlapping chunks, rebasing mentions.
+
+    Output keeps doc_key, renumbers sent_id as the chunk index within the
+    original sentence (reference resets sent_id per original row,
+    tplinker_pipe.py:31,74), and filters mentions to fully-contained
+    spans with the ``is_in_bound`` rule (left-closed right-open window
+    of [chunk_start, chunk_end)).
+    """
+    has_ents = "entity_mentions" in sentences.columns
+    has_rels = "relation_mentions" in sentences.columns
+
+    chunked = sentences.select(
+        "doc_key",
+        F.col("sent_id").alias("orig_sent_id"),
+        "tokens",
+        *(["entity_mentions"] if has_ents else []),
+        *(["relation_mentions"] if has_rels else []),
+        F.posexplode(
+            F.expr(f"sequence(0, greatest(size(tokens) - 1, 0), {slide_window})")
+        ).alias("chunk_id", "chunk_start"),
+    ).where(
+        # reference loops while sent_start < tokens_len — no empty chunks
+        F.col("chunk_start") < F.size("tokens")
+    ).withColumn(
+        "chunk_end",
+        F.least(F.col("chunk_start") + max_seq_len, F.size("tokens")),
+    )
+    out = chunked.select(
+        "doc_key",
+        "orig_sent_id",
+        F.col("chunk_id").cast("int").alias("sent_id"),
+        F.expr("slice(tokens, chunk_start + 1, chunk_end - chunk_start)").alias("tokens"),
+        *( [F.expr(
+            "transform(filter(entity_mentions,"
+            "  m -> m.start >= chunk_start AND m.end <= chunk_end),"
+            " m -> struct(cast(m.start - chunk_start as int) as start,"
+            "             cast(m.end - chunk_start as int) as end,"
+            "             m.label as label))").alias("entity_mentions")]
+           if has_ents else [] ),
+        *( [F.expr(
+            "transform(filter(relation_mentions,"
+            "  r -> r.s_start >= chunk_start AND r.s_end <= chunk_end"
+            "   AND r.o_start >= chunk_start AND r.o_end <= chunk_end),"
+            " r -> struct(cast(r.s_start - chunk_start as int) as s_start,"
+            "             cast(r.s_end - chunk_start as int) as s_end,"
+            "             cast(r.o_start - chunk_start as int) as o_start,"
+            "             cast(r.o_end - chunk_start as int) as o_end,"
+            "             r.label as label))").alias("relation_mentions")]
+           if has_rels else [] ),
+        "chunk_start",
+        "chunk_end",
+    )
+    return out

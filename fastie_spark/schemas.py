@@ -1,0 +1,107 @@
+"""Canonical schemas of the engine.
+
+The reference's row model is schema-on-convention fastNLP ``Instance``
+dicts (see ``/root/reference/fastie/dataset/build_dataset.py:15-68``); we
+pin explicit Spark schemas instead.  Span convention everywhere:
+**right-exclusive token spans** ``(start, end)`` — the reference states
+this at ``/root/reference/fastie/metrics/re_metric.py:73`` and converts
+inclusive loader input with ``end+1`` at
+``/root/reference/fastie/dataset/io/jsonlinesRE.py:108-118``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Production input (BASELINE.json input_hint): Iceberg-shaped source table.
+SOURCE_DOC = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+# Mention = right-exclusive token span + label.
+MENTION = StructType(
+    [
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("label", StringType()),
+    ]
+)
+
+# Relation mention = (subject span, object span, label).
+RELATION_MENTION = StructType(
+    [
+        StructField("s_start", IntegerType()),
+        StructField("s_end", IntegerType()),
+        StructField("o_start", IntegerType()),
+        StructField("o_end", IntegerType()),
+        StructField("label", StringType()),
+    ]
+)
+
+# Canonical sentence row — the engine's universal unit (the reference's
+# "FastIE standard format" Instance).
+SENTENCE = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("sent_id", IntegerType()),
+        StructField("tokens", ArrayType(StringType())),
+        StructField("entity_mentions", ArrayType(MENTION)),
+        StructField("relation_mentions", ArrayType(RELATION_MENTION)),
+    ]
+)
+
+# Flat triple table — the KG edge list materialized by the pipeline.
+TRIPLE = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("sent_id", IntegerType()),
+        StructField("s_start", IntegerType()),
+        StructField("s_end", IntegerType()),
+        StructField("subj_text", StringType()),
+        StructField("subj_label", StringType()),
+        StructField("pred", StringType()),
+        StructField("o_start", IntegerType()),
+        StructField("o_end", IntegerType()),
+        StructField("obj_text", StringType()),
+        StructField("obj_label", StringType()),
+    ]
+)
+
+# Flat predicted-mention table (exploded form of entity_mentions).
+MENTION_ROW = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("sent_id", IntegerType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("text", StringType()),
+        StructField("label", StringType()),
+    ]
+)
+
+# Multimodal asset row — opaque binary payload + typed metadata (engine
+# addition for training-data pipelines; decode is stubbed, plumbing real).
+ASSET = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)

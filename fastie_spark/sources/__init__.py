@@ -1,0 +1,11 @@
+from fastie_spark.sources.normalize import (  # noqa: F401
+    docs_to_sentences,
+    sentences_from_strings,
+    index_list_to_spans,
+)
+from fastie_spark.sources.jsonlines import (  # noqa: F401
+    load_jsonlines_ner,
+    load_jsonlines_re,
+    rebase_doc_offsets,
+)
+from fastie_spark.sources.bio import bio_decode, load_column_ner  # noqa: F401

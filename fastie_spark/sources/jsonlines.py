@@ -1,0 +1,145 @@
+"""JSON-lines loaders (survey S1/S2).
+
+Semantics match the reference loaders:
+
+* ``load_jsonlines_ner`` — rows ``{tokens, entity_mentions}`` where each
+  mention is either ``{entity_index: [i,...]}`` or ``{start, end}`` with a
+  ``right_inclusive`` flag (``fastie/dataset/io/jsonlinesNER.py:81-126``).
+* ``load_jsonlines_re`` — one JSON **document** per line with
+  ``sentences: [[tok]]``, ``ner: [[gs, ge_incl, lbl]]``,
+  ``relations: [[gs1, ge1, gs2, ge2, lbl]]``; global token offsets are
+  rebased per sentence by subtracting the running sentence-length prefix
+  sum, ends get ``+1`` (→ right-exclusive), and relations whose label is
+  in ``symmetric_label`` are duplicated with subject/object swapped
+  (``fastie/dataset/io/jsonlinesRE.py:80-142``).
+
+Everything is native Spark: ``posexplode`` for sentence rows, a window
+prefix-sum for offsets (W1), ``transform`` for span arithmetic, and a
+``union``-free in-array symmetric closure via ``flatten``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_jsonlines_ner(
+    spark: SparkSession, path: str, right_inclusive: bool = False
+) -> DataFrame:
+    """jsonl → sentence rows with right-exclusive span mentions."""
+    raw = spark.read.json(path)
+    shift = 1 if right_inclusive else 0
+    fields = {f.name for f in raw.schema.fields}
+    mention_fields = (
+        {f.name for f in raw.schema["entity_mentions"].dataType.elementType.fields}
+        if "entity_mentions" in fields else set()
+    )
+    start = ("cast(m.start as int)" if "start" in mention_fields
+             else "cast(array_min(m.entity_index) as int)")
+    end = (f"cast(m.end + {shift} as int)" if "end" in mention_fields
+           else "cast(array_max(m.entity_index) + 1 as int)")
+    label = "m.entity_type" if "entity_type" in mention_fields else "m.label"
+    mentions = (
+        F.expr(f"transform(entity_mentions, m -> struct({start} as start, {end} as end, {label} as label))")
+        if "entity_mentions" in fields
+        else F.lit(None).cast("array<struct<start:int,end:int,label:string>>")
+    )
+    doc_key = (F.col("doc_key").cast("string") if "doc_key" in fields
+               else F.monotonically_increasing_id().cast("string"))
+    return raw.select(
+        doc_key.alias("doc_key"),
+        F.lit(0).alias("sent_id"),
+        F.col("tokens").alias("tokens"),
+        mentions.alias("entity_mentions"),
+    )
+
+
+def rebase_doc_offsets(docs: DataFrame, symmetric_label: list[str] | None = None) -> DataFrame:
+    """Core of the JsonLinesRE loader, applied to an already-parsed doc
+    DataFrame with columns (doc_key, sentences, ner, relations).
+
+    Returns canonical sentence rows. The running offset (reference's
+    ``sent_start`` accumulator, jsonlinesRE.py:96-132) is the window
+    prefix-sum of preceding sentence lengths within the doc.
+    """
+    symmetric_label = symmetric_label or []
+
+    sent = docs.select(
+        "doc_key",
+        F.posexplode("sentences").alias("sent_id", "tokens"),
+        F.col("ner").alias("_ner_all"),
+        F.col("relations").alias("_rel_all"),
+    ).select(
+        "doc_key",
+        "sent_id",
+        "tokens",
+        F.expr("_ner_all[sent_id]").alias("_ner"),
+        F.expr("_rel_all[sent_id]").alias("_rel"),
+    )
+
+    w = (
+        Window.partitionBy("doc_key")
+        .orderBy("sent_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sent = sent.withColumn(
+        "sent_start", F.coalesce(F.sum(F.size("tokens")).over(w), F.lit(0)).cast("int")
+    )
+
+    # JSON infers mixed [int, int, label] arrays as array<string> — cast
+    # the numeric slots explicitly (also keeps ANSI mode happy).
+    ner = (
+        "transform(_ner, m -> struct("
+        " cast(cast(m[0] as int) - sent_start as int) as start,"
+        " cast(cast(m[1] as int) - sent_start + 1 as int) as end,"
+        " cast(m[2] as string) as label))"
+    )
+    rel = (
+        "transform(_rel, r -> struct("
+        " cast(cast(r[0] as int) - sent_start as int) as s_start,"
+        " cast(cast(r[1] as int) - sent_start + 1 as int) as s_end,"
+        " cast(cast(r[2] as int) - sent_start as int) as o_start,"
+        " cast(cast(r[3] as int) - sent_start + 1 as int) as o_end,"
+        " cast(r[4] as string) as label))"
+    )
+    out = sent.select(
+        "doc_key",
+        F.col("sent_id").cast("int").alias("sent_id"),
+        "tokens",
+        F.expr(ner).alias("entity_mentions"),
+        F.expr(rel).alias("relation_mentions"),
+        "sent_start",
+    )
+
+    if symmetric_label:
+        labels_sql = ", ".join(f"'{lab}'" for lab in symmetric_label)
+        # append swapped copies for symmetric labels, in loader order
+        # (each original immediately followed by its mirror — reference
+        # appends the mirror right after, jsonlinesRE.py:119-122)
+        out = out.withColumn(
+            "relation_mentions",
+            F.expr(
+                "flatten(transform(relation_mentions, r -> "
+                f" case when array_contains(array({labels_sql}), r.label)"
+                "  then array(r, struct(r.o_start as s_start, r.o_end as s_end,"
+                "       r.s_start as o_start, r.s_end as o_end, r.label as label))"
+                "  else array(r) end))"
+            ),
+        )
+    return out
+
+
+def load_jsonlines_re(
+    spark: SparkSession, path: str, symmetric_label: list[str] | None = None
+) -> DataFrame:
+    """jsonl of doc objects → canonical sentence rows (see module doc)."""
+    raw = spark.read.json(path)
+    docs = raw.select(
+        (F.col("doc_key").cast("string") if "doc_key" in raw.columns
+         else F.monotonically_increasing_id().cast("string")).alias("doc_key"),
+        "sentences",
+        "ner",
+        "relations",
+    )
+    return rebase_doc_offsets(docs, symmetric_label)

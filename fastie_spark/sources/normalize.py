@@ -1,0 +1,86 @@
+"""Ingest normalizers → canonical sentence rows.
+
+Covers the reference's ``build_dataset`` dispatcher and ``Sentence``
+source (``/root/reference/fastie/dataset/build_dataset.py:15-68``,
+``/root/reference/fastie/dataset/io/sentence.py:48-56``): every input
+shape is normalized to the SENTENCE schema with deterministic
+``doc_key``/``sent_id`` assignment (the reference auto-fills them with
+insertion order at build_dataset.py:55-58; we use explicit keys or
+``row_number`` so results are stable under partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def sentences_from_strings(spark: SparkSession, sentences: list[str]) -> DataFrame:
+    """The ``Sentence`` source: whitespace tokenize raw strings
+    (sentence.py:54 — ``s.split(' ')``)."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(sentences)],
+                               "doc_key: string, text: string")
+    return df.select(
+        "doc_key",
+        F.lit(0).alias("sent_id"),
+        F.split("text", " ").alias("tokens"),
+    )
+
+
+def docs_to_sentences(docs: DataFrame, sentence_sep: str = "\n") -> DataFrame:
+    """Production ingest: the input_hint source table → sentence rows.
+
+    doc_key = ``repo/path@commit``; sentences are the newline-split lines
+    of ``content``; tokens = whitespace split.  The ``content_sha``
+    invariant (sha2 of the full content) rides along so every later stage
+    can re-verify it against the source table.
+
+    Pure built-in expressions — Catalyst prunes ``content`` right after
+    the split, so the parquet scan only carries what's needed.
+    """
+    doc_key = F.concat_ws("@", F.concat_ws("/", "repo", "path"), "commit")
+    sha = docs["content_sha"] if "content_sha" in docs.columns else F.sha2("content", 256)
+    exploded = docs.select(
+        doc_key.alias("doc_key"),
+        "repo",
+        "lang",
+        sha.alias("content_sha"),
+        F.posexplode(F.split("content", sentence_sep)).alias("sent_id", "sentence"),
+    )
+    return exploded.select(
+        "doc_key",
+        "repo",
+        "lang",
+        "content_sha",
+        F.col("sent_id").cast("int").alias("sent_id"),
+        F.split(F.trim("sentence"), " +").alias("tokens"),
+    ).where(F.size("tokens") > 0)
+
+
+def index_list_to_spans(df: DataFrame, col: str = "entity_mentions") -> DataFrame:
+    """Convert the second NER encoding — index-list mentions
+    ``(indices array<int>, label)`` (tests/dummy.py:14,
+    jsonlinesNER.py:99-115) — to right-exclusive ``(start, end, label)``
+    structs. Index lists in the reference are always contiguous runs, so
+    span = (min, max+1)."""
+    return df.withColumn(
+        col,
+        F.expr(
+            f"transform({col}, m -> struct("
+            "  cast(array_min(m.indices) as int) as start,"
+            "  cast(array_max(m.indices) + 1 as int) as end,"
+            "  m.label as label))"
+        ),
+    )
+
+
+def with_auto_keys(df: DataFrame) -> DataFrame:
+    """Deterministically fill missing doc_key/sent_id (build_dataset.py:55-58
+    uses insertion order; we order by a stable hash of the row content)."""
+    out = df
+    if "doc_key" not in out.columns:
+        w = Window.orderBy(F.xxhash64(F.to_json(F.struct(*out.columns))))
+        out = out.withColumn("doc_key", (F.row_number().over(w) - 1).cast("string"))
+    if "sent_id" not in out.columns:
+        out = out.withColumn("sent_id", F.lit(0))
+    return out

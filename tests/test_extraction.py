@@ -1,0 +1,112 @@
+"""End-to-end extraction gate (BASELINE.md: triple P/R ≥ 0.95 on the
+reference's own fixtures, with train/dev/test/infer identical copies as
+in tests/dummy.py:133-138)."""
+
+import pyspark.sql.functions as F
+
+from fastie_spark.extraction import (
+    GazetteerNER,
+    PairRelationModel,
+    extract_triples,
+    gazetteer_join_mentions,
+)
+from fastie_spark.metrics import re_metric
+from tests.fixtures import ner_rows, re_rows
+from tests.test_operators import SENT_SCHEMA
+
+
+def _re_df(spark):
+    return spark.createDataFrame(re_rows(), SENT_SCHEMA)
+
+
+def test_re_pipeline_pr_gate(spark):
+    train = _re_df(spark)
+    infer = train.drop("entity_mentions", "relation_mentions")
+
+    ner = GazetteerNER.fit(train)
+    rel = PairRelationModel.fit(train)
+
+    pred = rel.transform(ner.transform(infer))
+    metrics = re_metric(pred, train)
+
+    # hand-computed: entity P = 23/24 (one FP: 'Welch'@sent5[7,8]), R = 1;
+    # relation & strict P = R = 1 (position-aware keys kill collisions)
+    assert metrics["entity"]["precision"] >= 0.95
+    assert metrics["entity"]["recall"] >= 0.95
+    assert metrics["relation"]["precision"] >= 0.95
+    assert metrics["relation"]["recall"] >= 0.95
+    assert metrics["relation_strict"]["F-1"] >= 0.95
+    # exact expected counts
+    assert metrics["entity"]["pred_cnt"] == 24
+    assert metrics["entity"]["pred_correct_cnt"] == 23
+    assert metrics["relation"]["pred_cnt"] == 10
+    assert metrics["relation"]["pred_correct_cnt"] == 10
+
+
+def test_triples_table(spark):
+    train = _re_df(spark)
+    ner = GazetteerNER.fit(train)
+    rel = PairRelationModel.fit(train)
+    triples = extract_triples(
+        train.drop("entity_mentions", "relation_mentions"), ner, rel)
+    rows = triples.collect()
+    assert len(rows) == 10
+    got = {(r["subj_text"], r["pred"], r["obj_text"]) for r in rows}
+    assert ("Chairman", "ORG-AFF", "General Electric Co") in got
+    assert ("Court", "PART-WHOLE", "state") in got
+    # labels resolved from mention list
+    assert all(r["subj_label"] is not None for r in rows)
+
+
+def test_ner_fixture_exact(spark):
+    """Index-list NER fixture: gazetteer reproduces every mention."""
+    from fastie_spark.sources import index_list_to_spans
+
+    df = spark.createDataFrame(
+        [(d, s, t, [(list(i), lab) for i, lab in m]) for d, s, t, m in ner_rows()],
+        "doc_key string, sent_id int, tokens array<string>, "
+        "entity_mentions array<struct<indices:array<int>,label:string>>",
+    )
+    df = index_list_to_spans(df)
+    ner = GazetteerNER.fit(df)
+    pred = ner.transform(df.drop("entity_mentions"))
+    metrics = re_metric(pred, df, evaluate_relation=False)
+    assert metrics["entity"]["precision"] == 1.0
+    assert metrics["entity"]["recall"] == 1.0
+
+
+def test_relational_gazetteer_matches_udf(spark):
+    """The broadcast-join variant and the mapInPandas variant are the
+    same operator — identical output on the RE fixture."""
+    train = _re_df(spark)
+    ner = GazetteerNER.fit(train)
+    gaz_df = spark.createDataFrame(
+        [(" ".join(k), v) for k, v in ner.surface2label.items()],
+        "surface string, label string",
+    )
+    infer = train.drop("entity_mentions", "relation_mentions")
+    udf_out = {
+        (r["doc_key"], r["sent_id"]): sorted(
+            (m["start"], m["end"], m["label"]) for m in r["ent_pred"])
+        for r in ner.transform(infer).collect()
+    }
+    join_out = {
+        (r["doc_key"], r["sent_id"]): sorted(
+            (m["start"], m["end"], m["label"]) for m in r["ent_pred"])
+        for r in gazetteer_join_mentions(infer, gaz_df,
+                                         max_len=ner.max_len).collect()
+    }
+    assert udf_out == join_out
+
+
+def test_no_per_row_python_in_plan(spark):
+    """BASELINE.md: plan may contain Arrow nodes (ArrowEvalPython /
+    MapInPandas) but never row-at-a-time BatchEvalPython."""
+    train = _re_df(spark)
+    ner = GazetteerNER.fit(train)
+    rel = PairRelationModel.fit(train)
+    triples = extract_triples(
+        train.drop("entity_mentions", "relation_mentions"), ner, rel)
+    plan = triples._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan

@@ -1,0 +1,62 @@
+"""REMetric parity (re_metric.py:7-19,104-141; FIXTURES.md §6
+metric_counts) — crafted pred/target sets incl. zero-division edges and
+the strict-relation rule."""
+
+from fastie_spark.metrics import calculate_prf, re_metric
+from tests.test_operators import SENT_SCHEMA
+
+PRED_SCHEMA = (
+    "doc_key string, sent_id int, tokens array<string>, "
+    "ent_pred array<struct<start:int,end:int,label:string>>, "
+    "rel_pred array<struct<s_start:int,s_end:int,o_start:int,"
+    "o_end:int,label:string>>"
+)
+
+
+def test_calculate_prf_zero_guards():
+    assert calculate_prf(0, 0, 0) == {
+        "pred_correct_cnt": 0, "correct_cnt": 0, "pred_cnt": 0,
+        "precision": 0.0, "recall": 0.0, "F-1": 0.0,
+    }
+    m = calculate_prf(2, 4, 2)
+    assert m["precision"] == 0.5 and m["recall"] == 1.0
+    assert abs(m["F-1"] - 2 * 0.5 * 1.0 / 1.5) < 1e-12
+
+
+def test_strict_relation_semantics(spark):
+    """A relation counts as strict-correct only when BOTH argument spans
+    are correctly-predicted entities (re_metric.py:122-137)."""
+    toks = [f"t{i}" for i in range(10)]
+    target = spark.createDataFrame(
+        [("d", 0, toks,
+          [(0, 1, "PER"), (2, 3, "ORG"), (4, 5, "PER")],
+          [(0, 1, 2, 3, "ORG-AFF"), (0, 1, 4, 5, "PER-SOC")])],
+        SENT_SCHEMA.replace("entity_mentions", "entity_mentions")
+    )
+    # pred: both relations span-correct; but entity (4,5) predicted with
+    # the WRONG label → PER-SOC is correct but NOT strict-correct
+    pred = spark.createDataFrame(
+        [("d", 0, toks,
+          [(0, 1, "PER"), (2, 3, "ORG"), (4, 5, "ORG")],
+          [(0, 1, 2, 3, "ORG-AFF"), (0, 1, 4, 5, "PER-SOC")])],
+        PRED_SCHEMA,
+    )
+    m = re_metric(pred, target)
+    assert m["relation"]["pred_correct_cnt"] == 2
+    assert m["relation_strict"]["pred_correct_cnt"] == 1
+    # entity: 2 of 3 preds correct
+    assert m["entity"]["pred_correct_cnt"] == 2
+    assert m["entity"]["pred_cnt"] == 3
+    assert m["entity"]["correct_cnt"] == 3
+
+
+def test_empty_predictions(spark):
+    toks = ["a", "b"]
+    target = spark.createDataFrame(
+        [("d", 0, toks, [(0, 1, "PER")], [(0, 1, 1, 2, "X")])], SENT_SCHEMA)
+    pred = spark.createDataFrame(
+        [("d", 0, toks, [], [])], PRED_SCHEMA)
+    m = re_metric(pred, target)
+    assert m["entity"]["precision"] == 0.0
+    assert m["entity"]["recall"] == 0.0
+    assert m["relation"]["F-1"] == 0.0

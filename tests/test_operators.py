@@ -1,0 +1,196 @@
+"""Operator golden tests (survey W2-W4, J1-J2, P5, U1; FIXTURES.md §6)."""
+
+import pyspark.sql.functions as F
+
+from fastie_spark.operators import (
+    cross_sentence_window,
+    enumerate_pairs,
+    enumerate_spans,
+    label_pairs,
+    sliding_window_split,
+    symmetric_closure,
+)
+from tests.fixtures import re_rows
+
+SENT_SCHEMA = (
+    "doc_key string, sent_id int, tokens array<string>, "
+    "entity_mentions array<struct<start:int,end:int,label:string>>, "
+    "relation_mentions array<struct<s_start:int,s_end:int,o_start:int,"
+    "o_end:int,label:string>>"
+)
+
+
+def _re_df(spark):
+    return spark.createDataFrame(re_rows(), SENT_SCHEMA)
+
+
+# --- span enumeration (pure_pipe.py:59-74) ---------------------------------
+
+def _ref_spans(tokens_len, max_span_len):
+    """Reference loop: all (s, e_incl) with width ≤ max_span_len."""
+    out = []
+    for s in range(tokens_len):
+        for e in range(s, min(s + max_span_len, tokens_len)):
+            out.append((s, e + 1, e - s + 1))  # → right-exclusive
+    return out
+
+
+def test_span_enumeration_golden(spark):
+    for max_len in (1, 8, 10):
+        for n in (1, 3, 5, 12):
+            df = spark.createDataFrame(
+                [("d", 0, [f"t{i}" for i in range(n)], [], [])], SENT_SCHEMA)
+            got = sorted(
+                (r["start"], r["end"], r["width"])
+                for r in enumerate_spans(df, max_span_len=max_len).collect()
+            )
+            assert got == sorted(_ref_spans(n, max_len)), (max_len, n)
+
+
+# --- pair enumeration + gold labels (pure_pipe.py:222-239) ------------------
+
+def test_pair_enumeration_and_labels(spark):
+    df = _re_df(spark).withColumn("ent_pred", F.col("entity_mentions"))
+    pairs = enumerate_pairs(df, "ent_pred")
+    labeled = label_pairs(pairs, _re_df(spark))
+
+    # sentence 5 has 6 entities → 6*5 = 30 ordered pairs
+    n5 = labeled.where("sent_id = 5").count()
+    assert n5 == 30
+    hits = {
+        ((r["s_start"], r["s_end"]), (r["o_start"], r["o_end"])): r["gold_label"]
+        for r in labeled.where("sent_id = 5").collect()
+    }
+    assert hits[((5, 6), (1, 4))] == "ORG-AFF"
+    assert hits[((13, 14), (15, 16))] == "PER-SOC"
+    assert hits[((15, 16), (13, 14))] == "PER-SOC"
+    # everything else defaults to 'None' (pure_pipe.py:238)
+    assert sum(1 for v in hits.values() if v == "None") == 27
+
+
+# --- cross-sentence window (utils.py:256-295) -------------------------------
+
+def _ref_cross_sentence(instances, window):
+    """Reference algorithm transcription (add_cross_sentence)."""
+    result = []
+    for i, inst in enumerate(instances):
+        tokens = list(inst["tokens"])
+        if len(tokens) >= window:
+            result.append((tokens, 0))
+            continue
+        add_left = (window - len(tokens)) // 2
+        add_right = (window - len(tokens)) - add_left
+        cross = list(tokens)
+        sent_start = 0
+        j = i - 1
+        while j >= 0 and add_left > 0 and inst["doc_key"] == instances[j]["doc_key"]:
+            left = instances[j]["tokens"][-add_left:]
+            add_left -= len(left)
+            cross = list(left) + cross
+            sent_start += len(left)
+            j -= 1
+        j = i + 1
+        while j < len(instances) and inst["doc_key"] == instances[j]["doc_key"] and add_right > 0:
+            right = instances[j]["tokens"][:add_right]
+            add_right -= len(right)
+            cross = cross + list(right)
+            j += 1
+        result.append((cross, sent_start))
+    return result
+
+
+def test_cross_sentence_window_matches_reference(spark):
+    # multi-doc corpus: doc boundaries, short/long sentences, window ≥ sent
+    insts = []
+    for d in range(3):
+        for s in range(4):
+            n = [3, 10, 1, 25][s] + d
+            insts.append({
+                "doc_key": f"doc{d}", "sent_id": s,
+                "tokens": [f"d{d}s{s}t{k}" for k in range(n)],
+            })
+    for window in (8, 20, 200):
+        want = _ref_cross_sentence(insts, window)
+        df = spark.createDataFrame(
+            [(x["doc_key"], x["sent_id"], x["tokens"]) for x in insts],
+            "doc_key string, sent_id int, tokens array<string>",
+        )
+        got = {
+            (r["doc_key"], r["sent_id"]): (r["cross_sent_tokens"], r["sent_start"])
+            for r in cross_sentence_window(df, window=window).collect()
+        }
+        for inst, (ctoks, sstart) in zip(insts, want):
+            g = got[(inst["doc_key"], inst["sent_id"])]
+            assert g[0] == ctoks, (window, inst["doc_key"], inst["sent_id"])
+            assert g[1] == sstart
+
+
+# --- sliding window split (tplinker_pipe.py:23-76) --------------------------
+
+def _ref_split(inst, max_seq_len, slide):
+    out = []
+    tokens_len = len(inst["tokens"])
+    sent_start, sent_id = 0, 0
+    while sent_start < tokens_len:
+        sent_end = min(sent_start + max_seq_len, tokens_len)
+        toks = inst["tokens"][sent_start:sent_end]
+        ents = [((m[0][0] - sent_start, m[0][1] - sent_start), m[1])
+                for m in inst["entity_mentions"]
+                if m[0][0] >= sent_start and m[0][1] <= sent_end]
+        rels = [((r[0][0] - sent_start, r[0][1] - sent_start),
+                 (r[1][0] - sent_start, r[1][1] - sent_start), r[2])
+                for r in inst["relation_mentions"]
+                if r[0][0] >= sent_start and r[0][1] <= sent_end
+                and r[1][0] >= sent_start and r[1][1] <= sent_end]
+        out.append((sent_id, toks, ents, rels))
+        sent_id += 1
+        sent_start += slide
+    return out
+
+
+def test_sliding_window_split_matches_reference(spark):
+    df = _re_df(spark)
+    for max_len, slide in ((10, 5), (16, 8), (100, 50)):
+        got = sliding_window_split(df, max_seq_len=max_len, slide_window=slide)
+        got_rows = got.collect()
+        by_key = {}
+        for r in got_rows:
+            by_key.setdefault(r["orig_sent_id"], []).append(r)
+        for s in re_rows():
+            inst = {
+                "tokens": s[2],
+                "entity_mentions": [((m[0], m[1]), m[2]) for m in s[3]],
+                "relation_mentions": [((r[0], r[1]), (r[2], r[3]), r[4])
+                                      for r in s[4]],
+            }
+            want = _ref_split(inst, max_len, slide)
+            chunks = sorted(by_key[s[1]], key=lambda r: r["sent_id"])
+            assert len(chunks) == len(want)
+            for chunk, (cid, toks, ents, rels) in zip(chunks, want):
+                assert chunk["sent_id"] == cid
+                assert chunk["tokens"] == toks
+                assert sorted((m["start"], m["end"], m["label"])
+                              for m in chunk["entity_mentions"]) == \
+                    sorted((e[0][0], e[0][1], e[1]) for e in ents)
+                assert sorted((r["s_start"], r["s_end"], r["o_start"],
+                               r["o_end"], r["label"])
+                              for r in chunk["relation_mentions"]) == \
+                    sorted((r[0][0], r[0][1], r[1][0], r[1][1], r[2])
+                           for r in rels)
+
+
+# --- symmetric closure (U1) --------------------------------------------------
+
+def test_symmetric_closure_flat(spark):
+    triples = spark.createDataFrame(
+        [("d", 5, 13, 14, "his", "PER", "PER-SOC", 15, 16, "wife", "PER"),
+         ("d", 5, 5, 6, "Chairman", "PER", "ORG-AFF", 1, 4, "GE", "ORG")],
+        "doc_key string, sent_id int, s_start int, s_end int, subj_text string,"
+        "subj_label string, pred string, o_start int, o_end int, obj_text string,"
+        "obj_label string",
+    )
+    out = symmetric_closure(triples, ["PER-SOC"]).collect()
+    assert len(out) == 3
+    keys = {(r["s_start"], r["o_start"], r["pred"]) for r in out}
+    assert (15, 13, "PER-SOC") in keys  # the mirror
+    assert (1, 5, "ORG-AFF") not in keys  # non-symmetric not mirrored

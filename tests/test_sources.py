@@ -1,0 +1,162 @@
+"""Loader/normalizer parity tests (survey S1-S7, W1)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from fastie_spark.schemas import SENTENCE
+from fastie_spark.sources import bio_decode, index_list_to_spans, rebase_doc_offsets
+from fastie_spark.sources.normalize import sentences_from_strings
+from tests.fixtures import RE_SENTENCES, ner_rows, re_rows
+
+
+def test_sentence_source(spark):
+    df = sentences_from_strings(spark, ["I love FastIE .", "hello world"])
+    rows = {r["doc_key"]: r["tokens"] for r in df.collect()}
+    assert rows["0"] == ["I", "love", "FastIE", "."]
+    assert rows["1"] == ["hello", "world"]
+
+
+def test_index_list_to_spans(spark):
+    df = spark.createDataFrame(
+        [(d, s, t, [(list(idx), lab) for idx, lab in m]) for d, s, t, m in ner_rows()],
+        "doc_key string, sent_id int, tokens array<string>, "
+        "entity_mentions array<struct<indices:array<int>,label:string>>",
+    )
+    out = index_list_to_spans(df).collect()
+    by_key = {r["doc_key"]: r["entity_mentions"] for r in out}
+    # fixture sentence 0: [[0],'ORG'] → (0,1,'ORG'); [[2],'MISC'] → (2,3)
+    assert [tuple(m) for m in by_key["0"]] == [(0, 1, "ORG"), (2, 3, "MISC"),
+                                               (6, 7, "MISC")]
+    # multi-token [[5,6],'PER'] → (5,7)
+    assert (5, 7, "PER") in [tuple(m) for m in by_key["6"]]
+
+
+def _fixture_as_doc_rows():
+    """Inverse transform (FIXTURES.md §4): re-encode the RE fixture into
+    the raw JsonLinesRE doc shape — global, right-INCLUSIVE offsets."""
+    sents, ners, rels = [], [], []
+    offset = 0
+    for s in RE_SENTENCES:
+        sents.append(s["tokens"])
+        ners.append([
+            [str(m[0][0] + offset), str(m[0][1] - 1 + offset), m[1]]
+            for m in s["entity_mentions"]
+        ])
+        rels.append([
+            [str(r[0][0] + offset), str(r[0][1] - 1 + offset),
+             str(r[1][0] + offset), str(r[1][1] - 1 + offset), r[2]]
+            for r in s["relation_mentions"]
+        ])
+        offset += len(s["tokens"])
+    return [("APW_ENG_20030325.0786", sents, ners, rels)]
+
+
+def test_jsonlines_re_roundtrip(spark):
+    """Loader must reproduce the fixture exactly (offset rebase + end+1)."""
+    docs = spark.createDataFrame(
+        _fixture_as_doc_rows(),
+        "doc_key string, sentences array<array<string>>, "
+        "ner array<array<array<string>>>, relations array<array<array<string>>>",
+    )
+    out = rebase_doc_offsets(docs).orderBy("sent_id").collect()
+    assert len(out) == 3
+    for row, gold in zip(out, RE_SENTENCES):
+        assert row["tokens"] == gold["tokens"]
+        got_ents = [(m["start"], m["end"], m["label"])
+                    for m in row["entity_mentions"]]
+        want_ents = [(m[0][0], m[0][1], m[1]) for m in gold["entity_mentions"]]
+        assert got_ents == want_ents
+        got_rels = [(r["s_start"], r["s_end"], r["o_start"], r["o_end"],
+                     r["label"]) for r in row["relation_mentions"]]
+        want_rels = [(r[0][0], r[0][1], r[1][0], r[1][1], r[2])
+                     for r in gold["relation_mentions"]]
+        assert got_rels == want_rels
+
+
+def test_symmetric_dup_on_load(spark):
+    """PER-SOC relations get mirrored when loaded with symmetric_label
+    (jsonlinesRE.py:119-122) — feed a fixture WITHOUT the mirrors and
+    check the loader adds them."""
+    doc_key, sents, ners, rels = _fixture_as_doc_rows()[0]
+    # drop the second direction of each symmetric pair (fixture contains
+    # both; keep the first occurrence per unordered pair)
+    pruned = []
+    for sent_rels in rels:
+        seen = set()
+        kept = []
+        for r in sent_rels:
+            key = (frozenset([(r[0], r[1]), (r[2], r[3])]), r[4])
+            if r[4] == "PER-SOC" and key in seen:
+                continue
+            seen.add(key)
+            kept.append(r)
+        pruned.append(kept)
+    docs = spark.createDataFrame(
+        [(doc_key, sents, ners, pruned)],
+        "doc_key string, sentences array<array<string>>, "
+        "ner array<array<array<string>>>, relations array<array<array<string>>>",
+    )
+    out = rebase_doc_offsets(docs, symmetric_label=["PER-SOC"]) \
+        .orderBy("sent_id").collect()
+    for row, gold in zip(out, RE_SENTENCES):
+        got = sorted((r["s_start"], r["s_end"], r["o_start"], r["o_end"],
+                      r["label"]) for r in row["relation_mentions"])
+        want = sorted((r[0][0], r[0][1], r[1][0], r[1][1], r[2])
+                      for r in gold["relation_mentions"])
+        assert got == want
+
+
+# --- BIO decode (conll2003.py:137-166 exact rule) --------------------------
+
+def _ref_bio_decode(ner_tags, idx2tag):
+    """Reference algorithm transcription (conll2003.py:140-165)."""
+    entity_mentions = []
+    span = []
+    current_tag = 0
+    for i in range(len(ner_tags)):
+        if ner_tags[i] != 0:
+            if len(span) == 0:
+                current_tag = ner_tags[i]
+                span.append(i)
+            elif current_tag == ner_tags[i] or current_tag + 1 == ner_tags[i]:
+                span.append(i)
+            else:
+                entity_mentions.append((span, idx2tag[current_tag][2:]))
+                span = [i]
+                current_tag = ner_tags[i]
+        else:
+            if len(span) > 0:
+                entity_mentions.append((span, idx2tag[ner_tags[span[0]]][2:]))
+                span = []
+    if len(span) > 0:
+        entity_mentions.append((span, idx2tag[ner_tags[span[0]]][2:]))
+    return entity_mentions
+
+
+BIO_CASES = [
+    [1, 2, 0, 3, 4],          # B-PER I-PER O B-ORG I-ORG
+    [1, 1, 2],                # B→B adjacency merges (reference rule)
+    [2, 2, 0],                # I-initial run
+    [1, 2, 3, 4],             # B-PER I-PER then B-ORG I-ORG adjacent
+    [0, 0, 0],                # no entities
+    [5, 6, 6, 6],             # entity at sentence end
+    [1, 2, 1, 0, 7],          # return-to-B continues (rule quirk)
+    [8],                      # single I-MISC
+]
+
+
+def test_bio_decode_matches_reference(spark):
+    from fastie_spark.sources.bio import CONLL_NER_TAGS
+
+    df = spark.createDataFrame(
+        [(str(i), 0, [f"t{j}" for j in range(len(tags))], tags)
+         for i, tags in enumerate(BIO_CASES)],
+        "doc_key string, sent_id int, tokens array<string>, ner_tags array<int>",
+    )
+    out = {r["doc_key"]: r["entity_mentions"]
+           for r in bio_decode(df).collect()}
+    for i, tags in enumerate(BIO_CASES):
+        want = [(list(sp), lab)
+                for sp, lab in _ref_bio_decode(tags, CONLL_NER_TAGS)]
+        got = [(list(m["indices"]), m["label"]) for m in out[str(i)]]
+        assert got == want, f"case {i}: {tags} → {got} != {want}"
