@@ -1,0 +1,96 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+* every registered operator query runs once at the bench sf dir
+  (default /root/testdata/sf0.1) and reports its wall seconds;
+* the flagship triple-extraction pipeline additionally runs over a
+  50k-doc synthetic source-code corpus (generated lazily in-plan, no
+  disk) to measure docs/sec at a scale where the Arrow batches are full
+  — that number is the BASELINE.json throughput metric.
+
+Scaling evidence (local[8] vs local[32]) is produced separately by
+tools/scaling_bench.py because the two runs need fresh JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+
+def flagship_throughput(spark) -> tuple[float, float]:
+    """(seconds, docs/sec) for triples over the synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from fastie_spark.corpus import entity_gazetteer, synthetic_source_docs
+    from fastie_spark.extraction.ner import GazetteerNER
+    from fastie_spark.extraction.pipeline import explode_triples
+    from fastie_spark.operators.pairs import enumerate_pairs
+    from fastie_spark.sources.normalize import docs_to_sentences
+
+    docs = synthetic_source_docs(spark, n_docs=BENCH_DOCS)
+    sents = docs_to_sentences(docs)
+    ner = GazetteerNER({(s,): lab for s, lab in entity_gazetteer()})
+    with_m = ner.transform(sents, out_col="ent_pred")
+    paired = enumerate_pairs(with_m, mentions_col="ent_pred", flat=False)
+    rel = paired.withColumn(
+        "rel_pred",
+        F.expr(
+            "transform(filter(pairs, p -> p.obj.start - p.subj.end >= 0 "
+            "AND p.obj.start - p.subj.end <= 3), "
+            "p -> struct(p.subj.start as s_start, p.subj.end as s_end, "
+            "p.obj.start as o_start, p.obj.end as o_end, "
+            "'calls' as label))"),
+    ).drop("pairs")
+    triples = explode_triples(rel, rel_col="rel_pred", ent_col="ent_pred")
+    t0 = time.time()
+    n = triples.count()
+    dt = time.time() - t0
+    assert n > 0
+    return dt, BENCH_DOCS / dt
+
+
+def main() -> None:
+    from fastie_spark import get_spark
+    from fastie_spark.queries import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="fastie-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full result
+        per_query[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    fl_sec, docs_per_sec = flagship_throughput(spark)
+    per_query["flagship_synthetic_50k"] = round(fl_sec, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "bench_docs": BENCH_DOCS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

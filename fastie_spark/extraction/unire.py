@@ -1,0 +1,231 @@
+"""UniRE joint label matrix: encode + soft decode (survey F7, J5, M3).
+
+Semantics transcribed from the reference:
+
+* **encode** (``/root/reference/fastie/tasks/re/unire/unire_pipe.py:
+  81-103``): the L×L joint label matrix — entity label fills the
+  span×span diagonal block, relation label fills subj-rows × obj-cols.
+  Implemented as pure column expressions (nested sequence/transform).
+* **decode** (``/root/reference/fastie/tasks/re/unire/unire_model.py:
+  180-249``): given per-sentence normalized scores (L×L×C):
+  1. symmetric labels are averaged with their transpose;
+  2. entity boundaries = positions where the mean of row- and
+     column-feature L2 jumps exceeds ``separate_threshold`` (F7);
+  3. each resulting span is an entity iff max entity-label score of the
+     span-block mean beats the 'None' score (argmax label);
+  4. each ordered entity pair is a relation iff max relation-label
+     score of the cross-block mean beats 'None'.
+  The score tensor is model output — irreducibly numeric — so the
+  decode runs as vectorized NumPy inside ``mapInPandas`` (Arrow
+  batches; never per-row Python), exactly the engine's model-stage
+  contract (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ENT_FIELDS = "array<struct<start:int,end:int,label:string>>"
+_REL_FIELDS = ("array<struct<s_start:int,s_end:int,o_start:int,o_end:int,"
+               "label:string>>")
+
+
+def encode_joint_matrix(sentences: DataFrame, none_label: str = "None",
+                        out_col: str = "joint_matrix") -> DataFrame:
+    """Add the L×L string label matrix (row-major array of arrays).
+
+    Cell (i, j) = entity label if some mention's span contains both i
+    and j on the diagonal block; relation label if i is inside the
+    subject span and j inside the object span; else 'None'.  Later
+    writers win within each family like the reference's sequential
+    fills (entities first, relations overwrite nothing on the diagonal
+    blocks because spans never overlap in well-formed data).
+    """
+    cell = f"""
+    coalesce(
+        get(filter(relation_mentions, r ->
+            i >= r.s_start AND i < r.s_end AND
+            j >= r.o_start AND j < r.o_end), 0).label,
+        get(filter(entity_mentions, m ->
+            i >= m.start AND i < m.end AND
+            j >= m.start AND j < m.end), 0).label,
+        '{none_label}')
+    """
+    expr = f"""
+    transform(sequence(0, size(tokens) - 1), i ->
+        transform(sequence(0, size(tokens) - 1), j -> {cell}))
+    """
+    return sentences.withColumn(out_col, F.expr(expr))
+
+
+def decode_joint_scores(scored: DataFrame, labels: list[str],
+                        ent_labels: list[str], rel_labels: list[str],
+                        symmetric_labels: list[str] | None = None,
+                        none_label: str = "None",
+                        separate_threshold: float = 1.4,
+                        scores_col: str = "scores",
+                        len_col: str = "seq_len") -> DataFrame:
+    """Per-sentence flattened L×L×C score arrays → ent_pred + rel_pred.
+
+    ``scored`` needs (doc_key, sent_id, seq_len, scores) where scores is
+    the row-major flatten of the L×L×C tensor.  Output adds ``ent_pred``
+    (right-exclusive spans) and ``rel_pred``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lbl2idx = {lab: c for c, lab in enumerate(labels)}
+    none_idx = lbl2idx[none_label]
+    ent_idx = np.array([lbl2idx[x] for x in ent_labels], dtype=np.int64)
+    rel_idx = np.array([lbl2idx[x] for x in rel_labels], dtype=np.int64)
+    sym_idx = np.array([lbl2idx[x] for x in (symmetric_labels or [])],
+                       dtype=np.int64)
+    n_lab = len(labels)
+    labels_arr = list(labels)
+    in_cols = scored.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields
+    ) + f", ent_pred {_ENT_FIELDS}, rel_pred {_REL_FIELDS}"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ents_out, rels_out = [], []
+            for seq_len, flat in zip(pdf[len_col], pdf[scores_col]):
+                ln = int(seq_len)
+                # np.array (not asarray): Arrow buffers are read-only
+                # and the symmetric-label averaging writes in place
+                score = np.array(flat, dtype=np.float64).reshape(
+                    ln, ln, n_lab)
+                ent_pred, rel_pred = _decode_one(
+                    score, labels_arr, ent_idx, rel_idx, sym_idx, none_idx,
+                    separate_threshold)
+                ents_out.append(ent_pred)
+                rels_out.append(rel_pred)
+            pdf = pdf.copy()
+            pdf["ent_pred"] = ents_out
+            pdf["rel_pred"] = rels_out
+            yield pdf[in_cols + ["ent_pred", "rel_pred"]]
+
+    return scored.mapInPandas(decode, schema=out_schema)
+
+
+def _decode_one(score, labels_arr, ent_idx, rel_idx, sym_idx, none_idx,
+                separate_threshold):
+    """Decode a single L×L×C score tensor (unire_model.py:180-249)."""
+    import numpy as np
+
+    ln = score.shape[0]
+    if len(sym_idx):
+        score[..., sym_idx] = (
+            score[..., sym_idx]
+            + score[..., sym_idx].transpose((1, 0, 2))) / 2
+    # boundary detection (unire_model.py:201-213)
+    feat = score.reshape(ln, -1)
+    featT = score.transpose((1, 0, 2)).reshape(ln, -1)
+    jumps = (np.linalg.norm(feat[:-1] - feat[1:], axis=1)
+             + np.linalg.norm(featT[:-1] - featT[1:], axis=1)) * 0.5
+    sep = np.nonzero(jumps > separate_threshold)[0]
+    if len(sep):
+        spans = ([(0, int(sep[0]) + 1), (int(sep[-1]) + 1, ln)]
+                 + [(int(sep[k]) + 1, int(sep[k + 1]) + 1)
+                    for k in range(len(sep) - 1)])
+    else:
+        spans = [(0, ln)]
+    ents, ent_pred, rel_pred = [], [], []
+    for sp in spans:
+        m = score[sp[0]:sp[1], sp[0]:sp[1], :].mean(axis=(0, 1))
+        if not (m[ent_idx].max() <= m[none_idx]):
+            lab = labels_arr[int(ent_idx[m[ent_idx].argmax()])]
+            ents.append(sp)
+            ent_pred.append((sp[0], sp[1], lab))
+    for e1 in ents:
+        for e2 in ents:
+            if e1 == e2:
+                continue
+            m = score[e1[0]:e1[1], e2[0]:e2[1], :].mean(axis=(0, 1))
+            if not (m[rel_idx].max() <= m[none_idx]):
+                lab = labels_arr[int(rel_idx[m[rel_idx].argmax()])]
+                rel_pred.append((e1[0], e1[1], e2[0], e2[1], lab))
+    return ent_pred, rel_pred
+
+
+def decode_onehot_annotations(sentences: DataFrame, labels: list[str],
+                              ent_labels: list[str], rel_labels: list[str],
+                              symmetric_labels: list[str] | None = None,
+                              none_label: str = "None",
+                              separate_threshold: float = 0.5) -> DataFrame:
+    """Fused parity path: build the one-hot joint tensor from the gold
+    annotations in NumPy (not interpreted SQL lambdas — ~100× cheaper at
+    corpus scale) and decode it in the same Arrow batch pass.  On
+    well-formed input the decode must return the annotations."""
+    import numpy as np
+    import pandas as pd
+
+    lbl2idx = {lab: c for c, lab in enumerate(labels)}
+    none_idx = lbl2idx[none_label]
+    ent_idx = np.array([lbl2idx[x] for x in ent_labels], dtype=np.int64)
+    rel_idx = np.array([lbl2idx[x] for x in rel_labels], dtype=np.int64)
+    sym_idx = np.array([lbl2idx[x] for x in (symmetric_labels or [])],
+                       dtype=np.int64)
+    n_lab = len(labels)
+    labels_arr = list(labels)
+
+    cols = ["doc_key", "sent_id", "tokens", "entity_mentions",
+            "relation_mentions"]
+    src = sentences.select(*cols)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + f", ent_pred {_ENT_FIELDS}, rel_pred {_REL_FIELDS}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ents_out, rels_out = [], []
+            for toks, ems, rms in zip(pdf["tokens"],
+                                      pdf["entity_mentions"],
+                                      pdf["relation_mentions"]):
+                ln = len(toks)
+                score = np.zeros((ln, ln, n_lab))
+                score[..., none_idx] = 1.0
+                for m in ems:
+                    s, e, c = int(m["start"]), int(m["end"]), lbl2idx[m["label"]]
+                    score[s:e, s:e, :] = 0.0
+                    score[s:e, s:e, c] = 1.0
+                for r in rms:
+                    ss, se = int(r["s_start"]), int(r["s_end"])
+                    os_, oe = int(r["o_start"]), int(r["o_end"])
+                    c = lbl2idx[r["label"]]
+                    score[ss:se, os_:oe, :] = 0.0
+                    score[ss:se, os_:oe, c] = 1.0
+                ent_pred, rel_pred = _decode_one(
+                    score, labels_arr, ent_idx, rel_idx, sym_idx, none_idx,
+                    separate_threshold)
+                ents_out.append(ent_pred)
+                rels_out.append(rel_pred)
+            pdf = pdf.copy()
+            pdf["ent_pred"] = ents_out
+            pdf["rel_pred"] = rels_out
+            yield pdf[cols + ["ent_pred", "rel_pred"]]
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def one_hot_scores(sentences: DataFrame, labels: list[str],
+                   none_label: str = "None") -> DataFrame:
+    """Deterministic score builder for parity tests: the flattened
+    one-hot tensor of the encoded joint matrix (score 1.0 at the cell's
+    label, 0 elsewhere) — the decode must recover the annotations."""
+    lbl_arr = "array(" + ", ".join(f"'{x}'" for x in labels) + ")"
+    enc = encode_joint_matrix(sentences, none_label=none_label)
+    flat = f"""
+    flatten(transform(flatten(joint_matrix), cell ->
+        transform({lbl_arr}, lab ->
+            cast(if(lab = cell, 1.0, 0.0) as double))))
+    """
+    return enc.select(
+        "doc_key", "sent_id",
+        F.size("tokens").cast("int").alias("seq_len"),
+        F.expr(flat).alias("scores"),
+    )

@@ -1,0 +1,11 @@
+from fastie_spark.functions.hashing import (  # noqa: F401
+    portable_hash64,
+    spark_hash64_sql,
+    duck_hash64_sql,
+    rolling_fingerprint_expr,
+)
+from fastie_spark.functions.text import (  # noqa: F401
+    quality_stats,
+    language_id,
+    token_count_regex,
+)

@@ -1,0 +1,69 @@
+"""Portable 64-bit hashing + fingerprinting.
+
+Spark's native ``xxhash64``/``hash`` have no DuckDB equivalent, so every
+operator whose output must cross-check against the DuckDB oracle hashes
+through **md5** instead: take the first 15 hex chars (60 bits — fits a
+signed bigint) and parse them as an integer.  Identical bytes in, same
+integer out, in both engines:
+
+    Spark :  cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
+    DuckDB:  ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+md5 is ~2× the cost of xxhash64 but still JVM-side, codegen'd, and
+vastly cheaper than any Python round-trip; at 100 TB the hash is never
+the bottleneck (the shuffle it feeds is).  Engine code that does NOT
+need oracle parity (e.g. salting) should prefer ``F.xxhash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: modulus for the rolling document fingerprint (large prime < 2^31 so the
+#: fold accumulator never overflows a signed 64-bit int: acc*31 + v < 2^36).
+FP_MOD = 1_000_000_007
+
+
+def spark_hash64_sql(expr: str) -> str:
+    """Spark-SQL snippet: portable 60-bit hash of a string expression."""
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def duck_hash64_sql(expr: str) -> str:
+    """DuckDB-SQL snippet computing the identical hash."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """Column form of :func:`spark_hash64_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def rolling_fingerprint_expr(tokens_col: str = "tokens") -> str:
+    """Spark-SQL expr: polynomial rolling hash over a token array.
+
+    ``h_0 = 0;  h_i = (h_{i-1} * 31 + (portable_hash(tok_i) % 1e6)) % FP_MOD``
+
+    Order-sensitive (unlike a set hash) — two docs with the same tokens in
+    different order fingerprint differently, which is the point of the
+    reference-style rolling document fingerprint.  Runs as a Catalyst
+    ``aggregate`` fold: shuffle-free, codegen'd.
+    """
+    tok_h = spark_hash64_sql("t") + " % 1000000"
+    return (
+        f"aggregate(transform({tokens_col}, t -> {tok_h}), cast(0 as bigint), "
+        f"(acc, v) -> (acc * 31 + v) % {FP_MOD})"
+    )
+
+
+def duck_rolling_fingerprint_sql(list_expr: str) -> str:
+    """DuckDB equivalent of :func:`rolling_fingerprint_expr` (list_reduce
+    has no init value, so a 0 accumulator is prepended to the hash list)."""
+    tok_h = duck_hash64_sql("t") + " % 1000000"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({list_expr}, t -> {tok_h})), "
+        f"(acc, v) -> (acc * 31 + v) % {FP_MOD})"
+    )

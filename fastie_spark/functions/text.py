@@ -1,0 +1,117 @@
+"""Text-analysis functions for training-data pipelines.
+
+Engine additions beyond the reference (the brief's large-scale
+training-data operations): quality scoring, n-gram-heuristic language
+identification, and regex token counting.  All pure built-in column
+expressions — JVM-side, codegen'd, shuffle-free; no UDFs anywhere.
+
+Integer-valued outputs are preferred over ratios so the DuckDB oracle
+cross-check is exact (no float rounding at hash time); callers derive
+ratios downstream when needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.
+# Deterministic tie-break: languages are scored in this order and the
+# first maximum wins (both engines replicate with the same CASE chain).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+#: BPE-ish word/number/symbol segmentation used by token_count_regex.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality counters: token count, distinct-token count,
+    total token chars, stopword hits, punctuation chars.
+
+    Quality *scores* (ratios) are these counters divided pairwise; kept
+    integral here for exact oracle parity.
+    """
+    toks = F.split(F.col(text_col), " ")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("token_chars"),
+        F.expr(
+            f"cast(size(filter(split({text_col}, ' '), "
+            f"t -> array_contains({stop_arr}, t))) as bigint)"
+        ).alias("stopword_cnt"),
+        (F.length(text_col)
+         - F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9 ]", ""))
+         ).cast("bigint").alias("punct_chars"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language guess: count marker hits per language,
+    argmax with deterministic order (declaration order of LANG_MARKERS).
+
+    Implemented as a greatest-of-structs trick so the whole thing stays
+    one shuffle-free projection.
+    """
+    toks = "split(" + text_col + ", ' ')"
+    scores = []
+    # later languages must win only on STRICTLY greater counts → encode
+    # priority as a descending tiebreak component in the packed struct.
+    n = len(LANG_MARKERS)
+    for rank, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        arr = "array(" + ", ".join(f"'{w}'" for w in markers) + ")"
+        cnt = f"size(filter({toks}, t -> array_contains({arr}, t)))"
+        scores.append(
+            f"struct({cnt} as score, {n - rank} as prio, '{lang}' as lang)"
+        )
+    guess = f"greatest({', '.join(scores)}).lang"
+    return docs.select(
+        F.col(id_col),
+        F.expr(guess).alias("guess_lang"),
+    )
+
+
+def language_id_duck_sql(text_col: str = "text") -> str:
+    """DuckDB expression replicating :func:`language_id`'s argmax:
+    a CASE chain where each language wins ties against all later ones —
+    exactly the (score, prio) struct-max semantics of the Spark side."""
+    toks = f"string_split({text_col}, ' ')"
+    cnts = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+        cnts.append((lang, f"len(list_filter({toks}, t -> list_contains({arr}, t)))"))
+    branches = []
+    for i, (lang, cnt) in enumerate(cnts[:-1]):
+        conds = " AND ".join(f"{cnt} >= {c2}" for _, c2 in cnts[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return ("CASE " + " ".join(branches)
+            + f" ELSE '{cnts[-1][0]}' END")
+
+
+def token_count_regex(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      pattern: str = TOKEN_REGEX) -> DataFrame:
+    """Whitespace vs regex (BPE-ish) token counts per document."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("ws_tokens"),
+        F.expr(
+            f"cast(size(filter(regexp_extract_all({text_col}, '{pattern}', 0), "
+            f"t -> t != '')) as bigint)"
+        ).alias("re_tokens"),
+    )

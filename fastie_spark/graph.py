@@ -1,0 +1,188 @@
+"""Canonicalization + KG materialization (north_rule M4 stage).
+
+``connected_components`` — iterative min-label propagation with pointer
+jumping (path doubling) over the alias-similarity edge list: pure
+DataFrame joins, no GraphFrames.  Each iteration does
+
+    comp[v] ← min(comp[v], min_{(v,u)∈E} comp[u])      (neighbor min)
+    comp[v] ← comp[comp[v]]                            (pointer jump)
+
+Neighbor-min alone converges in O(diameter) rounds; the jump step
+compresses chains so convergence is O(log n) like the large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond" — see PAPERS.md).  Every iteration is
+``localCheckpoint``-ed: truncates the lineage (else the plan doubles
+per round) and makes any round a resume point — at cluster scale the
+checkpoint would be an Iceberg snapshot (see plans/checkpoint.py).
+
+Convergence test is an exact per-node comparison (count of changed
+rows), not a sum heuristic.
+
+``materialize_kg`` — the final stage: triples + a mention→entity map →
+node / edge tables, written partitioned by (repo, lang) per north_rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 25,
+                         n_partitions: int | None = None) -> DataFrame:
+    """Edge list → (node, component); component = min node id reachable.
+
+    Nodes are whatever appears in the edge list; isolated nodes should be
+    unioned in by the caller as self-loops if they must appear.
+
+    Convergence detection is fused into the iteration: per-node comp
+    values are monotonically non-increasing, so Σ comp (exact, decimal —
+    no int64 overflow at web-scale id ranges) is strictly decreasing
+    until the fixpoint; one aggregate per round replaces a join-based
+    changed-row count.  ``n_partitions`` sizes the loop's shuffles —
+    at cluster scale set it ~2× cores; the working set (node, comp) is
+    two longs per node regardless of input width.
+    """
+    spark = edges.sparkSession
+    if n_partitions is None:
+        n_partitions = max(
+            8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+
+    # materialize the (possibly expensive) edge computation exactly once
+    # — the symmetric union below consumes it twice
+    edges = edges.localCheckpoint()
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .repartition(n_partitions, "v")
+        # materialize once — the edge list may be the product of an
+        # expensive similarity join and is re-joined every iteration
+        .localCheckpoint()
+    )
+    cc = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(cc.withColumnRenamed("node", "v2"),
+                     sym["v"] == F.col("v2"))
+            .select(F.col("u").alias("node"), "comp")
+        )
+        new = (
+            cc.select("node", "comp").union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp ← comp[comp] (path doubling)
+        parent = new.select(F.col("node").alias("p_node"),
+                            F.col("comp").alias("p_comp"))
+        new = (
+            new.join(parent, new["comp"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("p_comp", "comp")).alias("comp"),
+            )
+            .repartition(n_partitions, "node")
+            .localCheckpoint()
+        )
+        cur_sum = new.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        cc = new
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return cc
+
+
+def alias_edges_from_mentions(mentions: DataFrame,
+                              surface_col: str = "surface") -> DataFrame:
+    """Alias-similarity edges between mention surfaces: two surfaces are
+    aliases iff they normalize identically (lowercase, strip non-alnum).
+    Blocking on the normalized form keeps this an equi-join — never a
+    cross join."""
+    norm = F.regexp_replace(F.lower(F.col(surface_col)), "[^a-z0-9]", "")
+    surfaces = mentions.select(F.col(surface_col).alias("s")).distinct() \
+        .withColumn("norm", norm)
+    a = surfaces.select(F.col("s").alias("sa"), "norm")
+    b = surfaces.select(F.col("s").alias("sb"), "norm")
+    return (
+        a.join(b, "norm")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+
+
+def materialize_kg(triples: DataFrame, entity_map: DataFrame | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Triples (+ optional mention→canonical-entity map on subj/obj text)
+    → (nodes, edges).
+
+    nodes: (entity, label, n_mentions) — label by majority→lexicographic
+    tie-break (max_by over (count, label)).
+    edges: (src, dst, pred, weight, n_docs).
+    """
+    t = triples
+    if entity_map is not None:
+        em = F.broadcast(entity_map)  # alias map is small after canon.
+        for side in ("subj", "obj"):
+            t = (
+                t.join(
+                    em.select(
+                        F.col("surface").alias(f"{side}_text"),
+                        F.col("entity").alias(f"{side}_entity"),
+                    ),
+                    on=f"{side}_text",
+                    how="left",
+                )
+                .withColumn(
+                    f"{side}_entity",
+                    F.coalesce(f"{side}_entity", F.col(f"{side}_text")),
+                )
+            )
+    else:
+        t = (t.withColumn("subj_entity", F.col("subj_text"))
+             .withColumn("obj_entity", F.col("obj_text")))
+
+    nodes = (
+        t.select(F.col("subj_entity").alias("entity"),
+                 F.col("subj_label").alias("label"))
+        .union(t.select(F.col("obj_entity"), F.col("obj_label")))
+        .groupBy("entity", "label").agg(F.count("*").alias("c"))
+        .groupBy("entity")
+        .agg(
+            F.expr("max_by(label, struct(c, label))").alias("label"),
+            F.sum("c").cast("bigint").alias("n_mentions"),
+        )
+    )
+    edges = (
+        t.groupBy(
+            F.col("subj_entity").alias("src"),
+            F.col("obj_entity").alias("dst"),
+            F.col("pred"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("weight"),
+            F.countDistinct("doc_key").cast("bigint").alias("n_docs"),
+        )
+    )
+    return nodes, edges
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: tuple[str, ...] = ("repo", "lang"),
+                      mode: str = "overwrite") -> None:
+    """North-rule sink: parquet partitioned by (repo, lang).  At cluster
+    scale this is an Iceberg ``writeTo(...).overwritePartitions()`` —
+    same layout, plus snapshot isolation for the resume path."""
+    cols = [c for c in partition_cols if c in df.columns]
+    w = df.write.mode(mode)
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(path)

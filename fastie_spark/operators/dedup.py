@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines.
+
+Engine additions beyond the reference (brief §training-data ops): exact
+dedup, n-gram Jaccard near-dup, MinHash + LSH banding, and SimHash.
+Everything is pure DataFrame algebra over the portable md5-based hash
+(``fastie_spark.functions.hashing``) so every operator cross-checks
+exactly against the DuckDB oracle — no floats, no RNG, no Python.
+
+Scale notes (100 TB):
+
+* exact dedup shuffles **hashes**, never document bodies — group key is
+  ``sha2(text)`` so the shuffle row is ~100 bytes regardless of doc size.
+* the Jaccard join is an inverted-index (shingle → doc) equi-join, not a
+  cross join; ``max_df`` drops stop-shingles whose posting lists would
+  otherwise explode the join (the classic hot-key guard — at web scale a
+  boilerplate shingle can appear in 10^9 docs).
+* MinHash/LSH replaces the quadratic verify set with banded buckets;
+  candidate generation is a self-join on (band, band_signature), which
+  AQE splits if a bucket is skewed.
+* SimHash pairs here use a cross-join verify for small n (exact oracle);
+  the scale path blocks on bit-bands of the fingerprint first (same LSH
+  trick, provided by ``simhash_bands``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastie_spark.functions.hashing import portable_hash64, spark_hash64_sql
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, key_cols: list[str] | None = None,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical docs; keep the smallest id as the survivor.
+
+    ``key_cols`` overrides the group key (default: sha256 of the text).
+    Output: (group_sha, keep_doc_id, n_docs).
+    """
+    key = (F.sha2(F.col(text_col), 256) if key_cols is None
+           else F.sha2(F.concat_ws("", *key_cols), 256))
+    return (
+        docs.select(key.alias("group_sha"), F.col(id_col))
+        .groupBy("group_sha")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    In-row enumeration (sequence + transform) then explode —
+    the only shuffle is whatever the consumer does next.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)), "
+                    f"s -> array_join(slice(split({text_col}, ' '), s, {n}), ' '))"
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        min_jaccard_num: int = 1, min_jaccard_den: int = 5,
+                        max_df: int | None = None,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Doc pairs (a < b) with shingle-Jaccard ≥ num/den.
+
+    Jaccard is kept as integers (intersection, union) — the threshold is
+    an exact rational comparison ``inter * den >= uni * num``, so the
+    result is bit-identical across engines.
+
+    ``max_df`` (scale guard): drop shingles occurring in more than this
+    many docs before the join.  Changes semantics slightly (documented
+    cap — callers at web scale log the dropped count); default None keeps
+    exact semantics for the oracle.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            F.col("a").cast("bigint"),
+            F.col("b").cast("bigint"),
+            F.col("inter").cast("bigint"),
+            (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint").alias("uni"),
+        )
+        .where(F.col("inter") * min_jaccard_den >= F.col("uni") * min_jaccard_num)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 12, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, k, minhash): the k-th minhash of the shingle set.
+
+    Hash family: portable_hash64('k<k>#' || shingle) — deterministic and
+    reproducible in DuckDB.  The explode×num_hashes blow-up stays in the
+    map side; the only shuffle is the (doc, k) partial-min aggregation,
+    which Spark combines map-side.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    hashed = sh.select(
+        id_col,
+        F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("k"),
+        "shingle",
+    ).select(
+        id_col,
+        "k",
+        F.expr(
+            spark_hash64_sql("concat('k', cast(k as string), '#', shingle)")
+        ).alias("h"),
+    )
+    return hashed.groupBy(id_col, "k").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 12, bands: int = 4,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs from banded minhash signatures.
+
+    rows-per-band = num_hashes / bands; two docs are candidates iff all
+    rows of some band agree.  Output (a, b, n_shared_bands) — integers
+    only.  The band signature is md5 of the ordered row minima.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                             text_col=text_col, id_col=id_col)
+    band = (
+        sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("k", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = band.select(F.col(id_col).alias("a"), "band", "band_sig")
+    b = band.select(F.col(id_col).alias("b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+        .select(F.col("a").cast("bigint"), F.col("b").cast("bigint"),
+                "n_shared_bands")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48  # stay well inside the positive range of a signed int64
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+            shingle_n: int | None = None) -> DataFrame:
+    """48-bit SimHash per doc.
+
+    Feature set = distinct tokens (``shingle_n=None``) or distinct word
+    n-gram shingles (``shingle_n=k``) — shingles are far more
+    discriminative on small-vocabulary corpora where every doc contains
+    most tokens.  bit b of the fingerprint = 1 iff the majority of
+    feature hashes have bit b set.  Pure fold over an in-row array —
+    shuffle-free (contrast MinHash, which shuffles per (doc, k)).
+    """
+    tok_h = spark_hash64_sql("t")
+    if shingle_n is None:
+        feats = "array_distinct(toks)"
+    else:
+        feats = (
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size(toks) - {shingle_n - 1}, 0)), "
+            f"s -> array_join(slice(toks, s, {shingle_n}), ' ')))"
+        )
+    # Two structural tricks keep this O(features) instead of
+    # O(bits × features × |text|):
+    # 1. let-binding via `transform(array(x), v -> body)[1]` — Spark SQL
+    #    has no LET, and CollapseProject would otherwise inline the
+    #    tokenize+hash expressions into every reference inside the
+    #    (interpreted, non-codegen) HOF vote fold, re-splitting the text
+    #    once per bit;
+    # 2. hash each distinct feature once (`_hs`), so the 48-bit vote
+    #    loop is pure integer ops over a small array.
+    expr = f"""
+    element_at(transform(array(split({text_col}, ' ')), toks ->
+      element_at(transform(array(transform({feats}, t -> {tok_h})), _hs ->
+        aggregate(
+            sequence(0, {bits - 1}),
+            cast(0 as bigint),
+            (fp, b) -> fp + if(
+                aggregate(
+                    _hs,
+                    cast(0 as bigint),
+                    (acc, h) -> acc + (2 * ((h div shiftleft(cast(1 as bigint), b)) % 2) - 1)
+                ) > 0,
+                shiftleft(cast(1 as bigint), b), cast(0 as bigint)))
+      ), 1)), 1)
+    """
+    # the vote fold is interpreted (HOFs are never whole-stage-codegen'd)
+    # — spread rows across all cores first (a single parquet file is one
+    # input partition)
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return spread.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.expr(expr).alias("simhash"),
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int | None = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (exact verify form).
+
+    Cross-join verify — exact and oracle-checkable; the scale path
+    pre-blocks with :func:`simhash_bands` so only same-band pairs verify.
+    """
+    # materialize fingerprints once — both sides of the self-join would
+    # otherwise recompute the (expensive, interpreted) vote fold
+    s = simhash(docs, text_col=text_col, id_col=id_col,
+                shingle_n=shingle_n).localCheckpoint()
+    a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_bands(docs: DataFrame, n_bands: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH blocking for SimHash: split the fingerprint into ``n_bands``
+    bit-bands; docs sharing any band value are candidates.  Output
+    (doc_id, band, band_bits) — join on (band, band_bits) to generate
+    candidates with at most hamming ≤ bits/n_bands·(n_bands-1) misses."""
+    band_width = SIMHASH_BITS // n_bands
+    s = simhash(docs, text_col=text_col, id_col=id_col)
+    return s.select(
+        id_col,
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
+        "simhash",
+    ).select(
+        id_col,
+        "band",
+        F.expr(
+            f"(simhash div shiftleft(cast(1 as bigint), band * {band_width}))"
+            f" % shiftleft(cast(1 as bigint), {band_width})"
+        ).alias("band_bits"),
+    )

@@ -96,6 +96,10 @@ def sliding_window_split(sentences: DataFrame, max_seq_len: int = 100,
     """
     has_ents = "entity_mentions" in sentences.columns
     has_rels = "relation_mentions" in sentences.columns
+    # non-positional columns (repo, lang, content_sha, ...) ride along
+    passthrough = [c for c in sentences.columns
+                   if c not in ("doc_key", "sent_id", "tokens",
+                                "entity_mentions", "relation_mentions")]
 
     chunked = sentences.select(
         "doc_key",
@@ -103,6 +107,7 @@ def sliding_window_split(sentences: DataFrame, max_seq_len: int = 100,
         "tokens",
         *(["entity_mentions"] if has_ents else []),
         *(["relation_mentions"] if has_rels else []),
+        *passthrough,
         F.posexplode(
             F.expr(f"sequence(0, greatest(size(tokens) - 1, 0), {slide_window})")
         ).alias("chunk_id", "chunk_start"),
@@ -135,6 +140,7 @@ def sliding_window_split(sentences: DataFrame, max_seq_len: int = 100,
             "             cast(r.o_end - chunk_start as int) as o_end,"
             "             r.label as label))").alias("relation_mentions")]
            if has_rels else [] ),
+        *passthrough,
         "chunk_start",
         "chunk_end",
     )

@@ -1,0 +1,1 @@
+from fastie_spark.plans.checkpoint import PipelineRunner, Stage  # noqa: F401

@@ -1,0 +1,1100 @@
+"""Driver-contract query registry: Spark query + DuckDB oracle per operator.
+
+Every implemented operator from SURVEY.md §2 (plus the engine-added
+training-data ops) registers here as a named query over the driver's
+testdata tables, together with an ANSI-SQL oracle string that DuckDB
+runs on the same parquet — the driver compares row counts, schemas and
+order-insensitive value hashes (CORRECTNESS_r{N}.json).
+
+Design rules that keep the cross-check exact:
+
+* integer outputs wherever possible (ratios are returned as numerator /
+  denominator pairs, thresholds are exact rational comparisons);
+* all hashing through the md5-based portable hash
+  (``fastie_spark.functions.hashing``) — bit-identical in both engines;
+* deterministic tie-breaks (row_number over fully-specified orderings);
+* column names aliased identically on both sides.
+
+The ``documents`` table (doc_id, text, lang, source, n_chars) plays the
+role of the corpus: text is whitespace-tokenized, optionally chunked
+into 25-token "sentences" (the doc→sentence explode of the production
+ingest), and a small gazetteer stands in for the mention detector —
+which is exactly the reference's own test methodology (memorizing
+models on deterministic fixtures, tests/dummy.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fastie_spark.extraction.ner import GazetteerNER, gazetteer_join_mentions
+from fastie_spark.functions.hashing import (
+    duck_hash64_sql,
+    duck_rolling_fingerprint_sql,
+    rolling_fingerprint_expr,
+    spark_hash64_sql,
+)
+from fastie_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    language_id,
+    language_id_duck_sql,
+    quality_stats,
+    token_count_regex,
+)
+from fastie_spark.graph import connected_components
+from fastie_spark.linking import link_entities
+from fastie_spark.metrics.re_metric import entity_counts
+from fastie_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from fastie_spark.operators.pairs import enumerate_pairs
+from fastie_spark.operators.similarity import cosine_topk, sign_lsh_buckets
+from fastie_spark.operators.spans import span_array_expr
+from fastie_spark.operators.symmetric import symmetric_closure
+from fastie_spark.operators.windows import (
+    cross_sentence_window,
+    sliding_window_split,
+)
+from fastie_spark.sources.bio import bio_decode
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures: tokenized docs, 25-token chunks, gazetteers
+# ---------------------------------------------------------------------------
+
+SENT_LEN = 25          # tokens per synthetic "sentence" chunk
+SPAN_L = 4             # max_span_len for span enumeration
+PAIR_GAP = 3           # max token gap for the rule-based relation
+
+# mention detector stand-ins (see module docstring)
+GAZ = [("spark", "ENGINE"), ("table", "STORE"), ("join", "OP"),
+       ("filter", "OP"), ("merge group", "PHASE")]
+GAZ_GOLD = [("spark", "ENGINE"), ("table", "STORE"), ("scan", "OP"),
+            ("join", "OP2"), ("merge group", "PHASE")]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the testdata is a single parquet file → one input partition; many
+    # downstream projections are higher-order functions (interpreted,
+    # not codegen'd), so spread the corpus across all cores up front —
+    # a ~2 MB shuffle that buys 32× parallelism on every doc query
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
+def _doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole doc as one sentence row (doc_key, sent_id=0, tokens)."""
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.lit(0).alias("sent_id"),
+        F.split("text", " ").alias("tokens"),
+    )
+
+
+def _chunked_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs chunked into SENT_LEN-token sentences, sha invariant carried."""
+    base = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.lit(0).alias("sent_id"),
+        F.split("text", " ").alias("tokens"),
+        F.sha2("text", 256).alias("content_sha"),
+    )
+    return sliding_window_split(base, max_seq_len=SENT_LEN,
+                                slide_window=SENT_LEN)
+
+
+def _gaz_df(spark: SparkSession, gaz: list[tuple[str, str]]) -> DataFrame:
+    return spark.createDataFrame(gaz, "surface: string, label: string")
+
+
+# DuckDB common CTE bodies --------------------------------------------------
+
+# one row per token with 0-based position and doc token count
+TOKS_CTE = """
+sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok0 AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i,
+                len(l) AS n FROM sp),
+toks AS (SELECT doc_id, l, list_extract(l, i) AS token,
+                (i - 1)::BIGINT AS pos, n FROM tok0)
+"""
+
+
+def _gaz_values(gaz: list[tuple[str, str]]) -> tuple[str, str]:
+    """(unigram VALUES, bigram VALUES) SQL fragments for a gazetteer."""
+    unis = [(s, lab) for s, lab in gaz if " " not in s]
+    bis = [(s.split(" "), lab) for s, lab in gaz if " " in s]
+    uni_sql = ", ".join(f"('{s}', '{lab}')" for s, lab in unis)
+    bi_sql = ", ".join(f"('{w[0]}', '{w[1]}', '{lab}')" for w, lab in bis)
+    return uni_sql, bi_sql
+
+
+def _mentions_cte(gaz: list[tuple[str, str]], name: str,
+                  chunked: bool) -> str:
+    """CTE producing gazetteer mentions with right-exclusive spans.
+
+    chunked=True emits chunk-local spans (pos % SENT_LEN) with
+    sent_id = pos // SENT_LEN and requires bigrams not to cross chunks;
+    chunked=False treats the doc as one sentence (sent_id = 0).
+    """
+    uni_sql, bi_sql = _gaz_values(gaz)
+    if chunked:
+        sent = f"(pos // {SENT_LEN})"
+        local = f"(pos % {SENT_LEN})"
+        same_chunk = f"AND (a.pos // {SENT_LEN}) = (b.pos // {SENT_LEN})"
+    else:
+        sent = "0"
+        local = "pos"
+        same_chunk = ""
+    parts = [f"""
+    SELECT t.doc_id, {sent}::BIGINT AS sent_id, {local}::BIGINT AS start,
+           ({local} + 1)::BIGINT AS "end", g.label, t.token AS surface
+    FROM toks t JOIN (VALUES {uni_sql}) g(w, label) ON t.token = g.w
+    """]
+    if bi_sql:
+        a_sent = sent.replace("pos", "a.pos")
+        a_local = local.replace("pos", "a.pos")
+        parts.append(f"""
+    SELECT a.doc_id, {a_sent}::BIGINT AS sent_id, {a_local}::BIGINT AS start,
+           ({a_local} + 2)::BIGINT AS "end", g.label,
+           a.token || ' ' || b.token AS surface
+    FROM toks a
+    JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN (VALUES {bi_sql}) g(w1, w2, label)
+      ON a.token = g.w1 AND b.token = g.w2
+    WHERE true {same_chunk}
+    """)
+    return f"{name} AS ({' UNION ALL '.join(parts)})"
+
+# ---------------------------------------------------------------------------
+# S4/F1 — tokenize
+# ---------------------------------------------------------------------------
+
+@query("tokenize", oracle="""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id, len(l)::BIGINT AS n_tokens,
+       l[1] AS first_token, l[len(l)] AS last_token
+FROM sp
+""")
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization (sentence.py:54 semantics)."""
+    toks = F.split("text", " ")
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — sentence offset accumulation (window prefix-sum)
+# ---------------------------------------------------------------------------
+
+@query("sent_offsets", oracle=f"""
+WITH sp AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+chunks AS (SELECT doc_id, n,
+                  unnest(generate_series(0, (n - 1) // {SENT_LEN})) AS s
+           FROM sp)
+SELECT doc_id, s::BIGINT AS sent_id,
+       least({SENT_LEN}, n - {SENT_LEN} * s)::BIGINT AS n_tokens,
+       ({SENT_LEN} * s)::BIGINT AS sent_start
+FROM chunks
+""")
+def q_sent_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sent_start per doc = window prefix-sum of sentence sizes
+    (jsonlinesRE.py:96-132 semantics) over the chunked corpus."""
+    s = _chunked_sentences(spark, sf_dir)
+    w = (Window.partitionBy("doc_key").orderBy("sent_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return s.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.size("tokens")).over(w), F.lit(0))
+         .cast("bigint").alias("sent_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — span enumeration
+# ---------------------------------------------------------------------------
+
+@query("span_enum", oracle=f"""
+WITH {TOKS_CTE}
+SELECT doc_id,
+       sum(least({SPAN_L}, n - pos))::BIGINT AS n_spans,
+       sum(least({SPAN_L}, n - pos) * (least({SPAN_L}, n - pos) + 1) // 2)::BIGINT
+           AS sum_width
+FROM toks GROUP BY doc_id
+""")
+def q_span_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All candidate spans with width ≤ L per doc (pure_pipe.py:59-74);
+    aggregated counts checked against the closed form."""
+    s = _doc_sentences(spark, sf_dir).withColumn(
+        "spans", F.expr(span_array_expr("tokens", SPAN_L)))
+    return s.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.expr("aggregate(spans, cast(0 as bigint), (acc, x) -> acc + x.width)")
+         .alias("sum_width"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/S6 — BIO run-length decode
+# ---------------------------------------------------------------------------
+
+@query("bio_decode", oracle=f"""
+WITH {TOKS_CTE},
+tagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN token = 'spark' THEN 1
+              WHEN token = 'batch' THEN 2 ELSE 0 END AS tag
+  FROM toks),
+flagged AS (
+  SELECT doc_id, pos, tag,
+         CASE WHEN tag != 0 AND coalesce(lag(tag) OVER
+              (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS run_start
+  FROM tagged),
+runs AS (
+  SELECT doc_id, pos, tag,
+         sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM flagged WHERE tag != 0 OR run_start = 1),
+per_run AS (
+  SELECT doc_id, run_id,
+         arg_min(tag, pos) AS first_tag,
+         max(CASE WHEN tag = 1 THEN 1 ELSE 0 END) AS has_b,
+         count(*) AS n_toks
+  FROM runs WHERE tag != 0 GROUP BY doc_id, run_id),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN first_tag = 1 THEN 1 ELSE 1 + has_b END) AS n_mentions,
+         sum(n_toks) AS n_tagged
+  FROM per_run GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_mentions, 0)::BIGINT AS n_mentions,
+       coalesce(p.n_tagged, 0)::BIGINT AS n_tagged
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""")
+def q_bio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference BIO decode rule (conll2003.py:137-166) on deterministic
+    tags: spark→B-TECH(1), batch→I-TECH(2)."""
+    df = _doc_sentences(spark, sf_dir).withColumn(
+        "ner_tags",
+        F.expr("transform(tokens, t -> case when t = 'spark' then 1 "
+               "when t = 'batch' then 2 else 0 end)"),
+    )
+    decoded = bio_decode(df, idx2label=["O", "B-TECH", "I-TECH"])
+    return decoded.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.size("entity_mentions").cast("bigint").alias("n_mentions"),
+        F.expr("aggregate(entity_mentions, cast(0 as bigint), "
+               "(acc, m) -> acc + size(m.indices))").alias("n_tagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NER (relational gazetteer twin) — flat mention table
+# ---------------------------------------------------------------------------
+
+@query("gazetteer_ner", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "ments", chunked=False)}
+SELECT doc_id, start, "end", label, surface FROM ments
+""")
+def q_gazetteer_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection as explode + broadcast gazetteer join."""
+    s = _doc_sentences(spark, sf_dir)
+    gaz = _gaz_df(spark, GAZ)
+    out = gazetteer_join_mentions(s, gaz, max_len=2, out_col="ent_pred")
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        "tokens",
+        F.explode("ent_pred").alias("m"),
+    ).select(
+        "doc_id",
+        F.col("m.start").cast("bigint").alias("start"),
+        F.col("m.end").cast("bigint").alias("end"),
+        F.col("m.label").alias("label"),
+        F.concat_ws(" ", F.expr(
+            "slice(tokens, m.start + 1, m.end - m.start)")).alias("surface"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — span-pair enumeration (counts vs closed form)
+# ---------------------------------------------------------------------------
+
+@query("pair_enum", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "ments", chunked=False)},
+per_doc AS (SELECT doc_id, count(*) AS m FROM ments GROUP BY doc_id),
+per_label AS (SELECT doc_id, label, count(*) AS ml FROM ments
+              GROUP BY doc_id, label)
+SELECT d.doc_id,
+       (d.m * (d.m - 1))::BIGINT AS n_pairs,
+       (d.m * (d.m - 1) - sum(pl.ml * (pl.ml - 1)))::BIGINT AS n_cross
+FROM per_doc d JOIN per_label pl ON d.doc_id = pl.doc_id
+GROUP BY d.doc_id, d.m
+HAVING d.m >= 2
+""")
+def q_pair_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pair enumeration (pure_pipe.py:222-239): per-doc pair
+    count and cross-label pair count, via the actual operator."""
+    s = _doc_sentences(spark, sf_dir)
+    gaz = _gaz_df(spark, GAZ)
+    with_m = gazetteer_join_mentions(s, gaz, max_len=2, out_col="ent_pred")
+    pairs = enumerate_pairs(with_m, mentions_col="ent_pred", flat=True)
+    return pairs.groupBy(
+        F.col("doc_key").cast("bigint").alias("doc_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum((F.col("subj_label") != F.col("obj_label")).cast("int"))
+         .cast("bigint").alias("n_cross"),
+    )
+
+# ---------------------------------------------------------------------------
+# flagship: triple extraction pipeline (ingest → chunk → NER UDF → pairs →
+# rule decode → triples with sha invariant)
+# ---------------------------------------------------------------------------
+
+TRIPLES_ORACLE = f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "ments", chunked=True)},
+pairs AS (
+  SELECT s.doc_id, s.sent_id,
+         s.start AS s_start, s."end" AS s_end, s.surface AS subj_text,
+         s.label AS subj_label,
+         'precedes' AS pred,
+         o.start AS o_start, o."end" AS o_end, o.surface AS obj_text,
+         o.label AS obj_label
+  FROM ments s JOIN ments o
+    ON s.doc_id = o.doc_id AND s.sent_id = o.sent_id
+   AND NOT (s.start = o.start AND s."end" = o."end" AND s.label = o.label)
+   AND o.start >= s."end" AND o.start - s."end" <= {PAIR_GAP}
+)
+SELECT p.*, sha256(d.text) AS content_sha
+FROM pairs p JOIN documents d ON p.doc_id = d.doc_id
+"""
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pipeline body for the triples/symmetric queries."""
+    s = _chunked_sentences(spark, sf_dir)
+    ner = GazetteerNER({tuple(k.split(" ")): v for k, v in GAZ})
+    with_m = ner.transform(s, out_col="ent_pred")
+    paired = enumerate_pairs(with_m, mentions_col="ent_pred", flat=False)
+    flat = paired.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        "tokens",
+        "content_sha",
+        F.explode("pairs").alias("p"),
+    ).where(
+        (F.col("p.obj.start") >= F.col("p.subj.end"))
+        & (F.col("p.obj.start") - F.col("p.subj.end") <= PAIR_GAP)
+    )
+    return flat.select(
+        "doc_id", "sent_id",
+        F.col("p.subj.start").cast("bigint").alias("s_start"),
+        F.col("p.subj.end").cast("bigint").alias("s_end"),
+        F.concat_ws(" ", F.expr(
+            "slice(tokens, p.subj.start + 1, p.subj.end - p.subj.start)"))
+         .alias("subj_text"),
+        F.col("p.subj.label").alias("subj_label"),
+        F.lit("precedes").alias("pred"),
+        F.col("p.obj.start").cast("bigint").alias("o_start"),
+        F.col("p.obj.end").cast("bigint").alias("o_end"),
+        F.concat_ws(" ", F.expr(
+            "slice(tokens, p.obj.start + 1, p.obj.end - p.obj.start)"))
+         .alias("obj_text"),
+        F.col("p.obj.label").alias("obj_label"),
+        "content_sha",
+    )
+
+
+@query("triples", oracle=TRIPLES_ORACLE)
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end rule-decoded triple table (the PUREJointTask shape,
+    pure_joint.py:78-86, with the deterministic mention detector)."""
+    return _triples(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# U1 — symmetric closure over the triple table
+# ---------------------------------------------------------------------------
+
+@query("symmetric_close", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE})
+SELECT DISTINCT * FROM (
+  SELECT doc_id, sent_id, s_start, s_end, o_start, o_end, pred FROM base
+  UNION ALL
+  SELECT doc_id, sent_id, o_start AS s_start, o_end AS s_end,
+         s_start AS o_start, s_end AS o_end, pred FROM base
+)
+""")
+def q_symmetric_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-relation closure (jsonlinesRE.py:119-122) on 'precedes'."""
+    t = _triples(spark, sf_dir).select(
+        "doc_id", "sent_id", "s_start", "s_end", "o_start", "o_end", "pred")
+    sym = symmetric_closure(t, labels=["precedes"])
+    return sym
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — REMetric entity counts (pred gazetteer vs gold gazetteer)
+# ---------------------------------------------------------------------------
+
+@query("re_metric_counts", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "pred", chunked=False)},
+{_mentions_cte(GAZ_GOLD, "gold", chunked=False)},
+p AS (SELECT label, count(*) AS pred_cnt FROM pred GROUP BY label),
+c AS (SELECT pr.label, count(*) AS pred_correct_cnt
+      FROM pred pr WHERE EXISTS (
+        SELECT 1 FROM gold g WHERE g.doc_id = pr.doc_id
+          AND g.sent_id = pr.sent_id AND g.start = pr.start
+          AND g."end" = pr."end" AND g.label = pr.label)
+      GROUP BY pr.label),
+t AS (SELECT label, count(*) AS correct_cnt FROM gold GROUP BY label)
+SELECT coalesce(p.label, c.label, t.label) AS label,
+       coalesce(p.pred_cnt, 0)::BIGINT AS pred_cnt,
+       coalesce(c.pred_correct_cnt, 0)::BIGINT AS pred_correct_cnt,
+       coalesce(t.correct_cnt, 0)::BIGINT AS correct_cnt
+FROM p FULL JOIN c ON p.label = c.label
+       FULL JOIN t ON coalesce(p.label, c.label) = t.label
+""")
+def q_re_metric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMetric per-label counting (re_metric.py:104-141) as distributed
+    aggregation: pred mentions from GAZ vs gold mentions from GAZ_GOLD."""
+    s = _doc_sentences(spark, sf_dir)
+    pred = gazetteer_join_mentions(s, _gaz_df(spark, GAZ), max_len=2,
+                                   out_col="ent_pred")
+    gold = gazetteer_join_mentions(s, _gaz_df(spark, GAZ_GOLD), max_len=2,
+                                   out_col="entity_mentions")
+    counts = entity_counts(pred, gold, pred_col="ent_pred",
+                           target_col="entity_mentions")
+    return counts.select(
+        "label",
+        F.col("pred_cnt").cast("bigint").alias("pred_cnt"),
+        F.col("pred_correct_cnt").cast("bigint").alias("pred_correct_cnt"),
+        F.col("correct_cnt").cast("bigint").alias("correct_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/J3 — cross-sentence context window
+# ---------------------------------------------------------------------------
+
+CSW = 60  # context token budget
+
+@query("cross_sent_window", oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l,
+                   len(string_split(text, ' ')) AS n FROM documents),
+chunks AS (
+  SELECT doc_id, unnest(generate_series(0, (n - 1) // {SENT_LEN})) AS s,
+         l, n FROM sp),
+cl AS (
+  SELECT doc_id, s,
+         l[{SENT_LEN} * s + 1 : least({SENT_LEN} * (s + 1), n)] AS lc
+  FROM chunks),
+ctx AS (
+  SELECT doc_id, s, lc,
+         coalesce(flatten(list(lc) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), []) AS fl,
+         coalesce(flatten(list(lc) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)), []) AS fr
+  FROM cl),
+calc AS (
+  SELECT doc_id, s, lc, fl, fr,
+         CASE WHEN len(lc) >= {CSW} THEN lc
+              ELSE list_concat(list_concat(
+                fl[greatest(1, len(fl) - (({CSW} - len(lc)) // 2) + 1) : len(fl)],
+                lc),
+                fr[1 : least(len(fr),
+                     ({CSW} - len(lc)) - (({CSW} - len(lc)) // 2))])
+         END AS cctx,
+         CASE WHEN len(lc) >= {CSW} THEN 0
+              ELSE least(len(fl), ({CSW} - len(lc)) // 2) END AS sent_start
+  FROM ctx)
+SELECT doc_id, s::BIGINT AS sent_id, sent_start::BIGINT AS sent_start,
+       len(cctx)::BIGINT AS n_ctx,
+       cctx[1] AS first_ctx, cctx[len(cctx)] AS last_ctx
+FROM calc
+""")
+def q_cross_sent_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sentence context padding (utils.py:256-295) over the chunked
+    corpus, window budget 60 tokens."""
+    s = _chunked_sentences(spark, sf_dir)
+    out = cross_sentence_window(s, window=CSW)
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.col("sent_start").cast("bigint").alias("sent_start"),
+        F.size("cross_sent_tokens").cast("bigint").alias("n_ctx"),
+        F.element_at("cross_sent_tokens", 1).alias("first_ctx"),
+        F.element_at("cross_sent_tokens", -1).alias("last_ctx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — sliding-window split (overlapping)
+# ---------------------------------------------------------------------------
+
+SW_MAX, SW_STRIDE = 30, 20
+
+@query("sliding_window", oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l,
+                   len(string_split(text, ' ')) AS n FROM documents),
+chunks AS (
+  SELECT doc_id, unnest(generate_series(0, (n - 1) // {SW_STRIDE})) AS s,
+         l, n FROM sp)
+SELECT doc_id, s::BIGINT AS sent_id,
+       ({SW_STRIDE} * s)::BIGINT AS chunk_start,
+       least({SW_STRIDE} * s + {SW_MAX}, n)::BIGINT AS chunk_end,
+       (least({SW_STRIDE} * s + {SW_MAX}, n) - {SW_STRIDE} * s)::BIGINT
+           AS n_tokens,
+       l[{SW_STRIDE} * s + 1] AS first_token
+FROM chunks WHERE {SW_STRIDE} * s < n
+""")
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPLinker sliding-window re-chunking (tplinker_pipe.py:23-76)."""
+    s = _doc_sentences(spark, sf_dir)
+    out = sliding_window_split(s, max_seq_len=SW_MAX, slide_window=SW_STRIDE)
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.col("chunk_end").cast("bigint").alias("chunk_end"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.element_at("tokens", 1).alias("first_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — vocabulary build (stable ids)
+# ---------------------------------------------------------------------------
+
+@query("vocab_build", oracle="""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (SELECT DISTINCT unnest(l) AS token FROM sp)
+SELECT token, (row_number() OVER (ORDER BY token))::BIGINT AS id FROM toks
+""")
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-vocab construction (utils.py:27-77) with deterministic sorted
+    ids instead of fastNLP insertion order (SURVEY §4.3.4)."""
+    toks = _doc_sentences(spark, sf_dir).select(
+        F.explode("tokens").alias("token")).distinct()
+    w = Window.orderBy("token")
+    return toks.select(
+        "token", F.row_number().over(w).cast("bigint").alias("id"))
+
+# ===========================================================================
+# training-data ops (engine additions): dedup, similarity, text analysis
+# ===========================================================================
+
+# shingle CTE shared by jaccard/minhash oracles (distinct 3-gram shingles)
+SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i : i + 2], ' ') AS shingle
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)))
+"""
+
+
+@query("dedup_exact", oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         sha256(array_to_string(string_split(text, ' ')[1:4], ' '))
+             AS group_sha
+  FROM documents)
+SELECT group_sha, min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS n_docs
+FROM keyed GROUP BY group_sha
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content key (here: first-4-token prefix, so the
+    testdata actually exhibits collisions); shuffles hashes, not text."""
+    docs = _documents(spark, sf_dir).withColumn(
+        "k4", F.array_join(F.slice(F.split("text", " "), 1, 4), " "))
+    return exact_dedup(docs, key_cols=["k4"])
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH {SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.a::BIGINT AS a, i.b::BIGINT AS b, i.inter::BIGINT AS inter,
+       (sa.n_sh + sb.n_sh - i.inter)::BIGINT AS uni
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+             JOIN sizes sb ON i.b = sb.doc_id
+WHERE i.inter * 20 >= (sa.n_sh + sb.n_sh - i.inter) * 1
+""")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs (threshold 1/20, exact rational)."""
+    return ngram_jaccard_pairs(_documents(spark, sf_dir), n=3,
+                               min_jaccard_num=1, min_jaccard_den=20)
+
+
+MH_K, MH_BANDS = 12, 4
+
+@query("dedup_minhash_lsh", oracle=f"""
+WITH {SH_CTE},
+hashed AS (
+  SELECT doc_id, k.k,
+         {duck_hash64_sql("'k' || k.k || '#' || shingle")} AS h
+  FROM sh, generate_series(0, {MH_K - 1}) k(k)),
+sig AS (SELECT doc_id, k, min(h) AS minhash FROM hashed GROUP BY doc_id, k),
+band AS (
+  SELECT doc_id, k // {MH_K // MH_BANDS} AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY k)) AS band_sig
+  FROM sig GROUP BY doc_id, k // {MH_K // MH_BANDS})
+SELECT a.doc_id::BIGINT AS a, b.doc_id::BIGINT AS b,
+       count(*)::BIGINT AS n_shared_bands
+FROM band a JOIN band b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (12 hashes) + LSH banding (4 bands × 3 rows) candidate
+    pairs — the web-scale near-dup path."""
+    return minhash_lsh_pairs(_documents(spark, sf_dir),
+                             num_hashes=MH_K, bands=MH_BANDS, n=3)
+
+
+SH_BITS = 48
+
+@query("dedup_simhash", oracle=f"""
+WITH toksd AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+hashed AS (SELECT doc_id, {duck_hash64_sql("token")} AS h FROM toksd),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(2 * ((h // (1::BIGINT << b.b)) % 2) - 1) AS vote
+  FROM hashed, generate_series(0, {SH_BITS - 1}) b(b)
+  GROUP BY doc_id, b.b)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+FROM votes GROUP BY doc_id
+""")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprint per doc (shuffle-free in-row fold)."""
+    return simhash(_documents(spark, sf_dir), bits=SH_BITS)
+
+
+@query("simhash_pairs", oracle=f"""
+WITH {SH_CTE},
+hashed AS (SELECT doc_id, {duck_hash64_sql("shingle")} AS h FROM sh),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(2 * ((h // (1::BIGINT << b.b)) % 2) - 1) AS vote
+  FROM hashed, generate_series(0, {SH_BITS - 1}) b(b)
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+             AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id::BIGINT AS a, b.doc_id::BIGINT AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+""")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-SimHash near-dup pairs at Hamming ≤ 8 (verify form; the
+    scale path blocks on bit-bands first — dedup.py:simhash_bands)."""
+    return simhash_pairs(_documents(spark, sf_dir), max_hamming=8,
+                         shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+ANN_PROBES, ANN_K = 8, 10
+
+@query("ann_topk", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < {ANN_PROBES}),
+scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(p.pv, e.v) AS sim
+  FROM p, e WHERE e.vec_id != p.probe_id),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline), probes broadcast."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = vecs.where(F.col("vec_id") < ANN_PROBES)
+    return cosine_topk(vecs, probes, k=ANN_K)
+
+
+LSH_PLANES = 8
+
+@query("ann_lsh_buckets", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+votes AS (
+  SELECT vec_id, p.p,
+         sum(v[d.d + 1] *
+             (2 * (({duck_hash64_sql("'p' || p.p || 'd' || d.d")}) % 2) - 1))
+             AS dot
+  FROM e, generate_series(0, {LSH_PLANES - 1}) p(p),
+          generate_series(0, 63) d(d)
+  GROUP BY vec_id, p.p)
+SELECT vec_id::BIGINT AS vec_id,
+       sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+           AS bucket
+FROM votes GROUP BY vec_id
+""")
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing — the ANN scale path's partition key."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sign_lsh_buckets(vecs, n_planes=LSH_PLANES)
+
+
+# ---------------------------------------------------------------------------
+# canonicalization: connected components over the similarity graph
+# ---------------------------------------------------------------------------
+
+CC_THRESH = 0.35
+
+@query("cc_components", oracle=f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+sym AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+reach(u, w) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u)
+SELECT u::BIGINT AS vec_id, min(w)::BIGINT AS component
+FROM reach GROUP BY u
+""")
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (iterative min-label + pointer jumping) over
+    the cosine≥0.35 similarity graph — the canonicalization stage."""
+    from fastie_spark.operators.similarity import cosine_pairs
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs(vecs, threshold=CC_THRESH)
+    cc = connected_components(edges)
+    # isolated vectors are their own component
+    allv = vecs.select(F.col("vec_id").alias("node"))
+    out = (
+        allv.join(cc, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("vec_id"),
+            F.coalesce("comp", F.col("node")).cast("bigint").alias("component"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# entity linking: blocked candidates + levenshtein scoring
+# ---------------------------------------------------------------------------
+
+@query("entity_link", oracle="""
+WITH ments AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS surface
+  FROM documents),
+ments3 AS (SELECT surface FROM ments WHERE len(surface) >= 3),
+cat AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS entity FROM part),
+cand AS (
+  SELECT m.surface, c.entity,
+         levenshtein(m.surface, c.entity) AS distance
+  FROM ments3 m JOIN cat c
+    ON substr(m.surface, 1, 1) = substr(c.entity, 1, 1)
+  WHERE levenshtein(m.surface, c.entity) <= 2),
+ranked AS (
+  SELECT surface, entity, distance,
+         row_number() OVER (PARTITION BY surface
+                            ORDER BY distance, entity) AS rn
+  FROM cand)
+SELECT surface, entity, distance::BIGINT AS distance
+FROM ranked WHERE rn = 1
+""")
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate generation (first-char hash bucket) + edit-
+    distance scoring — the north_rule linking stage, all JVM-side."""
+    ments = _documents(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("surface")
+    ).where(F.length("surface") >= 3)
+    catalog = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.explode(F.split("p_name", " ")).alias("alias")
+    ).withColumn("entity", F.col("alias"))
+    return link_entities(ments, catalog, max_distance=2, block_width=1)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+@query("text_quality", oracle=f"""
+WITH sp AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id,
+       len(l)::BIGINT AS n_tokens,
+       len(list_distinct(l))::BIGINT AS distinct_tokens,
+       list_sum(list_transform(l, t -> len(t)))::BIGINT AS token_chars,
+       len(list_filter(l, t -> list_contains({_STOP_SQL}, t)))::BIGINT
+           AS stopword_cnt,
+       (len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::BIGINT
+           AS punct_chars
+FROM sp
+""")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality counters (length / stopword / punctuation profile)."""
+    return quality_stats(_documents(spark, sf_dir))
+
+
+@query("lang_id", oracle=f"""
+SELECT doc_id, {language_id_duck_sql("text")} AS guess_lang FROM documents
+""")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification heuristic."""
+    return language_id(_documents(spark, sf_dir))
+
+
+@query("token_stats", oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(list_filter(regexp_extract_all(text, '{TOKEN_REGEX}'),
+                       t -> t != ''))::BIGINT AS re_tokens
+FROM documents
+""")
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counting."""
+    return token_count_regex(_documents(spark, sf_dir))
+
+
+@query("doc_fingerprint", oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id, {duck_rolling_fingerprint_sql("l")}::BIGINT AS fingerprint
+FROM sp
+""")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (Catalyst fold)."""
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.expr(rolling_fingerprint_expr("split(text, ' ')"))
+         .cast("bigint").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-stream analytics (batch form of the streaming ops)
+# ---------------------------------------------------------------------------
+
+@query("events_tumbling", oracle="""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+           AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events GROUP BY 1, 2
+""")
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (batch twin of the
+    Structured Streaming path in streaming/)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n_events", "value_cents",
+        )
+    )
+
+
+SESSION_GAP_S = 1800
+
+@query("sessionize", oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) > {SESSION_GAP_S}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps),
+per_sess AS (
+  SELECT user_id, session_id, count(*) AS n FROM sess
+  GROUP BY user_id, session_id)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       max(n)::BIGINT AS max_session_events
+FROM per_sess GROUP BY user_id
+""")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch
+    equivalent of stateful session windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the tz-cast is identity
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gaps = ev.withColumn(
+        "new_s",
+        F.when(
+            epoch - F.lag(epoch).over(w) > SESSION_GAP_S, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.max("n").cast("bigint").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational benchmark staple (agg pushdown / partial aggregation showcase)
+# ---------------------------------------------------------------------------
+
+@query("pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS price_cents,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: exercises map-side partial agg and
+    scan pruning to 4 of 11 columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+         .alias("price_cents"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+# ---------------------------------------------------------------------------
+# M3 — alternate extractor decode parity (TPLinker, UniRE)
+# ---------------------------------------------------------------------------
+
+_RT_ORACLE = f"""
+WITH base AS ({TRIPLES_ORACLE})
+SELECT DISTINCT doc_id, sent_id, s_start, s_end, o_start, o_end,
+       pred AS label
+FROM base
+"""
+
+
+def _annotated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked sentences with gazetteer entity_mentions and rule-derived
+    relation_mentions — the gold input for the decode round-trips."""
+    s = _chunked_sentences(spark, sf_dir)
+    ner = GazetteerNER({tuple(k.split(" ")): v for k, v in GAZ})
+    with_m = ner.transform(s, out_col="entity_mentions")
+    paired = enumerate_pairs(with_m, mentions_col="entity_mentions",
+                             flat=False)
+    return paired.withColumn(
+        "relation_mentions",
+        F.expr(
+            f"transform(filter(pairs, p -> p.obj.start >= p.subj.end "
+            f"AND p.obj.start - p.subj.end <= {PAIR_GAP}), "
+            "p -> struct(p.subj.start as s_start, p.subj.end as s_end, "
+            "p.obj.start as o_start, p.obj.end as o_end, "
+            "'precedes' as label))"),
+    ).drop("pairs")
+
+
+@query("tplinker_roundtrip", oracle=_RT_ORACLE)
+def q_tplinker_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPLinker handshaking encode → relational 4-way-join decode; must
+    reproduce the rule-derived relation set exactly (handshake_tagger
+    semantics — entities keyed by head, tails as membership set)."""
+    from fastie_spark.extraction.tplinker import (
+        decode_relational, encode_spots)
+    _, rels = decode_relational(encode_spots(_annotated_chunks(spark, sf_dir)))
+    return rels.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.col("s_start").cast("bigint").alias("s_start"),
+        F.col("s_end").cast("bigint").alias("s_end"),
+        F.col("o_start").cast("bigint").alias("o_start"),
+        F.col("o_end").cast("bigint").alias("o_end"),
+        "label",
+    )
+
+
+UNIRE_LABELS = ["None", "ENGINE", "STORE", "OP", "PHASE", "precedes"]
+
+@query("unire_roundtrip", oracle=_RT_ORACLE)
+def q_unire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniRE joint-matrix one-hot encode → boundary-norm soft decode
+    (unire_model.py:180-249); must recover the relation set."""
+    from fastie_spark.extraction.unire import decode_onehot_annotations
+    out = decode_onehot_annotations(
+        _annotated_chunks(spark, sf_dir), UNIRE_LABELS,
+        ent_labels=["ENGINE", "STORE", "OP", "PHASE"],
+        rel_labels=["precedes"], separate_threshold=0.5)
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.explode("rel_pred").alias("r"),
+    ).select(
+        "doc_id", "sent_id",
+        F.col("r.s_start").cast("bigint").alias("s_start"),
+        F.col("r.s_end").cast("bigint").alias("s_end"),
+        F.col("r.o_start").cast("bigint").alias("o_start"),
+        F.col("r.o_end").cast("bigint").alias("o_end"),
+        F.col("r.label").alias("label"),
+    )

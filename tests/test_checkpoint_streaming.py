@@ -1,0 +1,109 @@
+"""Resume-from-checkpoint + streaming smoke tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastie_spark.plans.checkpoint import PipelineRunner, Stage
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(20)],
+        "doc_id: long, text: string",
+    )
+
+
+def test_pipeline_checkpoints_and_resumes(spark, docs, tmp_path):
+    root = str(tmp_path / "pipe")
+    calls = []
+
+    def stage_a(df):
+        calls.append("a")
+        return df.withColumn("a", F.length("text"))
+
+    def stage_b(df):
+        calls.append("b")
+        return df.withColumn("b", F.col("a") * 2)
+
+    stages = [Stage("a", stage_a), Stage("b", stage_b)]
+    r1 = PipelineRunner(spark, root, run_id="r1")
+    out1 = r1.run(docs, stages)
+    assert out1.count() == 20
+    assert calls == ["a", "b"]
+
+    # manifest has one ok row per stage with lineage + metrics
+    man = r1.manifest()
+    assert {row["stage"] for row in man.collect()} == {"a", "b"}
+    met = r1.metrics()
+    assert met.where("name = 'n_rows'").count() == 2
+
+    # resume: nothing re-runs, snapshots are re-read
+    r2 = PipelineRunner(spark, root, run_id="r2")
+    out2 = r2.run(docs, stages)
+    assert calls == ["a", "b"]
+    assert sorted(out2.columns) == sorted(out1.columns)
+    assert out2.count() == 20
+
+    # killing the pipeline after stage a (simulated: only a's manifest
+    # row exists) → resume runs b only
+    r3 = PipelineRunner(spark, str(tmp_path / "pipe2"), run_id="r3")
+    r3.run(docs, stages[:1])
+    calls.clear()
+    r4 = PipelineRunner(spark, str(tmp_path / "pipe2"), run_id="r4")
+    r4.run(docs, stages)
+    assert calls == ["b"]
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    """availableNow drain of the streaming plan == batch aggregation."""
+    from fastie_spark.streaming.events import (
+        read_events_stream,
+        run_stream_once,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 3}:10:00", i % 5, "click", 1.0 + i, "{}")
+         for i in range(30)],
+        "event_id: long, ts: string, user_id: long, event_type: string, "
+        "value: double, props: string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")) \
+     .write.mode("overwrite").parquet(src)
+
+    stream = read_events_stream(spark, src)
+    # complete mode into a memory sink: append mode would hold the final
+    # windows in state because the watermark never passes them on a
+    # bounded drain
+    run_stream_once(tumbling_counts(stream), str(tmp_path / "ckpt"),
+                    output_mode="complete", memory_table="agg_out")
+
+    got = spark.sql("SELECT * FROM agg_out")
+    batch = tumbling_counts(spark.read.parquet(src))
+    assert sorted(got.collect()) == sorted(batch.collect())
+
+
+def test_streaming_extract_resumes(spark, tmp_path):
+    """foreachBatch triple ingestion drains once; re-run adds nothing."""
+    from fastie_spark.extraction.ner import GazetteerNER
+    from fastie_spark.streaming.events import streaming_extract
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [("r1", f"f{i}.py", "c1", "py", "Alpha calls Beta")
+         for i in range(8)],
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string",
+    ).write.mode("overwrite").parquet(src)
+
+    ner = GazetteerNER({("Alpha",): "CLASS", ("Beta",): "CLASS"})
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    streaming_extract(spark, src, ckpt, out, ner)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 8  # one Alpha→Beta triple per doc
+
+    # resume with same checkpoint: no new batches → no duplicates
+    streaming_extract(spark, src, ckpt, out, ner)
+    assert spark.read.parquet(out).count() == n1

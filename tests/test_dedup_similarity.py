@@ -1,0 +1,91 @@
+"""Golden tests for dedup + similarity operators (hand-computed values)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastie_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from fastie_spark.operators.similarity import cosine_topk, sign_lsh_buckets
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),          # exact dup of 0
+        (2, "a b c d x"),          # near dup of 0 (shares 2 of 3 shingles)
+        (3, "p q r s t"),          # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_doc_id"]: r["n_docs"]
+           for r in exact_dedup(docs).collect()}
+    assert out == {0: 2, 2: 1, 3: 1}
+
+
+def test_shingles(docs):
+    sh = shingles(docs, n=3).where(F.col("doc_id") == 0).collect()
+    assert sorted(r["shingle"] for r in sh) == ["a b c", "b c d", "c d e"]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["a"], r["b"]): (r["inter"], r["uni"])
+             for r in ngram_jaccard_pairs(docs, n=3, min_jaccard_num=1,
+                                          min_jaccard_den=3).collect()}
+    # doc0–doc1 identical: 3/3; doc0–doc2 share {a b c, b c d}: 2/4
+    assert pairs[(0, 1)] == (3, 3)
+    assert pairs[(0, 2)] == (2, 4)
+    assert pairs[(1, 2)] == (2, 4)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_identical_docs_share_all_bands(docs):
+    pairs = {(r["a"], r["b"]): r["n_shared_bands"]
+             for r in minhash_lsh_pairs(docs, num_hashes=8,
+                                        bands=4, n=3).collect()}
+    assert pairs[(0, 1)] == 4  # identical shingle sets → all bands agree
+    assert all(k == (0, 1) or v < 4 for k, v in pairs.items())
+
+
+def test_simhash_identical_and_hamming(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    assert 0 <= fp[0] < 2 ** 48
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=48).collect()}
+    assert pairs[(0, 1)] == 0
+    # near-dup is closer than the unrelated doc
+    assert pairs[(0, 2)] < pairs[(0, 3)]
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id: long, embedding: array<double>",
+    )
+    probes = vecs.where(F.col("vec_id") == 0)
+    out = [(r["neighbor_id"], r["rank"])
+           for r in cosine_topk(vecs, probes, k=3)
+           .orderBy("rank").collect()]
+    assert out == [(3, 1), (1, 2), (2, 3)]
+
+
+def test_sign_lsh_buckets_deterministic(spark):
+    # 3.5 ensures no ±1±2±3.5 combination is exactly 0, so every plane's
+    # sign flips under negation
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.5]), (1, [1.0, 2.0, 3.5]), (2, [-1.0, -2.0, -3.5])],
+        "vec_id: long, embedding: array<double>",
+    )
+    b = {r["vec_id"]: r["bucket"]
+         for r in sign_lsh_buckets(vecs, n_planes=6).collect()}
+    assert b[0] == b[1]                 # identical vectors, same bucket
+    assert b[0] == (2 ** 6 - 1) - b[2]  # negated vector flips every plane

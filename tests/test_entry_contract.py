@@ -1,0 +1,47 @@
+"""Driver-contract smoke: entry() + every queries() entry runs at
+sf0.001 and every oracle key refers to a registered query.
+
+The full value-level cross-check against DuckDB runs via
+``python tools/check_queries.py`` (and by the driver at sf0.01); here we
+assert the contract shape and that plans contain no per-row Python
+(BatchEvalPython forbidden — BASELINE.md 'no per-row Python' gate).
+"""
+
+import importlib
+import sys
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def contract():
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("__spark_entry__")
+
+
+def test_entry_runs(spark, contract):
+    df = contract.entry(spark)
+    assert df.count() >= 0
+    assert "content_sha" in df.columns
+
+
+def test_oracle_keys_subset_of_queries(contract):
+    qs, os_ = contract.queries(), contract.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 25
+
+
+def test_all_queries_run_at_smallest_sf(spark, contract):
+    for name, fn in contract.queries().items():
+        df = fn(spark, SF)
+        assert df.count() >= 0, name
+
+
+def test_no_per_row_python_in_plans(spark, contract):
+    """Plans may contain ArrowEvalPython/MapInPandas but never
+    BatchEvalPython (row-at-a-time Python UDF)."""
+    for name, fn in contract.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name

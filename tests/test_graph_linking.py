@@ -1,0 +1,80 @@
+"""Golden tests: connected components, alias edges, entity linking, KG
+materialization."""
+
+from pyspark.sql import functions as F
+
+from fastie_spark.graph import (
+    alias_edges_from_mentions,
+    connected_components,
+    materialize_kg,
+)
+from fastie_spark.linking import link_entities
+
+
+def test_connected_components_two_chains(spark):
+    # chain 1-2-3-4, chain 10-11, isolated self-loop 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+        "src: long, dst: long",
+    )
+    cc = {r["node"]: r["comp"]
+          for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # path of 40 nodes exercises pointer jumping (log rounds, max_iter=25)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src: long, dst: long")
+    cc = connected_components(edges)
+    assert cc.select("comp").distinct().count() == 1
+    assert cc.agg(F.min("comp")).collect()[0][0] == 0
+
+
+def test_alias_edges(spark):
+    m = spark.createDataFrame(
+        [("DataLoader",), ("data_loader",), ("dataloader",), ("Spark",)],
+        "surface: string",
+    )
+    edges = {(r["src"], r["dst"])
+             for r in alias_edges_from_mentions(m).collect()}
+    # all three DataLoader variants normalize to 'dataloader'
+    assert edges == {("DataLoader", "data_loader"),
+                     ("DataLoader", "dataloader"),
+                     ("data_loader", "dataloader")}
+
+
+def test_link_entities_blocking_and_tiebreak(spark):
+    mentions = spark.createDataFrame(
+        [("numpy",), ("numpyy",), ("pandas",), ("zzz",)], "surface: string")
+    catalog = spark.createDataFrame(
+        [("numpy", "lib:numpy"), ("numba", "lib:numba"),
+         ("pandas", "lib:pandas")],
+        "alias: string, entity: string",
+    )
+    out = {r["surface"]: (r["entity"], r["distance"])
+           for r in link_entities(mentions, catalog, max_distance=2,
+                                  block_width=1).collect()}
+    assert out["numpy"] == ("lib:numpy", 0)
+    assert out["numpyy"] == ("lib:numpy", 1)
+    assert out["pandas"] == ("lib:pandas", 0)
+    assert "zzz" not in out
+
+
+def test_materialize_kg(spark):
+    triples = spark.createDataFrame(
+        [("d1", "A", "CLASS", "calls", "B", "FUNC"),
+         ("d1", "A", "CLASS", "calls", "B", "FUNC"),
+         ("d2", "B", "FUNC", "uses", "A", "CLASS")],
+        "doc_key: string, subj_text: string, subj_label: string, "
+        "pred: string, obj_text: string, obj_label: string",
+    )
+    nodes, edges = materialize_kg(triples)
+    n = {r["entity"]: (r["label"], r["n_mentions"])
+         for r in nodes.collect()}
+    assert n["A"] == ("CLASS", 3)
+    assert n["B"] == ("FUNC", 3)
+    e = {(r["src"], r["dst"], r["pred"]): (r["weight"], r["n_docs"])
+         for r in edges.collect()}
+    assert e[("A", "B", "calls")] == (2, 1)
+    assert e[("B", "A", "uses")] == (1, 1)

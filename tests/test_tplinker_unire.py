@@ -1,0 +1,110 @@
+"""Golden round-trip tests for the TPLinker and UniRE stages on the
+reference's own RE fixtures (tests/dummy.py:71-139 → tests/fixtures.py).
+
+Both stages must recover the exact gold relation set from their encoded
+representation — the decode-parity gate for the alternate extractors
+(SURVEY §7 M3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastie_spark.extraction.tplinker import (
+    decode_relational,
+    encode_spots,
+    shaking_index_expr,
+    shaking_unindex_exprs,
+)
+from fastie_spark.extraction.unire import (
+    decode_joint_scores,
+    encode_joint_matrix,
+    one_hot_scores,
+)
+from fastie_spark.schemas import SENTENCE
+from tests.fixtures import re_rows
+
+
+@pytest.fixture(scope="module")
+def re_df(spark):
+    return spark.createDataFrame(re_rows(), SENTENCE)
+
+
+def _gold_rel_set(df):
+    return {
+        (r["doc_key"], r["sent_id"], m["s_start"], m["s_end"],
+         m["o_start"], m["o_end"], m["label"])
+        for r in df.collect() for m in r["relation_mentions"]
+    }
+
+
+def test_shaking_index_roundtrip(spark):
+    """k = i*L - i(i-1)/2 + (j-i) and its closed-form inverse agree for
+    every (i ≤ j) cell (handshake_tagger.py:57-70)."""
+    L = 13
+    cells = spark.range(L * L).select(
+        (F.col("id") / L).cast("int").alias("i"),
+        (F.col("id") % L).cast("int").alias("j"),
+    ).where(F.col("i") <= F.col("j"))
+    k = shaking_index_expr("i", "j", str(L))
+    i2, j2 = shaking_unindex_exprs("k", str(L))
+    out = cells.withColumn("k", F.expr(k)) \
+        .withColumn("i2", F.expr(i2)).withColumn("j2", F.expr(j2))
+    bad = out.where((F.col("i") != F.col("i2"))
+                    | (F.col("j") != F.col("j2"))).count()
+    assert bad == 0
+    # k is a bijection onto [0, L(L+1)/2)
+    ks = [r["k"] for r in out.collect()]
+    assert sorted(ks) == list(range(L * (L + 1) // 2))
+
+
+def test_tplinker_roundtrip_recovers_gold(re_df):
+    ents, rels = decode_relational(encode_spots(re_df))
+    got = {
+        (r["doc_key"], r["sent_id"], r["s_start"], r["s_end"],
+         r["o_start"], r["o_end"], r["label"])
+        for r in rels.collect()
+    }
+    assert got == _gold_rel_set(re_df)
+    # decoded entities are exactly the relation-argument entities
+    gold_ents = {
+        (r["doc_key"], r["sent_id"], m[s], m[e],
+         ) for r in re_df.collect() for m in r["relation_mentions"]
+        for s, e in (("s_start", "s_end"), ("o_start", "o_end"))
+    }
+    got_ents = {(r["doc_key"], r["sent_id"], r["start"], r["end"])
+                for r in ents.collect()}
+    assert got_ents == gold_ents
+
+
+def test_unire_joint_matrix_cells(re_df, spark):
+    enc = encode_joint_matrix(re_df)
+    row = enc.where(F.col("sent_id") == 5).collect()[0]
+    m = row["joint_matrix"]
+    # entity diagonal block: PER at (6,7), ORG block (1..3)
+    assert m[6][7] == "PER" and m[7][6] == "PER" and m[6][6] == "PER"
+    assert m[1][2] == "ORG" and m[3][1] == "ORG"
+    # relation block: subj [5,6) × obj [1,4) = ORG-AFF at (5,1..3)
+    assert m[5][1] == "ORG-AFF" and m[5][3] == "ORG-AFF"
+    # symmetric PER-SOC pair present both directions
+    assert m[13][15] == "PER-SOC" and m[15][13] == "PER-SOC"
+    assert m[0][0] == "None"
+
+
+def test_unire_decode_recovers_gold(re_df):
+    labels = ["None", "PER", "ORG", "GPE",
+              "ORG-AFF", "PER-SOC", "PART-WHOLE", "GEN-AFF"]
+    scored = one_hot_scores(re_df, labels)
+    out = decode_joint_scores(
+        scored, labels,
+        ent_labels=["PER", "ORG", "GPE"],
+        rel_labels=["ORG-AFF", "PER-SOC", "PART-WHOLE", "GEN-AFF"],
+        symmetric_labels=["PER-SOC"],
+        separate_threshold=0.5,
+    )
+    got_rels = {
+        (r["doc_key"], r["sent_id"], m["s_start"], m["s_end"],
+         m["o_start"], m["o_end"], m["label"])
+        for r in out.collect() for m in r["rel_pred"]
+    }
+    # UniRE emits relations only between detected entity spans; on the
+    # one-hot tensor every gold relation must be recovered exactly
+    assert got_rels == _gold_rel_set(re_df)

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, sorted column
+names, and an order-insensitive value comparison (columns sorted by
+name, rows sorted by their stringified tuple) — the same contract the
+driver's CORRECTNESS_r{N}.json uses.
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df):
+    import pandas as pd  # noqa
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("float", "Float")):
+            df[c] = df[c].round(6)
+    rows = sorted(df.astype(str).itertuples(index=False, name=None))
+    return rows
+
+
+def main():
+    import duckdb
+
+    from fastie_spark import get_spark
+    from fastie_spark.queries import ORACLES, QUERIES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check-queries")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if name not in ORACLES:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, "
+                  f"{t_spark:.1f}s)")
+            continue
+        t0 = time.time()
+        try:
+            odf = con.execute(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        t_duck = time.time() - t0
+
+        ok = True
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} duck={len(odf)}")
+            ok = False
+        elif sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: cols spark={sorted(sdf.columns)} "
+                  f"duck={sorted(odf.columns)}")
+            ok = False
+        else:
+            s_rows, o_rows = normalize(sdf), normalize(odf)
+            if s_rows != o_rows:
+                diff = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
+                print(f"FAIL {name}: values differ ({len(diff)} rows); "
+                      f"first: spark={diff[0][0]} duck={diff[0][1]}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(sdf)} rows "
+                  f"(spark {t_spark:.1f}s, duck {t_duck:.2f}s)")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} ok; "
+          f"failures: {failures}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

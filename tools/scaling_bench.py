@@ -1,0 +1,108 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol).
+
+The north rule requires throughput scaling efficiency ≥ 0.8 from N to 4N
+executors.  No cluster exists in this sandbox, so per the task protocol
+the same job runs at two parallelism levels on the same input —
+``local[8]`` and ``local[32]`` — in **fresh JVMs** (subprocesses), and
+efficiency = (T_8 / T_32) / 4 on wall time (equivalently throughput
+ratio / 4).
+
+Writes BENCH.md with the table and prints a JSON line.
+
+Usage: python tools/scaling_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import os
+
+WORKER = r"""
+import sys, time, os
+sys.path.insert(0, {repo!r})
+from fastie_spark import get_spark
+from fastie_spark.corpus import entity_gazetteer, synthetic_source_docs
+from fastie_spark.extraction.ner import GazetteerNER
+from fastie_spark.extraction.pipeline import explode_triples
+from fastie_spark.operators.pairs import enumerate_pairs
+from fastie_spark.sources.normalize import docs_to_sentences
+from pyspark.sql import functions as F
+
+spark = get_spark(app_name="scaling-bench", master="local[{cores}]",
+                  shuffle_partitions={cores})
+spark.sparkContext.setLogLevel("ERROR")
+docs = synthetic_source_docs(spark, n_docs={n_docs})
+sents = docs_to_sentences(docs).repartition({cores} * 2)
+ner = GazetteerNER({{(s,): lab for s, lab in entity_gazetteer()}})
+with_m = ner.transform(sents, out_col="ent_pred")
+paired = enumerate_pairs(with_m, mentions_col="ent_pred", flat=False)
+rel = paired.withColumn(
+    "rel_pred",
+    F.expr("transform(filter(pairs, p -> p.obj.start - p.subj.end >= 0 "
+           "AND p.obj.start - p.subj.end <= 3), "
+           "p -> struct(p.subj.start as s_start, p.subj.end as s_end, "
+           "p.obj.start as o_start, p.obj.end as o_end, "
+           "'calls' as label))")).drop("pairs")
+triples = explode_triples(rel, rel_col="rel_pred", ent_col="ent_pred")
+triples.count()  # warm: JVM JIT + code gen + file listing
+t0 = time.time()
+n = triples.count()
+dt = time.time() - t0
+print("RESULT", dt, n, flush=True)
+spark.stop()
+"""
+
+
+def run_at(cores: int, n_docs: int, repo: str) -> tuple[float, int]:
+    code = WORKER.format(repo=repo, cores=cores, n_docs=n_docs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            _, dt, n = line.split()
+            return float(dt), int(n)
+    raise RuntimeError(f"no RESULT at local[{cores}]:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    t8, n1 = run_at(8, n_docs, repo)
+    t32, n2 = run_at(32, n_docs, repo)
+    assert n1 == n2, f"nondeterministic triple count: {n1} != {n2}"
+    thr8, thr32 = n_docs / t8, n_docs / t32
+    eff = (thr32 / thr8) / 4
+    result = {
+        "n_docs": n_docs, "triples": n1,
+        "t_local8_sec": round(t8, 2), "t_local32_sec": round(t32, 2),
+        "docs_per_sec_local8": round(thr8, 1),
+        "docs_per_sec_local32": round(thr32, 1),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    md = f"""# BENCH — scaling evidence (N → 4N cores)
+
+Protocol (BASELINE.md): identical flagship triple-extraction job
+(synthetic corpus → sentences → mention UDF → pair enum → triples),
+same input ({n_docs:,} docs, {n1:,} triples), fresh JVM per run, one
+warm-up action then a timed run.
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[8]  | {t8:.2f} | {thr8:,.1f} |
+| local[32] | {t32:.2f} | {thr32:,.1f} |
+
+**Scaling efficiency (8 → 32 cores) = (thr32/thr8)/4 = {eff:.3f}**
+(target ≥ 0.8 per BASELINE.json north_rule, sandbox proxy per task
+instructions).
+"""
+    with open(os.path.join(repo, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
