@@ -32,26 +32,15 @@ def flagship_throughput(spark) -> tuple[float, float]:
     from pyspark.sql import functions as F
 
     from fastie_spark.corpus import entity_gazetteer, synthetic_source_docs
-    from fastie_spark.extraction.ner import GazetteerNER
-    from fastie_spark.extraction.pipeline import explode_triples
-    from fastie_spark.operators.pairs import enumerate_pairs
+    from fastie_spark.extraction.fused import extract_triples_arrow
     from fastie_spark.sources.normalize import docs_to_sentences
 
     docs = synthetic_source_docs(spark, n_docs=BENCH_DOCS)
-    sents = docs_to_sentences(docs)
-    ner = GazetteerNER({(s,): lab for s, lab in entity_gazetteer()})
-    with_m = ner.transform(sents, out_col="ent_pred")
-    paired = enumerate_pairs(with_m, mentions_col="ent_pred", flat=False)
-    rel = paired.withColumn(
-        "rel_pred",
-        F.expr(
-            "transform(filter(pairs, p -> p.obj.start - p.subj.end >= 0 "
-            "AND p.obj.start - p.subj.end <= 3), "
-            "p -> struct(p.subj.start as s_start, p.subj.end as s_end, "
-            "p.obj.start as o_start, p.obj.end as o_end, "
-            "'calls' as label))"),
-    ).drop("pairs")
-    triples = explode_triples(rel, rel_col="rel_pred", ent_col="ent_pred")
+    sents = docs_to_sentences(docs).select(
+        "doc_key", "sent_id", "tokens", "content_sha")
+    triples = extract_triples_arrow(
+        sents, {(s,): lab for s, lab in entity_gazetteer()},
+        max_gap=3, pred="calls")
     t0 = time.time()
     n = triples.count()
     dt = time.time() - t0

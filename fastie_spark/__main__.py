@@ -1,0 +1,3 @@
+from fastie_spark.cli import main
+
+raise SystemExit(main())

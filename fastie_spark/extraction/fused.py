@@ -1,0 +1,199 @@
+"""Fused extraction kernel: mention match → pair rule → triples, one
+Arrow pass (the engine's high-throughput flagship path).
+
+Motivation (measured, see BENCH.md): the per-stage pipeline spends its
+time in interpreted higher-order functions (in-array pair enumeration,
+slice/concat surface building) whose per-row allocation traffic stops
+scaling past ~8 cores, and a relational self-join alternative shuffles
+every mention row.  This kernel does the whole decode inside one
+``mapInArrow`` over sentence rows:
+
+* gazetteer match via ``pc.index_in`` on the flat token values buffer
+  (unigram + bigram), exactly :func:`gazetteer_ner_arrow`'s algorithm;
+* the PURE-style ordered-pair rule (object follows subject within
+  ``max_gap`` tokens — the deterministic stand-in for the pair scorer)
+  vectorized over the mention arrays: mentions are start-sorted, so
+  each subject pairs only with a bounded forward window of mentions in
+  the same sentence;
+* surfaces assembled with ``pc.binary_join_element_wise`` — Arrow
+  string kernels, zero Python string objects;
+* passthrough columns (doc_key, sent_id, content_sha, ...) gathered
+  with ``pc.take``.
+
+No shuffle, no Python objects, whole pipeline = scan → one Arrow stage
+→ (optional) write.  Scales with cores like any embarrassingly
+parallel kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_triples_arrow(sentences: DataFrame,
+                          surface2label: dict[tuple[str, ...], str],
+                          max_gap: int = 3,
+                          pred: str = "calls",
+                          pair_window: int = 16) -> DataFrame:
+    """Sentence rows (doc_key, sent_id, tokens[, content_sha]) → flat
+    triple table, one fused Arrow stage.
+
+    ``pair_window``: max number of following mentions a subject is
+    checked against — safe upper bound is (max_gap + 2) mentions per
+    token position × positions in the gap window; 16 covers gazetteer
+    densities far beyond natural text (every candidate missed by a
+    too-small window would have ≥ pair_window mentions within max_gap
+    tokens).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    unis = {k[0]: v for k, v in surface2label.items() if len(k) == 1}
+    bis = {k: v for k, v in surface2label.items() if len(k) == 2}
+    if any(len(k) > 2 for k in surface2label):
+        raise ValueError("fused kernel supports surface length <= 2")
+    uni_words = list(unis)
+    uni_labels_np = np.array([unis[w] for w in uni_words], dtype=object)
+    bi_first = [k[0] for k in bis]
+    bi_second = [k[1] for k in bis]
+    bi_labels_np = np.array([bis[k] for k in bis], dtype=object)
+
+    in_names = sentences.columns
+    carry = [c for c in in_names if c not in ("tokens",)]
+    tok_idx = in_names.index("tokens")
+    carry_idx = [in_names.index(c) for c in carry]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sentences.schema.fields if f.name != "tokens")
+    out_schema = (f"{out_fields}, s_start int, s_end int, "
+                  "subj_text string, subj_label string, pred string, "
+                  "o_start int, o_end int, obj_text string, "
+                  "obj_label string")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        uni_set = pa.array(uni_words, type=pa.string())
+        bi1_set = pa.array(bi_first, type=pa.string())
+        bi2_set = pa.array(bi_second, type=pa.string())
+        for batch in batches:
+            la = batch.column(tok_idx)
+            offsets = np.asarray(la.offsets, dtype=np.int64)
+            off0 = offsets[0]
+            flat = la.values.slice(off0, offsets[-1] - off0)
+            offsets = offsets - off0
+            n_flat = len(flat)
+            row_of = np.repeat(np.arange(len(offsets) - 1),
+                               np.diff(offsets))
+
+            # ---- mention match (same algorithm as gazetteer_ner_arrow)
+            pos_parts, end_parts, lab_parts = [], [], []
+            if uni_words:
+                uid = np.asarray(
+                    pc.fill_null(pc.index_in(flat, value_set=uni_set), -1),
+                    dtype=np.int64)
+                p = np.nonzero(uid >= 0)[0]
+                if len(p):
+                    pos_parts.append(p)
+                    end_parts.append(p + 1)
+                    lab_parts.append(uni_labels_np[uid[p]])
+            if bis and n_flat > 1:
+                b1 = np.asarray(
+                    pc.fill_null(pc.index_in(flat, value_set=bi1_set), -1),
+                    dtype=np.int64)
+                b2 = np.asarray(
+                    pc.fill_null(pc.index_in(flat, value_set=bi2_set), -1),
+                    dtype=np.int64)
+                cand = np.nonzero(
+                    (b1[:-1] >= 0) & (b2[1:] >= 0) & (b1[:-1] == b2[1:])
+                    & (row_of[:-1] == row_of[1:]))[0]
+                if len(cand):
+                    pos_parts.append(cand)
+                    end_parts.append(cand + 2)
+                    lab_parts.append(bi_labels_np[b1[cand]])
+
+            if pos_parts:
+                mpos = np.concatenate(pos_parts)
+                mend = np.concatenate(end_parts)
+                mlab = np.concatenate(lab_parts)
+                order = np.argsort(mpos, kind="stable")
+                mpos, mend, mlab = mpos[order], mend[order], mlab[order]
+                mrow = row_of[mpos]
+                # group mentions by row: stable re-sort by row
+                rorder = np.argsort(mrow, kind="stable")
+                mpos, mend, mlab, mrow = (mpos[rorder], mend[rorder],
+                                          mlab[rorder], mrow[rorder])
+            else:
+                mpos = mend = mrow = np.array([], dtype=np.int64)
+                mlab = np.array([], dtype=object)
+
+            # ---- vectorized forward-window pair rule
+            si_parts, oi_parts = [], []
+            nm = len(mpos)
+            for d in range(1, pair_window + 1):
+                if nm <= d:
+                    break
+                s = np.arange(nm - d)
+                o = s + d
+                ok = ((mrow[s] == mrow[o])
+                      & (mpos[o] >= mend[s])
+                      & (mpos[o] - mend[s] <= max_gap))
+                si_parts.append(s[ok])
+                oi_parts.append(o[ok])
+            if si_parts:
+                si = np.concatenate(si_parts)
+                oi = np.concatenate(oi_parts)
+                ord2 = np.lexsort((oi, si))
+                si, oi = si[ord2], oi[ord2]
+            else:
+                si = oi = np.array([], dtype=np.int64)
+
+            # ---- surfaces via Arrow string kernels (no Python strings)
+            def surface(idx_pos, idx_end):
+                first = pc.take(flat, pa.array(idx_pos, type=pa.int64()))
+                wide = (idx_end - idx_pos) == 2
+                if not wide.any():
+                    return first
+                second = pc.take(
+                    flat,
+                    pa.array(np.minimum(idx_pos + 1, n_flat - 1),
+                             type=pa.int64()))
+                joined = pc.binary_join_element_wise(first, second, " ")
+                return pc.if_else(pa.array(wide), joined, first)
+
+            subj_text = surface(mpos[si], mend[si])
+            obj_text = surface(mpos[oi], mend[oi])
+            rows = mrow[si] if len(si) else np.array([], dtype=np.int64)
+            row_idx = pa.array(rows, type=pa.int64())
+
+            local_s = (mpos[si] - offsets[rows]).astype(np.int32) \
+                if len(si) else np.array([], dtype=np.int32)
+            local_se = (mend[si] - offsets[rows]).astype(np.int32) \
+                if len(si) else np.array([], dtype=np.int32)
+            local_o = (mpos[oi] - offsets[rows]).astype(np.int32) \
+                if len(si) else np.array([], dtype=np.int32)
+            local_oe = (mend[oi] - offsets[rows]).astype(np.int32) \
+                if len(si) else np.array([], dtype=np.int32)
+
+            cols = [pc.take(batch.column(i), row_idx) for i in carry_idx]
+            cols += [
+                pa.array(local_s, type=pa.int32()),
+                pa.array(local_se, type=pa.int32()),
+                subj_text,
+                pa.array(mlab[si], type=pa.string()),
+                pa.array(np.full(len(si), pred, dtype=object),
+                         type=pa.string()),
+                pa.array(local_o, type=pa.int32()),
+                pa.array(local_oe, type=pa.int32()),
+                obj_text,
+                pa.array(mlab[oi], type=pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                names=carry + ["s_start", "s_end", "subj_text",
+                               "subj_label", "pred", "o_start", "o_end",
+                               "obj_text", "obj_label"])
+
+    return sentences.mapInArrow(kernel, schema=out_schema)

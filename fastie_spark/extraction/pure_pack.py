@@ -1,0 +1,159 @@
+"""PURE "approx" relation packing: levitated markers + block attention.
+
+Semantics transcribed from ``/root/reference/fastie/tasks/re/pure/
+pure_pipe.py:307-537`` (the reference's own ~10× inference
+optimization — many span pairs amortize one encoder pass):
+
+* the sentence (optionally cross-sentence padded) is wordpiece-
+  tokenized once: ``[CLS] pieces... [SEP]`` with per-token
+  ``tokenized_start/end`` alignment (:377-386);
+* every ordered pair of predicted entities appends **4 levitated
+  marker tokens** ``<SUBJ_START=lbl> <SUBJ_END=lbl> <OBJ_START=lbl>
+  <OBJ_END=lbl>`` (:481-492) whose position ids POINT AT the pair's
+  original wordpiece positions (:494-499) — levitated: they attend to
+  the text and themselves but not to other pairs' markers;
+* the block structure is encoded by ``tokens_type`` (text = 1, k-th
+  pair = k+1); the attention mask is ``to <= 1 or from == to``
+  (:138-151);
+* when the packed sequence would exceed ``max_sequence_len`` the
+  instance splits: emit, reset to the text prefix, continue packing
+  (:425-459); a sentence whose bare text already exceeds the budget is
+  dropped (:401, P3);
+* gold labels looked up per pair with default 0/'None' (:466-473).
+
+Our tokenizer is the deterministic subword splitter
+(functions/subword.py) — the packing algebra (alignment, marker
+positions, splitting, mask blocks) is tokenizer-independent.  Runs as
+``mapInPandas``: packing is inherently sequential per sentence, but
+each sentence is independent — the classic Arrow-batch stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+PACKED_SCHEMA = (
+    "doc_key string, sent_id int, pack_id int, "
+    "input_tokens array<string>, position_ids array<int>, "
+    "tokens_type array<int>, "
+    "subject_index array<array<int>>, object_index array<array<int>>, "
+    "origin_subject_index array<array<int>>, "
+    "origin_object_index array<array<int>>, "
+    "labels array<string>"
+)
+
+
+def _split_pieces(tok: str, piece_len: int = 4) -> list[str]:
+    """Deterministic wordpiece stand-in (matches functions/subword.py)."""
+    ps = [tok[i:i + piece_len] for i in range(0, len(tok), piece_len)]
+    return [ps[0]] + ["##" + p for p in ps[1:]] if ps else [tok]
+
+
+def attention_mask_from_types(tokens_type: list[int]) -> list[list[int]]:
+    """The reference's block mask (pure_pipe.py:138-151): text tokens
+    (type ≤ 1) visible to all; marker blocks only to themselves."""
+    return [[1 if to <= 1 or fr == to else 0 for to in tokens_type]
+            for fr in tokens_type]
+
+
+def pack_pairs(sentences: DataFrame, max_sequence_len: int = 512,
+               piece_len: int = 4,
+               mentions_col: str = "ent_pred",
+               relations_col: str = "relation_mentions") -> DataFrame:
+    """Sentence rows (tokens + predicted mentions [+ gold relations]) →
+    packed instances, one row per (sentence, pack)."""
+    has_rels_maybe = relations_col
+
+    def pack(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_key", "sent_id", "pack_id",
+                                   "input_tokens", "position_ids",
+                                   "tokens_type", "subject_index",
+                                   "object_index", "origin_subject_index",
+                                   "origin_object_index", "labels")}
+            has_rels = has_rels_maybe in pdf.columns
+            for ridx in range(len(pdf)):
+                row = pdf.iloc[ridx]
+                tokens = list(row["tokens"])
+                ents = [(int(m["start"]), int(m["end"]), m["label"])
+                        for m in row[mentions_col]]
+                rels = {}
+                if has_rels and row[has_rels_maybe] is not None:
+                    rels = {((int(r["s_start"]), int(r["s_end"])),
+                             (int(r["o_start"]), int(r["o_end"]))): r["label"]
+                            for r in row[has_rels_maybe]}
+
+                # tokenize once, build alignment (pure_pipe.py:377-386)
+                tokenized_start, tokenized_end = [], []
+                input_tokens = ["[CLS]"]
+                for w in tokens:
+                    tokenized_start.append(len(input_tokens))
+                    input_tokens.extend(_split_pieces(w, piece_len))
+                    tokenized_end.append(len(input_tokens) - 1)
+                input_tokens.append("[SEP]")
+                origin_len = len(input_tokens)
+                if origin_len + 4 > max_sequence_len:
+                    continue  # P3 over-length drop (pure_pipe.py:401)
+
+                position_ids = list(range(origin_len))
+                tokens_type = [1] * origin_len
+                subj_idx, obj_idx = [], []
+                o_subj, o_obj, labels = [], [], []
+                pack_id = 0
+
+                def emit():
+                    nonlocal pack_id, input_tokens, position_ids, \
+                        tokens_type, subj_idx, obj_idx, o_subj, o_obj, labels
+                    out["doc_key"].append(row["doc_key"])
+                    out["sent_id"].append(int(row["sent_id"]))
+                    out["pack_id"].append(pack_id)
+                    out["input_tokens"].append(list(input_tokens))
+                    out["position_ids"].append(list(position_ids))
+                    out["tokens_type"].append(list(tokens_type))
+                    out["subject_index"].append(list(subj_idx) or [[]])
+                    out["object_index"].append(list(obj_idx) or [[]])
+                    out["origin_subject_index"].append(list(o_subj))
+                    out["origin_object_index"].append(list(o_obj))
+                    out["labels"].append(list(labels))
+                    pack_id += 1
+                    input_tokens = input_tokens[:origin_len]
+                    position_ids = list(range(origin_len))
+                    tokens_type = [1] * origin_len
+                    subj_idx, obj_idx = [], []
+                    o_subj, o_obj, labels = [], [], []
+
+                for subj in ents:
+                    for obj in ents:
+                        if subj == obj:
+                            continue
+                        if len(input_tokens) + 4 > max_sequence_len:
+                            emit()  # split (pure_pipe.py:425-459)
+                        s_span = (subj[0], subj[1])
+                        o_span = (obj[0], obj[1])
+                        o_subj.append([s_span[0], s_span[1]])
+                        o_obj.append([o_span[0], o_span[1]])
+                        labels.append(rels.get((s_span, o_span), "None"))
+                        lev = len(position_ids)
+                        subj_idx.append([lev, lev + 1])
+                        obj_idx.append([lev + 2, lev + 3])
+                        input_tokens += [f"<SUBJ_START={subj[2]}>",
+                                         f"<SUBJ_END={subj[2]}>",
+                                         f"<OBJ_START={obj[2]}>",
+                                         f"<OBJ_END={obj[2]}>"]
+                        position_ids += [
+                            tokenized_start[s_span[0]],
+                            tokenized_end[s_span[1] - 1],
+                            tokenized_start[o_span[0]],
+                            tokenized_end[o_span[1] - 1],
+                        ]
+                        tokens_type += [tokens_type[-1] + 1] * 4
+                emit()
+            yield pd.DataFrame(out)
+
+    cols = [c for c in ("doc_key", "sent_id", "tokens", mentions_col,
+                        relations_col) if c in sentences.columns]
+    return sentences.select(*cols).mapInPandas(pack, schema=PACKED_SCHEMA)

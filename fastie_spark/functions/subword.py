@@ -1,0 +1,99 @@
+"""Subword tokenization + token↔wordpiece alignment maps (survey F2).
+
+The reference builds three alignment structures around the HF
+tokenizer:
+
+* token → wordpiece span starts/ends (``/root/reference/fastie/tasks/
+  re/pure/pure_pipe.py:77-97``, ``unire_pipe.py:63-74``): for token t,
+  ``start[t]`` = index of its first wordpiece (+1 for [CLS]),
+  ``end[t]`` = index of its last wordpiece;
+* inverse wordpiece → token map (``tplinker_pipe.py:130-145``).
+
+The tokenizer itself is swappable (HF isn't in this container); the
+deterministic stand-in splits a token into fixed-width pieces with the
+``##`` continuation convention — the alignment algebra, which is what
+downstream span re-basing consumes, is identical for any tokenizer
+that maps one token to ≥1 contiguous pieces.
+
+Everything is pure column expressions: per-token piece counts fold into
+running offsets with an in-row prefix scan — shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def wordpiece_split_expr(tokens_col: str = "tokens",
+                         piece_len: int = 4) -> str:
+    """array<array<string>>: each token's pieces (##-prefixed tails)."""
+    return f"""
+    transform({tokens_col}, t ->
+        transform(sequence(1, greatest(cast(ceil(length(t) / {piece_len}.0)
+                                            as int), 1)), p ->
+            if(p = 1, substring(t, 1, {piece_len}),
+               concat('##', substring(t, (p - 1) * {piece_len} + 1,
+                                      {piece_len})))))
+    """
+
+
+def with_wordpiece_alignment(sentences: DataFrame,
+                             piece_len: int = 4,
+                             cls_offset: int = 1) -> DataFrame:
+    """Add wordpieces + both alignment maps.
+
+    Columns added:
+      wordpieces        array<string>   flattened pieces
+      wp_start          array<int>      token t → first piece index
+      wp_end            array<int>      token t → last piece index + 1
+      wp2token          array<int>      piece p → owning token index
+    ``cls_offset`` shifts piece indices as if a [CLS] slot precedes the
+    sequence (the reference's +1, pure_pipe.py:88).
+    """
+    pieces = wordpiece_split_expr("tokens", piece_len)
+    df = sentences.withColumn("_pieces", F.expr(pieces))
+    # running piece-count prefix: offsets[t] = pieces before token t
+    df = df.withColumn(
+        "_counts", F.expr("transform(_pieces, p -> size(p))")
+    ).withColumn(
+        "_offsets",
+        F.expr("""
+        slice(aggregate(_counts, array(cast(0 as int)),
+              (acc, c) -> concat(acc, array(element_at(acc, -1) + c))),
+              1, size(_counts))
+        """),
+    )
+    return (
+        df.withColumn("wordpieces", F.expr("flatten(_pieces)"))
+        .withColumn(
+            "wp_start",
+            F.expr(f"transform(_offsets, o -> o + {cls_offset})"))
+        .withColumn(
+            "wp_end",
+            F.expr(
+                f"zip_with(_offsets, _counts, (o, c) -> o + c + {cls_offset})"))
+        .withColumn(
+            "wp2token",
+            F.expr(
+                "flatten(transform(sequence(0, size(_counts) - 1), t -> "
+                "transform(sequence(1, element_at(_counts, t + 1)), "
+                "x -> cast(t as int))))"))
+        .drop("_pieces", "_counts", "_offsets")
+    )
+
+
+def rebase_spans_to_wordpieces(df: DataFrame,
+                               mentions_col: str = "entity_mentions",
+                               out_col: str = "wp_mentions") -> DataFrame:
+    """Token-span mentions → wordpiece-span mentions via the alignment
+    maps (the re-basing every model pipe performs before the encoder)."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"""
+        transform({mentions_col}, m -> struct(
+            element_at(wp_start, m.start + 1) as start,
+            element_at(wp_end, m.end) as end,
+            m.label as label))
+        """),
+    )

@@ -107,9 +107,9 @@ def alias_edges_from_mentions(mentions: DataFrame,
     aliases iff they normalize identically (lowercase, strip non-alnum).
     Blocking on the normalized form keeps this an equi-join — never a
     cross join."""
-    norm = F.regexp_replace(F.lower(F.col(surface_col)), "[^a-z0-9]", "")
     surfaces = mentions.select(F.col(surface_col).alias("s")).distinct() \
-        .withColumn("norm", norm)
+        .withColumn(
+            "norm", F.regexp_replace(F.lower(F.col("s")), "[^a-z0-9]", ""))
     a = surfaces.select(F.col("s").alias("sa"), "norm")
     b = surfaces.select(F.col("s").alias("sb"), "norm")
     return (

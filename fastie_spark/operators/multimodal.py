@@ -1,0 +1,132 @@
+"""Multimodal asset operators: opaque binary payloads + typed metadata.
+
+Engine additions for large-scale training-data pipelines (brief
+§multimodal): image/audio/video ride as ``binary`` columns with a
+``map<string,string>`` metadata column (schemas.ASSET).  The Spark-side
+plumbing — schema, partition strategy, Arrow batch shape, UDF
+signatures — is real and tested; the codec calls themselves are stubbed
+behind ``_decode_payload`` because no image/audio libraries exist in
+this container: a deterministic fake decoder synthesizes pixel/sample
+arrays from the payload bytes, and a clearly-marked seam shows where
+PIL/libsndfile/ffmpeg slot in.
+
+Scale notes: payloads are the widest column by 1000× — every operator
+projects them away as early as possible (metadata-only predicates push
+down to the parquet scan and never touch payload pages), and the
+decode stage is ``mapInPandas`` with a small
+``maxRecordsPerBatch``-bounded batch so executor memory stays bounded
+by batch_rows × payload_size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthetic_assets(spark: SparkSession, n: int = 100,
+                     kind: str = "image") -> DataFrame:
+    """Deterministic asset table (schemas.ASSET) built in-plan: payload
+    bytes derived from sha2 of the id, metadata carrying typed fields
+    (width/height for images, sample_rate/duration for audio)."""
+    base = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.lit(kind).alias("kind"),
+        F.unbase64(F.substring(F.base64(F.sha2(
+            F.col("id").cast("string"), 256).cast("binary")), 1, 40)
+        ).alias("payload"),
+    )
+    if kind == "image":
+        meta = F.map_from_arrays(
+            F.array(F.lit("width"), F.lit("height"), F.lit("format")),
+            F.array((F.col("asset_id") % 16 * 64 + 64).cast("string"),
+                    (F.col("asset_id") % 9 * 64 + 64).cast("string"),
+                    F.lit("png")))
+    else:
+        meta = F.map_from_arrays(
+            F.array(F.lit("sample_rate"), F.lit("seconds")),
+            F.array(F.lit("16000"), (F.col("asset_id") % 30 + 1).cast("string")))
+    return base.withColumn("meta", meta)
+
+
+def _decode_payload(payload: bytes, kind: str) -> "object":
+    """Codec seam — REPLACE with PIL.Image.open / soundfile.read /
+    ffmpeg in production.  Here: a deterministic fake that derives a
+    small uint8 array from the payload bytes so downstream shapes and
+    statistics are real and reproducible."""
+    import numpy as np
+
+    if not payload:
+        raise NotImplementedError("empty payload; real codec required")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    # tile to a fixed-size pseudo-raster / sample buffer
+    return np.resize(arr, 256)
+
+
+def decode_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """payload → fixed-dim feature vector (Arrow-batched).
+
+    Output: (asset_id, kind, features array<double>, n_bytes) — the
+    payload column is DROPPED on output so downstream stages never
+    shuffle raster bytes.  The feature extractor here is mean-pooled
+    byte statistics from the fake decoder; a CNN/CLIP encoder slots
+    into the same iterator without touching the plumbing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ("asset_id bigint, kind string, n_bytes bigint, "
+                  "features array<double>")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, sizes = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = _decode_payload(bytes(payload), kind)
+                pooled = raw.reshape(feature_dim, -1).mean(axis=1) / 255.0
+                feats.append([float(x) for x in pooled])
+                sizes.append(len(payload))
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "n_bytes": sizes,
+                "features": feats,
+            })
+
+    return assets.select("asset_id", "kind", "payload") \
+        .mapInPandas(extract, schema=out_schema)
+
+
+def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Metadata-only resize planning: computes target dims from the
+    typed metadata WITHOUT decoding payloads (pure column math — the
+    actual pixel resample belongs in the decode seam).  Demonstrates
+    payload-free pushdown: the plan reads only asset_id + meta."""
+    w = F.col("meta")["width"].cast("int")
+    h = F.col("meta")["height"].cast("int")
+    scale = F.least(F.lit(1.0), F.lit(max_side) /
+                    F.greatest(w, h).cast("double"))
+    return assets.select(
+        "asset_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(assets: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Frame-sampling plan for video/audio assets: one output row per
+    sampled timestamp, from metadata duration — the explode happens
+    BEFORE decode so each frame decode is an independent task (the
+    standard shape for distributing video work)."""
+    seconds = F.col("meta")["seconds"].cast("double")
+    return assets.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0),
+                       F.greatest((seconds * fps).cast("int") - 1, F.lit(0)))
+        ).alias("frame_no"),
+    ).withColumn("t_offset_sec", F.col("frame_no") / fps)

@@ -210,12 +210,17 @@ def cosine_pairs(vectors: DataFrame, threshold: float,
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
+        all_mat_t = np.ascontiguousarray(all_mat.T)
+        out_buf = None  # reused: fresh 100s-of-MB allocations per batch
+        #             cause mmap/page-zero churn that serializes scaling
         for pdf in batches:
             if not len(pdf):
                 continue
             bids = pdf["id"].to_numpy(dtype=np.int64)
             bmat = np.stack(pdf["vn"].to_numpy())
-            sims = bmat @ all_mat.T
+            if out_buf is None or out_buf.shape[0] < bmat.shape[0]:
+                out_buf = np.empty((bmat.shape[0], all_mat_t.shape[1]))
+            sims = np.dot(bmat, all_mat_t, out=out_buf[:bmat.shape[0]])
             bi, aj = np.nonzero(sims >= thr)
             src, dst = bids[bi], all_ids[aj]
             keep = src < dst

@@ -405,37 +405,23 @@ FROM pairs p JOIN documents d ON p.doc_id = d.doc_id
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared pipeline body for the triples/symmetric queries."""
-    s = _chunked_sentences(spark, sf_dir)
-    ner = GazetteerNER({tuple(k.split(" ")): v for k, v in GAZ})
-    with_m = ner.transform(s, out_col="ent_pred")
-    paired = enumerate_pairs(with_m, mentions_col="ent_pred", flat=False)
-    flat = paired.select(
+    """Shared pipeline body for the triples/symmetric queries — the
+    fused Arrow extraction kernel (extraction/fused.py)."""
+    from fastie_spark.extraction.fused import extract_triples_arrow
+    s = _chunked_sentences(spark, sf_dir).select(
+        "doc_key", "sent_id", "tokens", "content_sha")
+    t = extract_triples_arrow(
+        s, {tuple(k.split(" ")): v for k, v in GAZ},
+        max_gap=PAIR_GAP, pred="precedes")
+    return t.select(
         F.col("doc_key").cast("bigint").alias("doc_id"),
         F.col("sent_id").cast("bigint").alias("sent_id"),
-        "tokens",
-        "content_sha",
-        F.explode("pairs").alias("p"),
-    ).where(
-        (F.col("p.obj.start") >= F.col("p.subj.end"))
-        & (F.col("p.obj.start") - F.col("p.subj.end") <= PAIR_GAP)
-    )
-    return flat.select(
-        "doc_id", "sent_id",
-        F.col("p.subj.start").cast("bigint").alias("s_start"),
-        F.col("p.subj.end").cast("bigint").alias("s_end"),
-        F.concat_ws(" ", F.expr(
-            "slice(tokens, p.subj.start + 1, p.subj.end - p.subj.start)"))
-         .alias("subj_text"),
-        F.col("p.subj.label").alias("subj_label"),
-        F.lit("precedes").alias("pred"),
-        F.col("p.obj.start").cast("bigint").alias("o_start"),
-        F.col("p.obj.end").cast("bigint").alias("o_end"),
-        F.concat_ws(" ", F.expr(
-            "slice(tokens, p.obj.start + 1, p.obj.end - p.obj.start)"))
-         .alias("obj_text"),
-        F.col("p.obj.label").alias("obj_label"),
-        "content_sha",
+        F.col("s_start").cast("bigint").alias("s_start"),
+        F.col("s_end").cast("bigint").alias("s_end"),
+        "subj_text", "subj_label", "pred",
+        F.col("o_start").cast("bigint").alias("o_start"),
+        F.col("o_end").cast("bigint").alias("o_end"),
+        "obj_text", "obj_label", "content_sha",
     )
 
 
@@ -1040,9 +1026,11 @@ FROM base
 def _annotated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked sentences with gazetteer entity_mentions and rule-derived
     relation_mentions — the gold input for the decode round-trips."""
+    from fastie_spark.extraction.ner import gazetteer_ner_arrow
     s = _chunked_sentences(spark, sf_dir)
-    ner = GazetteerNER({tuple(k.split(" ")): v for k, v in GAZ})
-    with_m = ner.transform(s, out_col="entity_mentions")
+    with_m = gazetteer_ner_arrow(
+        s, {tuple(k.split(" ")): v for k, v in GAZ},
+        out_col="entity_mentions")
     paired = enumerate_pairs(with_m, mentions_col="entity_mentions",
                              flat=False)
     return paired.withColumn(
@@ -1097,4 +1085,110 @@ def q_unire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.o_start").cast("bigint").alias("o_start"),
         F.col("r.o_end").cast("bigint").alias("o_end"),
         F.col("r.label").alias("label"),
+    )
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only check: decode is a stubbed codec seam,
+# not SQL-expressible — the driver records count+schema)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode → feature-extract plumbing over assets
+    derived from the documents table (payload = utf8 bytes of text)."""
+    from fastie_spark.operators.multimodal import decode_features
+    assets = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text-blob").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("lang"), "lang").alias("meta"),
+    )
+    return decode_features(assets, feature_dim=8).select(
+        "asset_id", "kind", "n_bytes", F.size("features").alias("dim"))
+
+# ---------------------------------------------------------------------------
+# additional relational coverage: accuracy metric (A5-analogue), hopping
+# windows, per-group top-k (K1-analogue), dimension join
+# ---------------------------------------------------------------------------
+
+@query("lang_accuracy", oracle=f"""
+WITH g AS (SELECT doc_id, lang, {language_id_duck_sql("text")} AS guess
+           FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN guess = lang THEN 1 ELSE 0 END)::BIGINT AS n_match
+FROM g GROUP BY lang
+""")
+def q_lang_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy counting (BertNER Accuracy metric shape, bert.py:251-263)
+    of the language-ID heuristic against the lang column."""
+    docs = _documents(spark, sf_dir)
+    guessed = language_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return guessed.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("guess_lang") == F.col("lang")).cast("int"))
+         .cast("bigint").alias("n_match"),
+    )
+
+
+@query("events_hopping", oracle="""
+WITH e AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+             AS w
+  FROM events)
+SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start, event_type,
+       count(*)::BIGINT AS n_events
+FROM e GROUP BY 1, 2
+""")
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time window (2h size, 1h slide): each event lands
+    in two windows — the overlapping-window operator."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                   "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm")
+                .alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query("topk_per_group", oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+SELECT o_custkey, o_orderkey, rk::BIGINT AS rk FROM r WHERE rk <= 3
+""")
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group top-k (the reference's top-k checkpoint
+    retention K1, base_task.py:543-572, as a data-plane operator)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.col("rk").cast("bigint").alias("rk")))
+
+
+@query("segment_revenue", oracle="""
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+       sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast-dimension join + aggregation (the engine's
+    canonical small-dim join shape)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+              .cast("bigint").alias("cents"))
     )

@@ -1,0 +1,68 @@
+"""Determinism + skew-handling gates (SURVEY §5).
+
+* determinism: two independent runs of the flagship pipeline over the
+  skewed synthetic corpus produce byte-identical sorted output (the
+  north_rule resumability story depends on it);
+* salted linking: the hot-block salted join returns exactly the
+  unsalted result (salting must never change semantics);
+* arrow matcher: the vectorized mapInArrow mention detector equals the
+  per-batch-python GazetteerNER on the same input.
+"""
+
+from pyspark.sql import functions as F
+
+from fastie_spark.corpus import entity_gazetteer, synthetic_source_docs
+from fastie_spark.extraction.ner import GazetteerNER, gazetteer_ner_arrow
+from fastie_spark.linking import link_entities
+from fastie_spark.sources.normalize import docs_to_sentences
+
+
+def _run_hash(spark, n_docs=300):
+    docs = synthetic_source_docs(spark, n_docs=n_docs)
+    sents = docs_to_sentences(docs)
+    with_m = gazetteer_ner_arrow(
+        sents, {(s,): lab for s, lab in entity_gazetteer()},
+        out_col="ent_pred")
+    flat = with_m.select(
+        "doc_key", "sent_id", F.explode("ent_pred").alias("m"))
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", "doc_key",
+                              F.col("sent_id").cast("string"),
+                              F.col("m.start").cast("string"),
+                              F.col("m.end").cast("string"),
+                              "m.label")), 1, 14), 16, 10).cast("bigint")
+    return flat.select(hv.alias("h")).agg(
+        F.count("*"), F.sum(F.col("h").cast("decimal(38,0)")),
+        F.min("h"), F.max("h")).collect()[0]
+
+
+def test_two_runs_identical(spark):
+    assert _run_hash(spark) == _run_hash(spark)
+
+
+def test_salted_linking_equals_unsalted(spark):
+    mentions = synthetic_source_docs(spark, n_docs=200).select(
+        F.explode(F.split("content", " ")).alias("surface"))
+    catalog = spark.createDataFrame(
+        [("dataloader", "e1"), ("sparkengine", "e2"), ("parse_config", "e3"),
+         ("numpy", "e4"), ("duckdb", "e5")],
+        "alias: string, entity: string")
+    plain = sorted(map(tuple, link_entities(
+        mentions, catalog, max_distance=2, block_width=1).collect()))
+    salted = sorted(map(tuple, link_entities(
+        mentions, catalog, max_distance=2, block_width=1,
+        salt=4).collect()))
+    assert plain == salted
+    assert len(plain) > 0
+
+
+def test_arrow_matcher_equals_pandas_matcher(spark):
+    gaz = {(s,): lab for s, lab in entity_gazetteer()}
+    gaz[("emit_triples", "calls")] = "BG"  # exercise the bigram path
+    sents = docs_to_sentences(synthetic_source_docs(spark, n_docs=150))
+    a = GazetteerNER(gaz).transform(sents, out_col="p") \
+        .select("doc_key", "sent_id", F.to_json("p").alias("j"))
+    b = gazetteer_ner_arrow(sents, gaz, out_col="p") \
+        .select("doc_key", "sent_id", F.to_json("p").alias("j"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,51 @@
+"""Multimodal asset plumbing tests (decode stubbed, shapes real)."""
+
+from pyspark.sql import functions as F
+
+from fastie_spark.operators.multimodal import (
+    decode_features,
+    resize_images,
+    sample_frames,
+    synthetic_assets,
+)
+
+
+def test_decode_features_shape_and_determinism(spark):
+    assets = synthetic_assets(spark, n=20, kind="image")
+    out = decode_features(assets, feature_dim=8)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert len(r["features"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    rows2 = {r["asset_id"]: r["features"] for r in out.collect()}
+    assert all(rows2[k] == rows[k]["features"] for k in rows)
+    # payload never reaches the output schema
+    assert "payload" not in out.columns
+
+
+def test_resize_plan_is_payload_free(spark):
+    assets = synthetic_assets(spark, n=30, kind="image")
+    out = resize_images(assets, max_side=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruned before any exchange
+    for r in out.collect():
+        assert max(r["target_width"], r["target_height"]) <= 128
+        # aspect ratio preserved within rounding
+        if r["width"] >= r["height"]:
+            assert r["target_width"] >= r["target_height"] - 1
+
+
+def test_sample_frames(spark):
+    assets = synthetic_assets(spark, n=5, kind="audio")
+    out = sample_frames(assets, fps=2.0)
+    per = out.groupBy("asset_id").agg(
+        F.count("*").alias("n"), F.max("t_offset_sec").alias("mx")).collect()
+    meta = {r["asset_id"]: int(r["meta"]["seconds"])
+            for r in assets.collect()}
+    for r in per:
+        expect = max(meta[r["asset_id"]] * 2, 1)
+        assert r["n"] == expect
+        assert r["mx"] == (expect - 1) / 2.0

@@ -1,0 +1,64 @@
+"""Golden test for the PURE approx packing (pure_pipe.py:307-537)."""
+
+from fastie_spark.extraction.pure_pack import (
+    attention_mask_from_types,
+    pack_pairs,
+)
+
+
+def _df(spark, max_len=512):
+    rows = [("d", 0, ["Alpha", "likes", "Beta"],
+             [(0, 1, "PER"), (2, 3, "PER")],
+             [(0, 1, 2, 3, "LIKES")])]
+    df = spark.createDataFrame(
+        rows, "doc_key string, sent_id int, tokens array<string>, "
+        "ent_pred array<struct<start:int,end:int,label:string>>, "
+        "relation_mentions array<struct<s_start:int,s_end:int,"
+        "o_start:int,o_end:int,label:string>>")
+    return pack_pairs(df, max_sequence_len=max_len)
+
+
+def test_pack_layout(spark):
+    packs = _df(spark).collect()
+    assert len(packs) == 1
+    p = packs[0]
+    # [CLS] Alph ##a like ##s Beta [SEP] = 7 wordpieces (piece_len=4)
+    assert p["input_tokens"][:7] == ["[CLS]", "Alph", "##a", "like",
+                                     "##s", "Beta", "[SEP]"]
+    # 2 ordered pairs → 8 marker tokens
+    assert p["input_tokens"][7:] == [
+        "<SUBJ_START=PER>", "<SUBJ_END=PER>",
+        "<OBJ_START=PER>", "<OBJ_END=PER>",
+        "<SUBJ_START=PER>", "<SUBJ_END=PER>",
+        "<OBJ_START=PER>", "<OBJ_END=PER>"]
+    # marker position ids point at the original wordpiece spans:
+    # Alpha = wp[1..2], Beta = wp[5..5]
+    assert p["position_ids"][:7] == [0, 1, 2, 3, 4, 5, 6]
+    assert p["position_ids"][7:11] == [1, 2, 5, 5]   # (Alpha, Beta)
+    assert p["position_ids"][11:] == [5, 5, 1, 2]    # (Beta, Alpha)
+    # block types: text=1, pair1=2, pair2=3
+    assert p["tokens_type"] == [1] * 7 + [2] * 4 + [3] * 4
+    # labels: (Alpha,Beta)=LIKES, (Beta,Alpha)=None
+    assert p["labels"] == ["LIKES", "None"]
+    assert p["subject_index"] == [[7, 8], [11, 12]]
+    assert p["object_index"] == [[9, 10], [13, 14]]
+    assert p["origin_subject_index"] == [[0, 1], [2, 3]]
+
+
+def test_block_attention_mask():
+    m = attention_mask_from_types([1, 1, 2, 2, 3, 3])
+    # text rows see everything text-ish; markers see text + own block
+    assert m[0] == [1, 1, 0, 0, 0, 0]
+    assert m[2] == [1, 1, 1, 1, 0, 0]
+    assert m[4] == [1, 1, 0, 0, 1, 1]
+
+
+def test_pack_splitting(spark):
+    # budget forces each pair into its own pack: origin_len=7, +4 > 12
+    packs = _df(spark, max_len=12).collect()
+    assert len(packs) == 2
+    assert [p["pack_id"] for p in packs] == [0, 1]
+    assert all(len(p["labels"]) == 1 for p in packs)
+    # every pack restarts from the bare text prefix
+    assert all(p["input_tokens"][6] == "[SEP]" for p in packs)
+    assert all(p["tokens_type"] == [1] * 7 + [2] * 4 for p in packs)

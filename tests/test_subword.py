@@ -1,0 +1,47 @@
+"""Golden tests for wordpiece alignment (survey F2 semantics)."""
+
+from pyspark.sql import functions as F
+
+from fastie_spark.functions.subword import (
+    rebase_spans_to_wordpieces,
+    with_wordpiece_alignment,
+)
+
+
+def _one(spark, tokens, mentions=None):
+    rows = [("d", 0, tokens, mentions or [])]
+    df = spark.createDataFrame(
+        rows, "doc_key string, sent_id int, tokens array<string>, "
+        "entity_mentions array<struct<start:int,end:int,label:string>>")
+    return with_wordpiece_alignment(df, piece_len=4)
+
+
+def test_alignment_maps(spark):
+    # pieces: spark→[spar,##k]=2, on→[on]=1, tables→[tabl,##es]=2
+    r = _one(spark, ["spark", "on", "tables"]).collect()[0]
+    assert r["wordpieces"] == ["spar", "##k", "on", "tabl", "##es"]
+    # +1 CLS offset: token0 pieces at wp[1..2], token1 at [3], token2 [4..5]
+    assert r["wp_start"] == [1, 3, 4]
+    assert r["wp_end"] == [3, 4, 6]
+    assert r["wp2token"] == [0, 0, 1, 2, 2]
+
+
+def test_span_rebase(spark):
+    df = _one(spark, ["spark", "on", "tables"],
+              [(0, 1, "ENGINE"), (1, 3, "X")])
+    out = rebase_spans_to_wordpieces(df).collect()[0]["wp_mentions"]
+    # token span [0,1) → wp [1,3); [1,3) → wp [3,6)
+    assert [(m["start"], m["end"], m["label"]) for m in out] == \
+        [(1, 3, "ENGINE"), (3, 6, "X")]
+
+
+def test_roundtrip_token_identity(spark):
+    toks = ["abcdefgh", "x", "yz", "longtokenhere"]
+    r = _one(spark, toks).collect()[0]
+    # stripping ## and re-joining pieces per token recovers the tokens
+    rebuilt = []
+    for t in range(len(toks)):
+        ps = r["wordpieces"][r["wp_start"][t] - 1:r["wp_end"][t] - 1]
+        rebuilt.append("".join(p.removeprefix("##") for p in ps))
+    assert rebuilt == toks
+    assert len(r["wp2token"]) == len(r["wordpieces"])
