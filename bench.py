@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 
 
 def flagship_throughput(spark) -> tuple[float, float]:
@@ -66,7 +66,7 @@ def main() -> None:
         assert n >= 0
 
     fl_sec, docs_per_sec = flagship_throughput(spark)
-    per_query["flagship_synthetic_50k"] = round(fl_sec, 3)
+    per_query["flagship_synthetic"] = round(fl_sec, 3)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
