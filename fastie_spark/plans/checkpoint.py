@@ -120,7 +120,11 @@ class PipelineRunner:
                 if cols:
                     writer = writer.partitionBy(*cols)
             writer.parquet(snap)
-            current = self.spark.read.parquet(snap)
+            try:
+                current = self.spark.read.parquet(snap)
+            except Exception:  # noqa: BLE001 — empty partitioned write
+                # leaves only _SUCCESS; schema can't be inferred
+                current = self.spark.createDataFrame([], out.schema)
             n_rows = current.count()
             wall = time.time() - t0
             self._append("manifest", [(
