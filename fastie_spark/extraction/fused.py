@@ -58,8 +58,10 @@ def extract_triples_arrow(sentences: DataFrame,
         raise ValueError("fused kernel supports surface length <= 2")
     uni_words = list(unis)
     uni_labels_np = np.array([unis[w] for w in uni_words], dtype=object)
-    bi_first = [k[0] for k in bis]
-    bi_second = [k[1] for k in bis]
+    # bigrams matched as ONE joined key ("first\x00second"): index_in on
+    # first/second words separately returns the first index for duplicate
+    # values and silently misses bigrams sharing a first or second word
+    bi_joined = [f"{k[0]}\x00{k[1]}" for k in bis]
     bi_labels_np = np.array([bis[k] for k in bis], dtype=object)
 
     in_names = sentences.columns
@@ -76,8 +78,7 @@ def extract_triples_arrow(sentences: DataFrame,
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         uni_set = pa.array(uni_words, type=pa.string())
-        bi1_set = pa.array(bi_first, type=pa.string())
-        bi2_set = pa.array(bi_second, type=pa.string())
+        bi_set = pa.array(bi_joined, type=pa.string())
         for batch in batches:
             la = batch.column(tok_idx)
             offsets = np.asarray(la.offsets, dtype=np.int64)
@@ -100,19 +101,17 @@ def extract_triples_arrow(sentences: DataFrame,
                     end_parts.append(p + 1)
                     lab_parts.append(uni_labels_np[uid[p]])
             if bis and n_flat > 1:
-                b1 = np.asarray(
-                    pc.fill_null(pc.index_in(flat, value_set=bi1_set), -1),
-                    dtype=np.int64)
-                b2 = np.asarray(
-                    pc.fill_null(pc.index_in(flat, value_set=bi2_set), -1),
+                joined = pc.binary_join_element_wise(
+                    flat.slice(0, n_flat - 1), flat.slice(1), "\x00")
+                bid = np.asarray(
+                    pc.fill_null(pc.index_in(joined, value_set=bi_set), -1),
                     dtype=np.int64)
                 cand = np.nonzero(
-                    (b1[:-1] >= 0) & (b2[1:] >= 0) & (b1[:-1] == b2[1:])
-                    & (row_of[:-1] == row_of[1:]))[0]
+                    (bid >= 0) & (row_of[:-1] == row_of[1:]))[0]
                 if len(cand):
                     pos_parts.append(cand)
                     end_parts.append(cand + 2)
-                    lab_parts.append(bi_labels_np[b1[cand]])
+                    lab_parts.append(bi_labels_np[bid[cand]])
 
             if pos_parts:
                 mpos = np.concatenate(pos_parts)

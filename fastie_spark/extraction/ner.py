@@ -193,8 +193,11 @@ def gazetteer_ner_arrow(sentences: DataFrame,
 
     uni_words = list(unis)
     uni_labels = np.array([unis[w] for w in uni_words], dtype=object)
-    bi_first = [k[0] for k in bis]
-    bi_second = [k[1] for k in bis]
+    # bigrams are matched as ONE joined key ("first\x00second") — matching
+    # first/second words independently with index_in would return the
+    # first index for duplicate values, silently missing any gazetteer
+    # with two bigrams sharing a first or second word
+    bi_joined = [f"{k[0]}\x00{k[1]}" for k in bis]
     bi_labels = np.array([bis[k] for k in bis], dtype=object)
 
     in_names = sentences.columns
@@ -205,8 +208,7 @@ def gazetteer_ner_arrow(sentences: DataFrame,
 
     def match(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         uni_set = pa.array(uni_words, type=pa.string())
-        bi1_set = pa.array(bi_first, type=pa.string())
-        bi2_set = pa.array(bi_second, type=pa.string())
+        bi_set = pa.array(bi_joined, type=pa.string())
         for batch in batches:
             toks = batch.column(tok_idx)
             if isinstance(toks, pa.ChunkedArray):
@@ -233,26 +235,20 @@ def gazetteer_ner_arrow(sentences: DataFrame,
                     hits_pos.append(pos)
                     hits_end.append(pos + 1)
                     hits_lab.append(uni_labels[uid[pos]])
-            if bis:
-                b1 = np.asarray(
-                    pc.fill_null(pc.index_in(flat, value_set=bi1_set), -1),
+            if bis and n_flat > 1:
+                # position p starts bigram k iff join(tok[p], tok[p+1])
+                # equals bigram key k and p+1 is in the same row
+                joined = pc.binary_join_element_wise(
+                    flat.slice(0, n_flat - 1), flat.slice(1), "\x00")
+                bid = np.asarray(
+                    pc.fill_null(pc.index_in(joined, value_set=bi_set), -1),
                     dtype=np.int64)
-                b2 = np.asarray(
-                    pc.fill_null(pc.index_in(flat, value_set=bi2_set), -1),
-                    dtype=np.int64)
-                # position p starts bigram k iff b1[p]=k, b2[p+1]=k, and
-                # p+1 is in the same row
-                if n_flat > 1:
-                    cand = np.nonzero(
-                        (b1[:-1] >= 0) & (b2[1:] >= 0)
-                        & (b1[:-1] == b2[1:])
-                        & (row_of[:-1] == row_of[1:]))[0]
-                else:
-                    cand = np.array([], dtype=np.int64)
+                cand = np.nonzero(
+                    (bid >= 0) & (row_of[:-1] == row_of[1:]))[0]
                 if len(cand):
                     hits_pos.append(cand)
                     hits_end.append(cand + 2)
-                    hits_lab.append(bi_labels[b1[cand]])
+                    hits_lab.append(bi_labels[bid[cand]])
 
             if hits_pos:
                 allpos = np.concatenate(hits_pos)

@@ -104,16 +104,37 @@ def encode_spots(sentences: DataFrame) -> DataFrame:
 
 
 def _cap(df: DataFrame, order_cols: list, cap: int, what: str) -> DataFrame:
-    """Deterministic per-sentence cap in reference nonzero order (K2).
-    The dropped count must be surfaced, not silent (survey P4): callers
-    can diff counts; we also attach it as a plan-visible filter."""
+    """Deterministic per-sentence spot cap (K2).  The dropped count must
+    be surfaced, not silent (survey P4): callers can diff counts; we
+    also attach it as a plan-visible filter.
+
+    Ordering deviation from the reference (documented): the reference
+    truncates in nonzero order keyed by fastNLP's insertion-order rel_id
+    — non-reproducible across runs.  Here the relation key is an
+    explicit ``rel_id`` from the deterministic sorted vocab
+    (vocab_build semantics: lexicographic label order), so the cap is
+    stable across engines and runs; when >cap spots exist with multiple
+    relation types the retained SET can differ from a particular
+    reference run's insertion order."""
     w = Window.partitionBy("doc_key", "sent_id").orderBy(*order_cols)
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= cap).drop("_rn"))
 
 
-def decode_relational(spots: DataFrame,
-                      apply_caps: bool = True) -> tuple[DataFrame, DataFrame]:
+def _with_rel_id(df: DataFrame, rel2id: dict[str, int] | None) -> DataFrame:
+    """Attach the deterministic rel_id used as the cap's primary key.
+    ``rel2id`` (e.g. from a trained vocab) overrides; default = sorted
+    label order, the engine's vocab_build id assignment."""
+    if rel2id is None:
+        return df.withColumn("rel_id", F.col("rel"))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(rel2id.items()) for x in kv])
+    return df.withColumn("rel_id", mapping[F.col("rel")])
+
+
+def decode_relational(spots: DataFrame, apply_caps: bool = True,
+                      rel2id: dict[str, int] | None = None,
+                      ) -> tuple[DataFrame, DataFrame]:
     """Spots → (entity table, relation table) via equi-joins.
 
     entity table: (doc_key, sent_id, start, end, label) right-exclusive.
@@ -150,8 +171,11 @@ def decode_relational(spots: DataFrame,
     )
     if apply_caps:
         ents = _cap(ents, ["i", "j"], ENT_SPOT_CAP, "entity spots")
-        heads = _cap(heads, ["rel", "_i", "_j"], REL_SPOT_CAP, "head spots")
-        tails = _cap(tails, ["rel", "_i", "_j"], REL_SPOT_CAP, "tail spots")
+        heads = _cap(_with_rel_id(heads, rel2id),
+                     ["rel_id", "_i", "_j"], REL_SPOT_CAP, "head spots")
+        tails = _cap(_with_rel_id(tails, rel2id),
+                     ["rel_id", "_i", "_j"], REL_SPOT_CAP, "tail spots")
+        heads, tails = heads.drop("rel_id"), tails.drop("rel_id")
     heads = heads.drop("_i", "_j")
     tails = tails.drop("_i", "_j").dropDuplicates()
 

@@ -78,15 +78,16 @@ class PipelineRunner:
         except Exception:  # noqa: BLE001
             return self.spark.createDataFrame([], METRICS_SCHEMA)
 
-    def _completed(self) -> dict[str, str]:
-        """stage name → input fingerprint of the latest ok row."""
+    def _completed(self) -> dict[str, tuple[str, str]]:
+        """stage name → (input fingerprint, extra json) of latest ok row."""
         rows = (
             self.manifest().where(F.col("status") == "ok")
             .groupBy("stage")
-            .agg(F.expr("max_by(input_fingerprint, ts)").alias("fp"))
+            .agg(F.expr("max_by(input_fingerprint, ts)").alias("fp"),
+                 F.expr("max_by(extra, ts)").alias("extra"))
             .collect()
         )
-        return {r["stage"]: r["fp"] for r in rows}
+        return {r["stage"]: (r["fp"], r["extra"]) for r in rows}
 
     # -- fingerprints ---------------------------------------------------
     @staticmethod
@@ -108,8 +109,17 @@ class PipelineRunner:
         for i, stage in enumerate(stages):
             fp = self._fingerprint(current, upstream)
             snap = f"{self.root}/stages/{stage.name}"
-            if resume and completed.get(stage.name) == fp:
-                current = self.spark.read.parquet(snap)
+            done = completed.get(stage.name)
+            if resume and done is not None and done[0] == fp:
+                try:
+                    current = self.spark.read.parquet(snap)
+                except Exception:  # noqa: BLE001 — an empty partitioned
+                    # snapshot holds only _SUCCESS; rebuild the empty
+                    # DataFrame from the schema persisted in the manifest
+                    from pyspark.sql.types import StructType
+                    schema = StructType.fromJson(
+                        json.loads(done[1])["schema"])
+                    current = self.spark.createDataFrame([], schema)
                 upstream = f"{upstream}>{stage.name}"
                 continue
             t0 = time.time()
@@ -130,7 +140,10 @@ class PipelineRunner:
             self._append("manifest", [(
                 self.run_id, stage.name, i, "ok", fp, n_rows,
                 current.rdd.getNumPartitions(), wall, time.time(),
-                json.dumps({"snapshot": snap}),
+                # schema persisted so a later RESUME can reconstruct an
+                # empty partitioned snapshot (only _SUCCESS on disk)
+                json.dumps({"snapshot": snap,
+                            "schema": out.schema.jsonValue()}),
             )], MANIFEST_SCHEMA)
             self._append("metrics", [
                 (self.run_id, stage.name, "n_rows", float(n_rows)),

@@ -89,8 +89,12 @@ def streaming_extract(spark: SparkSession, docs_path: str,
                       checkpoint_dir: str, out_path: str,
                       ner, rel=None) -> None:
     """foreachBatch ingestion: micro-batches of source docs → the batch
-    triple pipeline → append to the triple table.  Resume = restart with
-    the same checkpoint dir (Spark replays only uncommitted batches)."""
+    triple pipeline → the triple table, partitioned by batch id.  Resume
+    = restart with the same checkpoint dir (Spark replays only
+    uncommitted batches); foreachBatch delivery is at-least-once, so
+    each batch overwrites its own ``batch=<id>`` subdirectory — a
+    retried partial write is replaced, never duplicated
+    (exactly-once-per-batch output)."""
     from fastie_spark.extraction.pipeline import explode_triples
     from fastie_spark.operators.pairs import enumerate_pairs
     from fastie_spark.sources.normalize import docs_to_sentences
@@ -118,7 +122,12 @@ def streaming_extract(spark: SparkSession, docs_path: str,
         ).drop("pairs")
         triples = explode_triples(with_rel, rel_col="rel_pred",
                                   ent_col="ent_pred")
-        triples.write.mode("append").parquet(out_path)
+        # idempotent per batch: foreachBatch is at-least-once, so a
+        # retried micro-batch must OVERWRITE its own batch-id-keyed
+        # subdirectory instead of appending duplicates — this is what
+        # makes the docstring's exactly-once-per-batch resume true
+        triples.write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -107,3 +107,61 @@ def test_streaming_extract_resumes(spark, tmp_path):
     # resume with same checkpoint: no new batches → no duplicates
     streaming_extract(spark, src, ckpt, out, ner)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_resume_survives_empty_partitioned_snapshot(spark, tmp_path):
+    """A stage that writes an EMPTY partitioned snapshot (only _SUCCESS
+    on disk) is recorded ok; a later resume must reconstruct the empty
+    DataFrame from the schema persisted in the manifest instead of
+    crashing on parquet schema inference."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "py") for i in range(5)],
+        "doc_id: long, text: string, lang: string")
+    root = str(tmp_path / "pipe_empty")
+    calls = []
+
+    def drop_all(df):
+        calls.append("a")
+        return df.where("doc_id < 0")  # empty output
+
+    def downstream(df):
+        calls.append("b")
+        return df.withColumn("n", F.length("text"))
+
+    stages = [Stage("drop_all", drop_all, partition_by=("lang",)),
+              Stage("downstream", downstream)]
+    out1 = PipelineRunner(spark, root, run_id="e1").run(docs, stages)
+    assert out1.count() == 0
+    calls.clear()
+
+    # resume: both stages skip; the empty partitioned snapshot is
+    # rebuilt from the manifest schema (partition col folded into data)
+    out2 = PipelineRunner(spark, root, run_id="e2").run(docs, stages)
+    assert calls == []
+    assert out2.count() == 0
+    assert "doc_id" in out2.columns and "text" in out2.columns
+
+
+def test_streaming_extract_idempotent_on_redelivery(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same batches into
+    the same output dir (fresh checkpoint = full redelivery) must
+    overwrite per-batch output, not append duplicates."""
+    from fastie_spark.extraction.ner import GazetteerNER
+    from fastie_spark.streaming.events import streaming_extract
+
+    src = str(tmp_path / "docs_src2")
+    spark.createDataFrame(
+        [("r1", f"f{i}.py", "c1", "py", "Alpha calls Beta")
+         for i in range(8)],
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string",
+    ).write.mode("overwrite").parquet(src)
+
+    ner = GazetteerNER({("Alpha",): "CLASS", ("Beta",): "CLASS"})
+    out = str(tmp_path / "triples_out2")
+    streaming_extract(spark, src, str(tmp_path / "ck_a"), out, ner)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 8
+    # fresh checkpoint → Spark redelivers every batch (the retry case)
+    streaming_extract(spark, src, str(tmp_path / "ck_b"), out, ner)
+    assert spark.read.parquet(out).count() == n1

@@ -110,3 +110,43 @@ def test_no_per_row_python_in_plan(spark):
     plan = triples._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+def test_arrow_bigram_duplicate_words(spark):
+    """Regression: gazetteers with two bigrams sharing a first or second
+    word must match in the Arrow paths (index_in on first/second words
+    separately returns the first index for duplicates and missed these;
+    the fix matches the joined "first\\x00second" key)."""
+    from fastie_spark.extraction.fused import extract_triples_arrow
+    from fastie_spark.extraction.ner import gazetteer_ner_arrow
+
+    gaz = {
+        ("new", "york"): "LOC",
+        ("new", "jersey"): "LOC",     # duplicate first word
+        ("fort", "york"): "FORT",     # duplicate second word
+        ("spark",): "ENGINE",
+    }
+    df = spark.createDataFrame(
+        [("d0", 0, "new york and new jersey near fort york run spark".split()),
+         ("d1", 0, "new jersey alone".split())],
+        "doc_key string, sent_id int, tokens array<string>")
+
+    arrow = {
+        (r["doc_key"], m["start"], m["end"], m["label"])
+        for r in gazetteer_ner_arrow(df, gaz).collect()
+        for m in r["ent_pred"]
+    }
+    pandas_twin = {
+        (r["doc_key"], m["start"], m["end"], m["label"])
+        for r in GazetteerNER(gaz).transform(df).collect()
+        for m in r["ent_pred"]
+    }
+    assert arrow == pandas_twin
+    assert ("d0", 3, 5, "LOC") in arrow      # new jersey
+    assert ("d0", 6, 8, "FORT") in arrow     # fort york
+    assert ("d1", 0, 2, "LOC") in arrow
+
+    # fused kernel sees the same mentions (pair rule over them)
+    trip = extract_triples_arrow(df, gaz, max_gap=3, pred="near")
+    got = {(r["subj_text"], r["obj_text"]) for r in trip.collect()}
+    assert ("new jersey", "fort york") in got
