@@ -24,10 +24,14 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastie_spark.functions.hashing import portable_hash64, spark_hash64_sql
+
+log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -93,13 +97,20 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     result is bit-identical across engines.
 
     ``max_df`` (scale guard): drop shingles occurring in more than this
-    many docs before the join.  Changes semantics slightly (documented
-    cap — callers at web scale log the dropped count); default None keeps
-    exact semantics for the oracle.
+    many docs before the join — the hot-key guard that bounds every
+    posting list.  Changes semantics (a documented cap, never silent:
+    the number of dropped shingles is logged at INFO).  ``max_df=None``
+    keeps exact semantics and is the VERIFY-ONLY form — at web scale a
+    boilerplate shingle in 10^9 docs makes the unguarded join explode,
+    so production callers must set ``max_df``.
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     if max_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
+        # no-silent-caps rule: surface what the guard dropped
+        n_hot = hot.count()
+        log.info("ngram_jaccard_pairs: max_df=%d drops %d hot shingles",
+                 max_df, n_hot)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
@@ -284,23 +295,73 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     )
 
 
+def fingerprint_bands(fp: DataFrame, n_bands: int = 4,
+                      id_col: str = "doc_id",
+                      fp_col: str = "simhash") -> DataFrame:
+    """Split a fingerprint column into ``n_bands`` bit-bands:
+    (id, band, band_bits).  Join on (band, band_bits) to generate
+    candidate pairs — the LSH blocking step."""
+    band_width = SIMHASH_BITS // n_bands
+    return fp.select(
+        id_col,
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
+        fp_col,
+    ).select(
+        id_col,
+        "band",
+        F.expr(
+            f"({fp_col} div shiftleft(cast(1 as bigint), band * {band_width}))"
+            f" % shiftleft(cast(1 as bigint), {band_width})"
+        ).alias("band_bits"),
+    )
+
+
 def simhash_bands(docs: DataFrame, n_bands: int = 4,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """LSH blocking for SimHash: split the fingerprint into ``n_bands``
     bit-bands; docs sharing any band value are candidates.  Output
     (doc_id, band, band_bits) — join on (band, band_bits) to generate
     candidates with at most hamming ≤ bits/n_bands·(n_bands-1) misses."""
-    band_width = SIMHASH_BITS // n_bands
     s = simhash(docs, text_col=text_col, id_col=id_col)
-    return s.select(
-        id_col,
-        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
-        "simhash",
-    ).select(
-        id_col,
-        "band",
-        F.expr(
-            f"(simhash div shiftleft(cast(1 as bigint), band * {band_width}))"
-            f" % shiftleft(cast(1 as bigint), {band_width})"
-        ).alias("band_bits"),
+    return fingerprint_bands(s, n_bands=n_bands, id_col=id_col)
+
+
+def simhash_pairs_banded(docs: DataFrame, max_hamming: int = 8,
+                         n_bands: int = 4, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         shingle_n: int | None = 3) -> DataFrame:
+    """Near-dup pairs by SimHash — the SCALE form.
+
+    Candidates = pairs sharing at least one bit-band of the fingerprint
+    (equi-join on (band, band_bits), never a cross join), then the
+    hamming ≤ ``max_hamming`` verify on the two 48-bit fingerprints.
+    Work is O(Σ band-bucket²) instead of O(N²); a skewed band bucket is
+    an AQE skew-join split at scale.
+
+    LSH semantics, documented: a pair within ``max_hamming`` whose
+    differing bits touch every band (possible once
+    max_hamming ≥ n_bands) is not a candidate — with 12-bit bands and
+    hamming ≤ 8 recall is near-total on real near-dups, and the
+    operator's contract (same banding in the oracle) is exact.
+    """
+    s = simhash(docs, text_col=text_col, id_col=id_col,
+                shingle_n=shingle_n).localCheckpoint()
+    b = fingerprint_bands(s, n_bands=n_bands, id_col=id_col)
+    cand = (
+        b.select(F.col(id_col).alias("a"), "band", "band_bits")
+        .join(b.select(F.col(id_col).alias("b"), "band", "band_bits"),
+              ["band", "band_bits"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    fa = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    fb = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(fa, "a").join(fb, "b")
+        .select(
+            F.col("a").cast("bigint"), F.col("b").cast("bigint"),
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
     )

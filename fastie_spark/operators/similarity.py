@@ -143,15 +143,18 @@ def sign_lsh_buckets(vectors: DataFrame, n_planes: int = 8,
 
 def lsh_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
              n_planes: int = 8, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             dims: int | None = None) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH bucket,
     then exact cosine rank within the bucket.  The scale path — the
     corpus is hash-partitioned by bucket, so each probe touches one
-    partition instead of the full corpus."""
-    vb = sign_lsh_buckets(vectors, n_planes, id_col, vec_col).join(
+    partition instead of the full corpus.  Pass ``dims`` to keep plan
+    construction job-free (else the dimensionality is probed with a
+    one-row scan)."""
+    vb = sign_lsh_buckets(vectors, n_planes, id_col, vec_col, dims).join(
         vectors.select(F.col(id_col), F.col(vec_col)), id_col
     )
-    pb = sign_lsh_buckets(probes, n_planes, id_col, vec_col).join(
+    pb = sign_lsh_buckets(probes, n_planes, id_col, vec_col, dims).join(
         probes.select(F.col(id_col), F.col(vec_col)), id_col
     )
     p = pb.select(F.col(id_col).alias("probe_id"), "bucket",
@@ -178,52 +181,122 @@ def lsh_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
 
 def cosine_pairs(vectors: DataFrame, threshold: float,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """All pairs (src < dst) with cosine ≥ threshold — Arrow-vectorized.
+                 vec_col: str = "embedding",
+                 n_blocks: int | None = None) -> DataFrame:
+    """All pairs (src < dst) with cosine ≥ threshold — EXACT, fully
+    distributed blocked all-pairs.  No driver materialization: nothing
+    is collected or broadcast.
 
-    The JVM higher-order-function dot product is interpreted (no
-    codegen), so the O(N²) verify is done as a NumPy matmul inside
-    ``mapInPandas``: the normalized corpus matrix is broadcast (N×d
-    doubles — 1 MB for 2k×64; at web scale you block by LSH bucket
-    first and broadcast per-bucket matrices), each Arrow batch of rows
-    multiplies against it, and only surviving index pairs come back.
-    This is the "vectorized pandas UDF beats per-row anything" path of
-    the brief.
+    Shape (the classic block-nested matmul on a cluster):
+
+    1. each vector gets a deterministic block ``blk = id % B``;
+    2. each row is replicated to every unordered block-pair group
+       ``(min(blk, j), max(blk, j))`` for j in [0, B) — replication
+       factor B, so the shuffle is B·N rows of (id, 64 doubles), never
+       a driver-side corpus matrix;
+    3. ``applyInPandas`` per group: one NumPy matmul between the two
+       block matrices (upper triangle when the blocks coincide).
+
+    Every unordered pair of ids lands in exactly one group (the group
+    keyed by its two blocks), so the result is exact.  Compute is still
+    O(N²/2) total — that is what "exact all-pairs" costs; at web scale
+    cut candidates first with :func:`cosine_pairs_lsh`.  ``n_blocks``
+    defaults to ~sqrt(2·parallelism) so there are at least as many
+    groups (B·(B+1)/2) as cores.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    if n_blocks is None:
+        n_blocks = max(2, math.isqrt(
+            2 * spark.sparkContext.defaultParallelism))
+    thr = float(threshold)
+
+    norm = l2_normalize(
+        vectors.select(F.col(id_col).cast("bigint").alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v")),
+        "v", "vn").drop("v")
+    replicated = (
+        norm.withColumn("blk", F.pmod("id", F.lit(n_blocks)))
+        .withColumn("other", F.explode(F.expr(
+            f"sequence(0, {n_blocks - 1})")))
+        .select(
+            "id", "vn", "blk",
+            F.least("blk", "other").alias("bi"),
+            F.greatest("blk", "other").alias("bj"),
+        )
+    )
+
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"src": [], "dst": []})
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["vn"].to_numpy())
+            sims = mat @ mat.T
+            ai, aj = np.nonzero(sims >= thr)
+            keep = ids[ai] < ids[aj]
+            return pd.DataFrame({"src": ids[ai][keep],
+                                 "dst": ids[aj][keep]})
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"src": [], "dst": []})
+        ida = a["id"].to_numpy(dtype=np.int64)
+        idb = b["id"].to_numpy(dtype=np.int64)
+        sims = np.stack(a["vn"].to_numpy()) @ np.stack(b["vn"].to_numpy()).T
+        ai, aj = np.nonzero(sims >= thr)
+        src = np.minimum(ida[ai], idb[aj])
+        dst = np.maximum(ida[ai], idb[aj])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        pair_block, schema="src bigint, dst bigint")
+
+
+def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
+                     n_planes: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     dims: int | None = None) -> DataFrame:
+    """Approximate threshold pairs: candidates restricted to the same
+    sign-LSH bucket, verified with a per-bucket NumPy matmul — the
+    100 TB shape (bucket = shuffle key, work O(Σ bucket²) ≪ O(N²)).
+
+    Recall: a pair at cosine angle θ survives one ``n_planes``-plane
+    bucket with probability (1 − θ/π)^n_planes; run with rotated plane
+    seeds and union for multi-probe recall.  Exactly reproducible in
+    SQL — bucket ids are the same md5-derived integers as
+    :func:`sign_lsh_buckets`.
     """
     import numpy as np
     import pandas as pd
-    from typing import Iterator
 
-    spark = vectors.sparkSession
+    thr = float(threshold)
     norm = l2_normalize(
-        vectors.select(F.col(id_col).alias("id"),
+        vectors.select(F.col(id_col).cast("bigint").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v")),
         "v", "vn").drop("v")
-    rows = norm.collect()  # corpus matrix: small by precondition (see doc)
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["vn"] for r in rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids, mat))
-    thr = float(threshold)
+    buckets = sign_lsh_buckets(
+        vectors.select(F.col(id_col), F.col(vec_col)),
+        n_planes=n_planes, id_col=id_col, vec_col=vec_col, dims=dims)
+    bucketed = norm.join(
+        buckets.select(F.col(id_col).cast("bigint").alias("id"), "bucket"),
+        "id")
 
-    part = norm.repartition(spark.sparkContext.defaultParallelism) \
-        .select("id", "vn")
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"src": [], "dst": []})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["vn"].to_numpy())
+        sims = mat @ mat.T
+        ai, aj = np.nonzero(sims >= thr)
+        keep = ids[ai] < ids[aj]
+        return pd.DataFrame({"src": ids[ai][keep], "dst": ids[aj][keep]})
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = bc.value
-        all_mat_t = np.ascontiguousarray(all_mat.T)
-        out_buf = None  # reused: fresh 100s-of-MB allocations per batch
-        #             cause mmap/page-zero churn that serializes scaling
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            bids = pdf["id"].to_numpy(dtype=np.int64)
-            bmat = np.stack(pdf["vn"].to_numpy())
-            if out_buf is None or out_buf.shape[0] < bmat.shape[0]:
-                out_buf = np.empty((bmat.shape[0], all_mat_t.shape[1]))
-            sims = np.dot(bmat, all_mat_t, out=out_buf[:bmat.shape[0]])
-            bi, aj = np.nonzero(sims >= thr)
-            src, dst = bids[bi], all_ids[aj]
-            keep = src < dst
-            yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
-
-    return part.mapInPandas(block, schema="src bigint, dst bigint")
+    return bucketed.groupBy("bucket").applyInPandas(
+        verify_bucket, schema="src bigint, dst bigint")

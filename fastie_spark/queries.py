@@ -719,10 +719,78 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 """)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-SimHash near-dup pairs at Hamming ≤ 8 (verify form; the
-    scale path blocks on bit-bands first — dedup.py:simhash_bands)."""
+    """Shingle-SimHash near-dup pairs at Hamming ≤ 8 — the ORACLE TWIN
+    (O(N²) cross-join verify, exactness only).  The contract scale path
+    is `simhash_pairs_banded` below."""
     return simhash_pairs(_documents(spark, sf_dir), max_hamming=8,
                          shingle_n=3)
+
+
+SH_N_BANDS = 4
+SH_BAND_W = SH_BITS // SH_N_BANDS
+
+@query("simhash_pairs_banded", oracle=f"""
+WITH {SH_CTE},
+hashed AS (SELECT doc_id, {duck_hash64_sql("shingle")} AS h FROM sh),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(2 * ((h // (1::BIGINT << b.b)) % 2) - 1) AS vote
+  FROM hashed, generate_series(0, {SH_BITS - 1}) b(b)
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+             AS simhash
+  FROM votes GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         (simhash // (1::BIGINT << (b.b * {SH_BAND_W})))
+             % (1::BIGINT << {SH_BAND_W}) AS band_bits
+  FROM fp, generate_series(0, {SH_N_BANDS - 1}) b(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id)
+SELECT c.a::BIGINT AS a, c.b::BIGINT AS b,
+       bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
+FROM cand c JOIN fp fa ON c.a = fa.doc_id JOIN fp fb ON c.b = fb.doc_id
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 8
+""")
+def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via bit-band LSH blocking — the web-scale
+    contract form: candidates from an equi-join on (band, band_bits),
+    hamming verify only on candidates, no cross join anywhere."""
+    from fastie_spark.operators.dedup import simhash_pairs_banded
+    return simhash_pairs_banded(_documents(spark, sf_dir), max_hamming=8,
+                                n_bands=SH_N_BANDS, shingle_n=3)
+
+
+MAX_DF = 4
+
+@query("dedup_jaccard_maxdf", oracle=f"""
+WITH {SH_CTE},
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > {MAX_DF}),
+shf AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.a::BIGINT AS a, i.b::BIGINT AS b, i.inter::BIGINT AS inter,
+       (sa.n_sh + sb.n_sh - i.inter)::BIGINT AS uni
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+             JOIN sizes sb ON i.b = sb.doc_id
+WHERE i.inter * 20 >= (sa.n_sh + sb.n_sh - i.inter) * 1
+""")
+def q_dedup_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the hot-shingle guard ON (max_df=4) — the
+    production form whose posting lists stay bounded at web scale; the
+    dropped-shingle count is logged (no-silent-caps rule)."""
+    return ngram_jaccard_pairs(_documents(spark, sf_dir), n=3,
+                               min_jaccard_num=1, min_jaccard_den=20,
+                               max_df=MAX_DF)
 
 
 # ---------------------------------------------------------------------------
@@ -777,6 +845,57 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_buckets(vecs, n_planes=LSH_PLANES)
 
 
+# bucket CTE shared by the LSH-restricted oracles (n_planes planes over
+# 64 dims, same md5-parity hyperplanes as sign_lsh_buckets)
+def _bucket_cte(n_planes: int) -> str:
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bvotes AS (
+  SELECT vec_id, p.p,
+         sum(v[d.d + 1] *
+             (2 * (({duck_hash64_sql("'p' || p.p || 'd' || d.d")}) % 2) - 1))
+             AS dot
+  FROM e, generate_series(0, {n_planes - 1}) p(p),
+          generate_series(0, 63) d(d)
+  GROUP BY vec_id, p.p),
+bk AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+             AS bucket
+  FROM bvotes GROUP BY vec_id)
+"""
+
+
+@query("ann_lsh_topk", oracle=f"""
+WITH {_bucket_cte(LSH_PLANES)},
+p AS (SELECT b.vec_id AS probe_id, b.bucket, e.v AS pv
+      FROM bk b JOIN e ON b.vec_id = e.vec_id
+      WHERE b.vec_id < {ANN_PROBES}),
+c AS (SELECT b.vec_id AS neighbor_id, b.bucket, e.v AS nv
+      FROM bk b JOIN e ON b.vec_id = e.vec_id),
+scored AS (
+  SELECT p.probe_id, c.neighbor_id,
+         list_cosine_similarity(p.pv, c.nv) AS sim
+  FROM p JOIN c ON p.bucket = c.bucket AND c.neighbor_id != p.probe_id),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-restricted top-k — the REAL ANN path at scale: each probe
+    ranks only its own bucket's candidates (bucket = partition key), so
+    the corpus is never scanned per probe."""
+    from fastie_spark.operators.similarity import lsh_topk
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = vecs.where(F.col("vec_id") < ANN_PROBES)
+    return lsh_topk(vecs, probes, k=ANN_K, n_planes=LSH_PLANES, dims=64)
+
+
 # ---------------------------------------------------------------------------
 # canonicalization: connected components over the similarity graph
 # ---------------------------------------------------------------------------
@@ -815,6 +934,47 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+CC_LSH_PLANES = 4
+
+@query("cc_components_lsh", oracle=f"""
+WITH RECURSIVE
+{_bucket_cte(CC_LSH_PLANES)},
+edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+sym AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+reach(u, w) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u)
+SELECT u::BIGINT AS vec_id, min(w)::BIGINT AS component
+FROM reach GROUP BY u
+""")
+def q_cc_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH-restricted similarity graph —
+    the 100 TB canonicalization shape: edge generation is a per-bucket
+    matmul (bucket = shuffle key), work O(Σ bucket²) instead of O(N²).
+    The oracle applies the IDENTICAL bucket restriction, so the check
+    is exact."""
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    cc = connected_components(edges)
+    allv = vecs.select(F.col("vec_id").alias("node"))
+    return (
+        allv.join(cc, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("vec_id"),
+            F.coalesce("comp", F.col("node")).cast("bigint")
+             .alias("component"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -89,3 +89,105 @@ def test_sign_lsh_buckets_deterministic(spark):
          for r in sign_lsh_buckets(vecs, n_planes=6).collect()}
     assert b[0] == b[1]                 # identical vectors, same bucket
     assert b[0] == (2 ** 6 - 1) - b[2]  # negated vector flips every plane
+
+
+def _rand_vecs(spark, n=60, d=16, seed=7):
+    import random
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_cosine_pairs_blocked_exact(spark):
+    """The blocked distributed all-pairs equals a NumPy brute force —
+    and never materializes the corpus on the driver."""
+    import numpy as np
+    from fastie_spark.operators.similarity import cosine_pairs
+
+    vecs = _rand_vecs(spark)
+    rows = vecs.collect()  # test-side reference only
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ai, aj = np.nonzero(sims >= 0.5)
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ai, aj)
+            if ids[i] < ids[j]}
+
+    got = {(r["src"], r["dst"])
+           for r in cosine_pairs(vecs, threshold=0.5, n_blocks=4).collect()}
+    assert got == want
+
+
+def test_cosine_pairs_lsh_subset_of_exact(spark):
+    """LSH-bucketed pairs ⊆ exact pairs, and identical-vector pairs
+    (always same bucket) are never missed."""
+    from fastie_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    vecs = _rand_vecs(spark, n=40)
+    dup = vecs.union(vecs.selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    exact = {(r["src"], r["dst"])
+             for r in cosine_pairs(dup, threshold=0.5).collect()}
+    lsh = {(r["src"], r["dst"])
+           for r in cosine_pairs_lsh(dup, threshold=0.5, n_planes=4,
+                                     dims=16).collect()}
+    assert lsh <= exact
+    assert all((i, i + 1000) in lsh for i in range(40))  # exact dups found
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """The bucketed ANN path finds what LSH guarantees: a planted exact
+    duplicate (cosine 1 ⇒ identical bucket) is every probe's rank-1
+    in BOTH the exact and the bucketed top-k; the bucketed results are
+    always a subset of each probe's true neighbor candidates."""
+    from fastie_spark.operators.similarity import cosine_topk, lsh_topk
+
+    base = _rand_vecs(spark, n=80)
+    # corpus = 80 random vectors + an exact copy of each probe
+    corpus = base.union(
+        base.where("vec_id < 6")
+        .selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    probes = base.where("vec_id < 6")
+    exact = cosine_topk(corpus, probes, k=5)
+    approx = lsh_topk(corpus, probes, k=5, n_planes=4, dims=16)
+    e1 = {r["probe_id"]: r["neighbor_id"]
+          for r in exact.collect() if r["rank"] == 1}
+    a1 = {r["probe_id"]: r["neighbor_id"]
+          for r in approx.collect() if r["rank"] == 1}
+    for p in range(6):
+        assert e1[p] == p + 1000
+        assert a1[p] == p + 1000  # same bucket guaranteed for exact dups
+
+
+def test_simhash_banded_pairs_match_cross_join_on_near_dups(docs):
+    """Banded blocking finds every pair the cross-join verify finds on
+    this fixture (near-dups agree on ≥1 12-bit band)."""
+    from fastie_spark.operators.dedup import simhash_pairs_banded
+
+    exact = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=20,
+                                    shingle_n=3).collect()}
+    banded = {(r["a"], r["b"]): r["hamming"]
+              for r in simhash_pairs_banded(docs, max_hamming=20,
+                                            shingle_n=3).collect()}
+    assert (0, 1) in banded and banded[(0, 1)] == 0  # identical docs
+    assert set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert exact[k] == v
+
+
+def test_jaccard_max_df_logs_dropped_count(docs, caplog):
+    """The hot-shingle guard is never silent: the dropped count is
+    logged (no-silent-caps rule)."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="fastie_spark.operators.dedup"):
+        ngram_jaccard_pairs(docs, n=3, max_df=1).collect()
+    msgs = [r.message for r in caplog.records
+            if "max_df" in r.message]
+    assert msgs, "expected a dropped-shingle log line"
+    # docs 0/1/2 share shingles with df>1: 'a b c','b c d' (df 3), 'c d e' (df 2)
+    assert "drops 3 hot shingles" in msgs[0]
