@@ -601,6 +601,50 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "token", F.row_number().over(w).cast("bigint").alias("id"))
 
+# ---------------------------------------------------------------------------
+# F5 — real weights-based model forward through the inference seam
+# ---------------------------------------------------------------------------
+
+MODEL_DIM = 8
+MODEL_NL = 5  # len(model_ner.DEFAULT_LABELS)
+
+@query("model_ner", oracle=f"""
+WITH {TOKS_CTE},
+sc AS (
+  SELECT doc_id, pos, c.c AS c,
+         sum((({duck_hash64_sql("'w' || c.c || 'd' || d.d")} % 2001) - 1000)
+           * (({duck_hash64_sql("'e' || d.d || '#' || token")} % 2001) - 1000))
+             AS score
+  FROM toks, generate_series(0, {MODEL_NL - 1}) c(c),
+             generate_series(0, {MODEL_DIM - 1}) d(d)
+  GROUP BY doc_id, pos, c.c),
+ranked AS (
+  SELECT doc_id, pos, c,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY score DESC, c) AS rn
+  FROM sc)
+SELECT doc_id, pos::BIGINT AS pos, c::BIGINT AS tag
+FROM ranked WHERE rn = 1
+""")
+def q_model_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weights-based token classifier (hashed-embedding × frozen weight
+    matrix × argmax) run through the broadcast + mapInPandas inference
+    seam — the reference's BertNER infer_step dataflow (bert.py:97-120)
+    with a bit-exact integer forward so the oracle can replay it."""
+    from fastie_spark.extraction.model_ner import NumpyTokenClassifier
+    s = _doc_sentences(spark, sf_dir)
+    model = NumpyTokenClassifier()
+    tagged = model.transform(s, out_col="tag_pred")
+    return tagged.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.posexplode("tag_pred").alias("pos", "tag"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("tag").cast("bigint").alias("tag"),
+    )
+
+
 # ===========================================================================
 # training-data ops (engine additions): dedup, similarity, text analysis
 # ===========================================================================

@@ -150,3 +150,31 @@ def test_arrow_bigram_duplicate_words(spark):
     trip = extract_triples_arrow(df, gaz, max_gap=3, pred="near")
     got = {(r["subj_text"], r["obj_text"]) for r in trip.collect()}
     assert ("new jersey", "fort york") in got
+
+
+def test_model_forward_seam_parity(spark):
+    """A real weight matrix through the mapInPandas seam: the batched
+    distributed forward (broadcast ndarray + matmul) must equal the
+    single-process eager loop token-for-token (VERDICT r1 §missing #1)."""
+    from fastie_spark.extraction.model_ner import (
+        NumpyTokenClassifier,
+        eager_tag,
+    )
+
+    sents = [
+        ("d0", 0, "SparkEngine calls GraphBuilder with numpy".split()),
+        ("d1", 0, "def parse_config loads the index".split()),
+        ("d2", 0, ["SparkEngine"]),
+        ("d3", 0, []),
+    ]
+    df = spark.createDataFrame(
+        sents, "doc_key string, sent_id int, tokens array<string>")
+    model = NumpyTokenClassifier()
+    got = {r["doc_key"]: list(r["tag_pred"])
+           for r in model.transform(df).collect()}
+    for key, _, toks in sents:
+        assert got[key] == eager_tag(toks), key
+    # the plan is the Arrow seam, not per-row Python
+    plan = model.transform(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" in plan
