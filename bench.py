@@ -6,12 +6,14 @@ Prints ONE JSON line:
 
 * every registered operator query runs once at the bench sf dir
   (default /root/testdata/sf0.1) and reports its wall seconds;
-* the flagship triple-extraction pipeline additionally runs over a
-  50k-doc synthetic source-code corpus (generated lazily in-plan, no
-  disk) to measure docs/sec at a scale where the Arrow batches are full
-  — that number is the BASELINE.json throughput metric.
+* the flagship metric — THE defined throughput number, identical to
+  tools/scaling_bench.py's (VERDICT r1 §next #5) — is
+  **sentence-snapshot scan → fused Arrow kernel → count** docs/sec
+  over a BENCH_DOCS-doc synthetic source-code corpus, best of 3 after
+  a warm-up; the doc→sentence ingest is timed separately and reported
+  as ``docs_per_sec_e2e`` (ingest + kernel, cold plan).
 
-Scaling evidence (local[8] vs local[32]) is produced separately by
+Scaling evidence (local[4] vs local[16]) is produced separately by
 tools/scaling_bench.py because the two runs need fresh JVMs.
 """
 
@@ -27,25 +29,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 
 
-def flagship_throughput(spark) -> tuple[float, float]:
-    """(seconds, docs/sec) for triples over the synthetic corpus."""
-    from pyspark.sql import functions as F
+def flagship_throughput(spark) -> dict[str, float]:
+    """The defined flagship metric: snapshot-scan → fused kernel →
+    count (same shape as tools/scaling_bench.py), plus the e2e
+    (in-plan ingest) variant as a secondary number."""
+    import tempfile
 
     from fastie_spark.corpus import entity_gazetteer, synthetic_source_docs
     from fastie_spark.extraction.fused import extract_triples_arrow
     from fastie_spark.sources.normalize import docs_to_sentences
 
+    gaz = {(s,): lab for s, lab in entity_gazetteer()}
     docs = synthetic_source_docs(spark, n_docs=BENCH_DOCS)
-    sents = docs_to_sentences(docs).select(
+
+    # e2e: ingest + chunk + kernel, one cold pass (no snapshot)
+    sents_plan = docs_to_sentences(docs).select(
         "doc_key", "sent_id", "tokens", "content_sha")
-    triples = extract_triples_arrow(
-        sents, {(s,): lab for s, lab in entity_gazetteer()},
-        max_gap=3, pred="calls")
     t0 = time.time()
-    n = triples.count()
-    dt = time.time() - t0
+    n = extract_triples_arrow(sents_plan, gaz, max_gap=3,
+                              pred="calls").count()
+    e2e_sec = time.time() - t0
     assert n > 0
-    return dt, BENCH_DOCS / dt
+
+    # flagship: scan → kernel → count over the parquet sentence
+    # snapshot (the production stage boundary), best of 3 after warm-up
+    snap = os.path.join(tempfile.gettempdir(),
+                        f"scaling_snap_{BENCH_DOCS}")
+    if not os.path.isdir(snap):
+        sents_plan.repartition(64).write.mode("overwrite").parquet(snap)
+    sents = spark.read.parquet(snap).select(
+        "doc_key", "sent_id", "tokens", "content_sha")
+    triples = extract_triples_arrow(sents, gaz, max_gap=3, pred="calls")
+    triples.count()  # warm: page cache + codegen + worker pool
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        triples.count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return {"flagship_sec": best,
+            "docs_per_sec": BENCH_DOCS / best,
+            "e2e_sec": e2e_sec,
+            "docs_per_sec_e2e": BENCH_DOCS / e2e_sec}
 
 
 def main() -> None:
@@ -65,8 +90,9 @@ def main() -> None:
         per_query[name] = round(time.time() - t0, 3)
         assert n >= 0
 
-    fl_sec, docs_per_sec = flagship_throughput(spark)
-    per_query["flagship_synthetic"] = round(fl_sec, 3)
+    fl = flagship_throughput(spark)
+    per_query["flagship_kernel"] = round(fl["flagship_sec"], 3)
+    per_query["flagship_e2e"] = round(fl["e2e_sec"], 3)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
@@ -75,7 +101,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "docs_per_sec": round(docs_per_sec, 1),
+        "docs_per_sec": round(fl["docs_per_sec"], 1),
+        "docs_per_sec_e2e": round(fl["docs_per_sec_e2e"], 1),
         "bench_docs": BENCH_DOCS,
     }))
     spark.stop()

