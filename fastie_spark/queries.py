@@ -602,6 +602,34 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.row_number().over(w).cast("bigint").alias("id"))
 
 # ---------------------------------------------------------------------------
+# P2 — deterministic split routing
+# ---------------------------------------------------------------------------
+
+@query("split_route", oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         {duck_hash64_sql("doc_id::VARCHAR")} % 10 AS b
+  FROM documents)
+SELECT CASE WHEN b < 8 THEN 'train'
+            WHEN b < 9 THEN 'dev' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM s GROUP BY 1
+""")
+def q_split_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/dev/test routing (P2): same doc →
+    same split on every run and engine; routing is a filter, never a
+    shuffle."""
+    from fastie_spark.sources.normalize import assign_splits
+    docs = assign_splits(_documents(spark, sf_dir), key_col="doc_id",
+                         weights=(8, 1, 1))
+    return docs.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F5 — real weights-based model forward through the inference seam
 # ---------------------------------------------------------------------------
 
@@ -978,6 +1006,54 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# KG materialization (north_rule M4): node / edge tables from triples
+# ---------------------------------------------------------------------------
+
+@query("kg_nodes", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+m AS (SELECT subj_text AS entity, subj_label AS label FROM base
+      UNION ALL
+      SELECT obj_text, obj_label FROM base),
+cl AS (SELECT entity, label, count(*) AS c FROM m GROUP BY entity, label),
+ranked AS (
+  SELECT entity, label, c,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY c DESC, label DESC) AS rn
+  FROM cl),
+tot AS (SELECT entity, sum(c) AS n FROM cl GROUP BY entity)
+SELECT r.entity, r.label, t.n::BIGINT AS n_mentions
+FROM ranked r JOIN tot t ON r.entity = t.entity WHERE r.rn = 1
+""")
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG node table from the flagship triples: canonical entity with
+    majority label (max_by over (count, label)) and mention count."""
+    from fastie_spark.graph import materialize_kg
+    t = _triples(spark, sf_dir).withColumnRenamed("doc_id", "doc_key")
+    nodes, _ = materialize_kg(t)
+    return nodes.select("entity", "label",
+                        F.col("n_mentions").cast("bigint")
+                        .alias("n_mentions"))
+
+
+@query("kg_edges", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE})
+SELECT subj_text AS src, obj_text AS dst, pred,
+       count(*)::BIGINT AS weight,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM base GROUP BY 1, 2, 3
+""")
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG edge table: (src, dst, pred) with weight and doc support —
+    one partial-aggregating shuffle over the triple table."""
+    from fastie_spark.graph import materialize_kg
+    t = _triples(spark, sf_dir).withColumnRenamed("doc_id", "doc_key")
+    _, edges = materialize_kg(t)
+    return edges.select("src", "dst", "pred",
+                        F.col("weight").cast("bigint").alias("weight"),
+                        F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
 CC_LSH_PLANES = 4

@@ -84,3 +84,27 @@ def with_auto_keys(df: DataFrame) -> DataFrame:
     if "sent_id" not in out.columns:
         out = out.withColumn("sent_id", F.lit(0))
     return out
+
+
+def assign_splits(df: DataFrame, key_col: str = "doc_key",
+                  weights: tuple[int, int, int] = (8, 1, 1),
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/dev/test routing (survey P2).
+
+    The reference carries datasets as separate train/dev/test members
+    (``fastie/dataset/base_dataset.py`` DataBundle splits) and routes
+    stages by split; at corpus scale the split must be a deterministic
+    FUNCTION of the row (portable hash of the key modulo the weight
+    total), never a random() — the same doc lands in the same split on
+    every run, every engine, every re-partitioning.
+    """
+    from fastie_spark.functions.hashing import portable_hash64
+
+    total = sum(weights)
+    b = portable_hash64(F.col(key_col).cast("string")) % total
+    return df.withColumn(
+        out_col,
+        F.when(b < weights[0], "train")
+         .when(b < weights[0] + weights[1], "dev")
+         .otherwise("test"),
+    )
