@@ -40,14 +40,30 @@ class GazetteerNER:
         self.max_len = max((len(k) for k in surface2label), default=1)
 
     # -- "training" ---------------------------------------------------
+    #: surfaces retained by fit() — a gazetteer IS driver/broadcast
+    #: state, so it must be bounded; fitting on an open vocabulary
+    #: would otherwise collect unbounded rows to the driver
+    MAX_SURFACES = 1_000_000
+
     @classmethod
     def fit(cls, sentences: DataFrame,
-            mentions_col: str = "entity_mentions") -> "GazetteerNER":
+            mentions_col: str = "entity_mentions",
+            max_surfaces: int | None = None) -> "GazetteerNER":
         """Collect the distinct (surface tokens, label) pairs from the
         annotated split.  On ambiguity (same surface, two labels) the
         lexicographically smallest label wins — deterministic, unlike the
-        reference's insertion-order vocab (SURVEY §4.3.4)."""
-        rows = (
+        reference's insertion-order vocab (SURVEY §4.3.4).
+
+        The collect is CAPPED at ``max_surfaces`` (default
+        ``MAX_SURFACES``) keeping the most frequent surfaces
+        (ties → lexicographically smallest): a gazetteer lives on the
+        driver and in every executor's broadcast, so an open-vocabulary
+        fit must truncate — and per the no-silent-caps rule the dropped
+        count is logged."""
+        import logging
+
+        cap = max_surfaces if max_surfaces is not None else cls.MAX_SURFACES
+        agg = (
             sentences.select(
                 F.explode(mentions_col).alias("m"), "tokens"
             )
@@ -56,9 +72,18 @@ class GazetteerNER:
                 F.col("m.label").alias("label"),
             )
             .groupBy("surface")
-            .agg(F.min("label").alias("label"))
-            .collect()
+            .agg(F.min("label").alias("label"), F.count("*").alias("freq"))
         )
+        rows = (agg.orderBy(F.col("freq").desc(),
+                            F.col("surface").cast("string").asc())
+                .limit(cap + 1).collect())
+        if len(rows) > cap:
+            n_total = agg.count()
+            logging.getLogger(__name__).warning(
+                "GazetteerNER.fit: vocabulary %d exceeds max_surfaces=%d; "
+                "keeping the %d most frequent surfaces (%d dropped)",
+                n_total, cap, cap, n_total - cap)
+            rows = rows[:cap]
         return cls({tuple(r["surface"]): r["label"] for r in rows})
 
     # -- inference ----------------------------------------------------

@@ -178,3 +178,28 @@ def test_model_forward_seam_parity(spark):
     plan = model.transform(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" in plan
+
+
+def test_gazetteer_fit_caps_vocabulary(spark, caplog):
+    """GazetteerNER.fit is driver/broadcast state and must bound its
+    collect: with max_surfaces set, the most frequent surfaces are kept
+    and the dropped count is logged (no-silent-caps rule)."""
+    import logging
+
+    rows = [("d0", 0, "aa aa aa bb bb cc".split(),
+             [(0, 1, "X"), (1, 2, "X"), (2, 3, "X"),
+              (3, 4, "Y"), (4, 5, "Y"), (5, 6, "Z")])]
+    df = spark.createDataFrame(
+        rows, "doc_key string, sent_id int, tokens array<string>, "
+              "entity_mentions array<struct<start:int,end:int,label:string>>")
+    with caplog.at_level(logging.WARNING,
+                         logger="fastie_spark.extraction.ner"):
+        ner = GazetteerNER.fit(df, max_surfaces=2)
+    assert set(ner.surface2label) == {("aa",), ("bb",)}  # top-2 by freq
+    assert any("1 dropped" in r.message for r in caplog.records)
+
+    # default path unchanged: no cap hit, no warning
+    caplog.clear()
+    ner2 = GazetteerNER.fit(df)
+    assert len(ner2.surface2label) == 3
+    assert not caplog.records

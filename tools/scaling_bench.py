@@ -113,6 +113,63 @@ spark.stop()
 """
 
 
+SHARD_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from fastie_spark import get_spark
+from fastie_spark.corpus import entity_gazetteer
+from fastie_spark.extraction.fused import extract_triples_arrow
+
+spark = get_spark(app_name="shard-exec", master="local[{cores}]",
+                  shuffle_partitions={cores})
+spark.sparkContext.setLogLevel("ERROR")
+files = {files!r}
+sents = spark.read.parquet(*files).select(
+    "doc_key", "sent_id", "tokens", "content_sha")
+triples = extract_triples_arrow(
+    sents, {{(s,): lab for s, lab in entity_gazetteer()}},
+    max_gap=3, pred="calls")
+n = triples.count()  # warm
+best = None
+for _ in range(3):
+    t0 = time.time()
+    n = triples.count()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print("RESULT " + json.dumps({{"t": best, "n": n}}), flush=True)
+spark.stop()
+"""
+
+
+def executor_scaling(n_execs: int, cores: int, snap_dir: str,
+                     repo: str) -> list[dict]:
+    """The N→4N *executor* experiment the north rule actually states:
+    ``n_execs`` separate JVMs (each its own heap, GC, Python workers —
+    i.e. executors) run concurrently, each over an equal shard of the
+    snapshot's files.  Contrast with local[4N], which scales THREADS
+    inside one shared heap and mismeasures a cluster."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(snap_dir, "part-*")))
+    shards = [files[i::n_execs] for i in range(n_execs)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             SHARD_WORKER.format(repo=repo, cores=cores, files=shard)],
+            stdout=subprocess.PIPE, text=True)
+        for shard in shards
+    ]
+    out = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=3000)
+        for line in stdout.splitlines():
+            if line.startswith("RESULT "):
+                out.append(json.loads(line[len("RESULT "):]))
+    if len(out) != n_execs:
+        raise RuntimeError(f"executor shards returned {len(out)} results")
+    return out
+
+
 def _spin(secs: float) -> int:
     import time
 
@@ -123,15 +180,47 @@ def _spin(secs: float) -> int:
     return x
 
 
-def cpu_calibration(n: int, n4: int, secs: float = 4.0) -> float:
-    """Raw-CPU scaling of this host at the same core pair."""
+def _stream(secs: float) -> int:
+    """STREAM-copy analogue: big-array memcpy passes in a fixed window —
+    the memory-bandwidth ceiling (per pass: 256 MB read + 256 MB write,
+    far beyond LLC so it hits DRAM)."""
+    import time
+
+    import numpy as np
+
+    a = np.ones(32_000_000)
+    b = np.empty_like(a)
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < secs:
+        np.copyto(b, a)
+        x += 1
+    return x
+
+
+def _mp_eff(fn, n: int, n4: int, secs: float) -> float:
     import multiprocessing as mp
 
     aggs = {}
     for procs in (n, n4):
         with mp.Pool(procs) as p:
-            aggs[procs] = sum(p.map(_spin, [secs] * procs))
+            aggs[procs] = sum(p.map(fn, [secs] * procs))
     return (aggs[n4] / aggs[n]) / (n4 / n)
+
+
+def cpu_calibration(n: int, n4: int, secs: float = 4.0) -> float:
+    """Raw-CPU scaling of this host at the same core pair."""
+    return _mp_eff(_spin, n, n4, secs)
+
+
+def bandwidth_calibration(n: int, n4: int, secs: float = 4.0) -> float:
+    """Raw memory-bandwidth scaling of this host at the same core pair.
+    A columnar scan→kernel job is a streaming workload: on one box the
+    cores SHARE a memory controller, so this — not the CPU spin — is
+    the relevant hardware ceiling.  On a real cluster each executor
+    keeps its own memory bus, which is why N→4N executors does not pay
+    this penalty."""
+    return _mp_eff(_stream, n, n4, secs)
 
 
 def run_at(cores: int, n_docs: int, repo: str) -> dict:
@@ -158,9 +247,20 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n4 = 4 * n
 
+    import tempfile
+
     hw_eff = cpu_calibration(n, n4)
+    bw_eff = bandwidth_calibration(n, n4)
     lo = run_at(n, n_docs, repo)
     hi = run_at(n4, n_docs, repo)
+    # N→4N EXECUTORS (separate JVMs over shards) — the north rule's own
+    # formulation; 1-executor baseline is lo's full-corpus run
+    snap_dir = os.path.join(tempfile.gettempdir(), f"scaling_snap_{n_docs}")
+    shards = executor_scaling(4, n, snap_dir, repo)
+    t_shard = max(s["t"] for s in shards)
+    exec_eff = lo["t_fused"] / (4 * t_shard)
+    assert sum(s["n"] for s in shards) == lo["n_fused"], \
+        "executor shards lost rows"
     assert lo["n_fused"] == hi["n_fused"], \
         f"nondeterministic triple count: {lo['n_fused']} != {hi['n_fused']}"
 
@@ -176,8 +276,20 @@ def main() -> None:
         f"docs_per_sec_local{n}": round(n_docs / lo["t_fused"], 1),
         f"docs_per_sec_local{n4}": round(n_docs / hi["t_fused"], 1),
         "hw_cpu_efficiency": round(hw_eff, 3),
+        "hw_mem_bandwidth_efficiency": round(bw_eff, 3),
         "job_scaling_efficiency": round(job_eff, 3),
         "normalized_efficiency": round(job_eff / hw_eff, 3),
+        "normalized_vs_bandwidth": round(job_eff / bw_eff, 3),
+        # 1 executor-JVM (local[n], full corpus) vs 4 concurrent
+        # executor-JVMs (local[n] each, corpus sharded 4 ways): the
+        # throughput scaling efficiency at N→4N EXECUTORS
+        "executor_scaling": {
+            "n_executors": 4, "cores_each": n,
+            "t_1exec_sec": round(lo["t_fused"], 2),
+            "t_4exec_wall_sec": round(t_shard, 2),
+            "per_shard_sec": [round(s["t"], 2) for s in shards],
+            "efficiency": round(exec_eff, 3),
+        },
         # component isolation (measured, not asserted)
         "jvm_twin": {
             f"t_local{n}_sec": round(lo["t_jvm"], 2),
@@ -185,6 +297,7 @@ def main() -> None:
             "rows": lo["n_jvm"],
             "job_scaling_efficiency": round(jvm_eff, 3),
             "normalized_efficiency": round(jvm_eff / hw_eff, 3),
+            "normalized_vs_bandwidth": round(jvm_eff / bw_eff, 3),
         },
         "kernel_split": {
             f"compute_sec_local{n}": round(lo["kernel_compute_sec"], 2),
