@@ -865,6 +865,24 @@ def q_dedup_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_df=MAX_DF)
 
 
+EMB_DEDUP_THR = 0.4
+
+@query("dedup_embedding", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS src, b.vec_id::BIGINT AS dst
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {EMB_DEDUP_THR}
+""")
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the brief's fifth dedup mode):
+    exact threshold pairs via the BLOCKED distributed all-pairs matmul
+    (operators/similarity.py:cosine_pairs) — no driver materialization,
+    no cross join in the plan."""
+    from fastie_spark.operators.similarity import cosine_pairs
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(vecs, threshold=EMB_DEDUP_THR)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1368,14 +1386,21 @@ def q_unire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (rows-only check: decode is a stubbed codec seam,
-# not SQL-expressible — the driver records count+schema)
+# multimodal plumbing — the decode runs through the stubbed codec seam;
+# the oracle checks everything the plumbing emits besides the fake
+# feature values themselves (asset identity, payload byte count, vector
+# dimensionality), which pytest golden-checks (tests/test_multimodal.py)
 # ---------------------------------------------------------------------------
 
-@query("multimodal_features")
+@query("multimodal_features", oracle="""
+SELECT doc_id AS asset_id, 'text-blob' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes, 8::BIGINT AS dim
+FROM documents
+""")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode → feature-extract plumbing over assets
-    derived from the documents table (payload = utf8 bytes of text)."""
+    derived from the documents table (payload = utf8 bytes of text);
+    the payload is dropped before any shuffle."""
     from fastie_spark.operators.multimodal import decode_features
     assets = _documents(spark, sf_dir).select(
         F.col("doc_id").alias("asset_id"),
@@ -1384,7 +1409,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("lang"), "lang").alias("meta"),
     )
     return decode_features(assets, feature_dim=8).select(
-        "asset_id", "kind", "n_bytes", F.size("features").alias("dim"))
+        "asset_id", "kind", "n_bytes",
+        F.size("features").cast("bigint").alias("dim"))
 
 # ---------------------------------------------------------------------------
 # additional relational coverage: accuracy metric (A5-analogue), hopping

@@ -136,3 +136,58 @@ def streaming_extract(spark: SparkSession, docs_path: str,
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_STATE_SCHEMA = ("last_epoch long, n_sessions long, cur_len long, "
+                        "max_len long")
+SESSION_OUT_SCHEMA = ("user_id bigint, n_sessions bigint, "
+                      "max_session_events bigint")
+
+
+def streaming_sessionize(events: DataFrame,
+                         gap_s: int = 1800) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (the brief's custom-stateful-operator seam): per-user gap-based
+    sessionization whose state (last event epoch, session count,
+    current/max session length) survives across micro-batches.
+
+    Emits the running (user_id, n_sessions, max_session_events) row per
+    user per batch in update mode; after a full drain of in-order input
+    the latest row per user equals the batch ``sessionize`` oracle
+    query.  At scale the state store is per-partition (users hash
+    across executors) and RocksDB-backed — same code.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            last_epoch, n_sessions, cur_len, max_len = state.get
+        else:
+            last_epoch, n_sessions, cur_len, max_len = None, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                epoch = int(pd.Timestamp(ts).timestamp())
+                if last_epoch is None or epoch - last_epoch > gap_s:
+                    n_sessions += 1
+                    cur_len = 1
+                else:
+                    cur_len += 1
+                max_len = max(max_len, cur_len)
+                last_epoch = epoch
+        state.update((last_epoch, n_sessions, cur_len, max_len))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [n_sessions],
+                            "max_session_events": [max_len]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,6 +1,7 @@
 """Resume-from-checkpoint + streaming smoke tests."""
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fastie_spark.plans.checkpoint import PipelineRunner, Stage
@@ -165,3 +166,76 @@ def test_streaming_extract_idempotent_on_redelivery(spark, tmp_path):
     # fresh checkpoint → Spark redelivers every batch (the retry case)
     streaming_extract(spark, src, str(tmp_path / "ck_b"), out, ner)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carries across
+    micro-batches (files fed in ts order), and the final per-user row
+    equals the batch sessionize aggregation."""
+    import time as _t
+
+    from fastie_spark.streaming.events import (
+        read_events_stream,
+        streaming_sessionize,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(4):
+        # 2-3 sessions per user: bursts separated by > 30 min
+        for burst, base in enumerate(["01:00:00", "02:10:00", "03:30:00"]):
+            if u == 0 and burst == 2:
+                continue
+            for k in range(u + burst + 1):
+                rows.append((eid, f"2024-01-01 {base[:6]}{k:02d}", u,
+                             "click", 1.0, "{}"))
+                eid += 1
+    rows.sort(key=lambda r: r[1])
+    src = str(tmp_path / "sess_src")
+    half = len(rows) // 2
+    # two files written in ts order with distinct mtimes so the file
+    # source delivers batches in order
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(
+            chunk,
+            "event_id: long, ts: string, user_id: long, "
+            "event_type: string, value: double, props: string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")) \
+         .coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_sessionize(stream, gap_s=1800)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("sess_out")
+         .option("checkpointLocation", str(tmp_path / "sess_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # last emitted row per user (update mode re-emits as state evolves)
+    emitted = spark.sql("SELECT * FROM sess_out").collect()
+    latest = {}
+    for r in emitted:
+        latest[r["user_id"]] = (r["n_sessions"], r["max_session_events"])
+
+    from fastie_spark.queries import q_sessionize  # noqa: F401 (shape ref)
+    ev = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gaps = ev.withColumn(
+        "new_s",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1)
+         .when(F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    per = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    batch = {r["user_id"]: (r["n_sessions"], r["max_session_events"])
+             for r in per.groupBy("user_id").agg(
+                 F.count("*").alias("n_sessions"),
+                 F.max("n").alias("max_session_events")).collect()}
+    assert latest == batch
+    # state genuinely crossed batches: more emitted rows than users
+    assert len(emitted) > len(batch)
