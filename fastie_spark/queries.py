@@ -1412,6 +1412,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "kind", "n_bytes",
         F.size("features").cast("bigint").alias("dim"))
 
+@query("multimodal_resize", oracle="""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         ((doc_id % 4 + 1) * 128)::INT AS width,
+         ((doc_id % 3 + 1) * 128)::INT AS height
+  FROM documents)
+SELECT asset_id, width, height,
+       round(width * least(1.0, 256.0 / greatest(width, height)))::INT
+           AS target_width,
+       round(height * least(1.0, 256.0 / greatest(width, height)))::INT
+           AS target_height
+FROM a
+""")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only resize planning: target dims from typed metadata
+    with the payload column never read (pure column math → the parquet
+    scan prunes payload pages)."""
+    from fastie_spark.operators.multimodal import resize_images
+    assets = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("width"), ((F.col("doc_id") % 4 + 1) * 128).cast("string"),
+            F.lit("height"), ((F.col("doc_id") % 3 + 1) * 128).cast("string"),
+        ).alias("meta"),
+    )
+    return resize_images(assets, max_side=256)
+
+
+@query("multimodal_frames", oracle="""
+WITH a AS (SELECT doc_id AS asset_id, (doc_id % 30 + 1) AS seconds
+           FROM documents),
+fr AS (SELECT asset_id,
+              unnest(generate_series(0, seconds::BIGINT - 1)) AS f
+       FROM a)
+SELECT asset_id, f::INT AS frame_no, f::DOUBLE AS t_offset_sec FROM fr
+""")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan from metadata duration: the explode happens
+    BEFORE any decode, so each frame is an independent task — the
+    standard distribution shape for video work."""
+    from fastie_spark.operators.multimodal import sample_frames
+    assets = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.create_map(
+            F.lit("seconds"), (F.col("doc_id") % 30 + 1).cast("string"),
+        ).alias("meta"),
+    )
+    return sample_frames(assets, fps=1.0).select(
+        "asset_id", F.col("frame_no").cast("int").alias("frame_no"),
+        "t_offset_sec")
+
+
 # ---------------------------------------------------------------------------
 # additional relational coverage: accuracy metric (A5-analogue), hopping
 # windows, per-group top-k (K1-analogue), dimension join
