@@ -82,6 +82,11 @@ def main() -> None:
     spark = get_spark(app_name="fastie-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session once (JVM/codegen/Python-worker pool spin-up) so
+    # per-query numbers measure the query, not the first-job tax
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(10).mapInArrow(lambda it: it, "id long").count()
+
     per_query: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()

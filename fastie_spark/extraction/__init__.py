@@ -1,3 +1,6 @@
 from fastie_spark.extraction.ner import GazetteerNER, gazetteer_join_mentions  # noqa: F401
 from fastie_spark.extraction.relation import PairRelationModel  # noqa: F401
 from fastie_spark.extraction.pipeline import extract_triples, triples_from_docs  # noqa: F401
+from fastie_spark.extraction.fused import extract_triples_arrow  # noqa: F401
+from fastie_spark.extraction.model_ner import NumpyTokenClassifier  # noqa: F401
+from fastie_spark.extraction.ner import gazetteer_ner_arrow  # noqa: F401

@@ -145,9 +145,27 @@ class PipelineRunner:
                 json.dumps({"snapshot": snap,
                             "schema": out.schema.jsonValue()}),
             )], MANIFEST_SCHEMA)
-            self._append("metrics", [
+            metric_rows = [
                 (self.run_id, stage.name, "n_rows", float(n_rows)),
                 (self.run_id, stage.name, "wall_sec", wall),
-            ], METRICS_SCHEMA)
+            ]
+            if stage.partition_by:
+                # per-PARTITION lineage (north_rule): row count per
+                # output partition value — bounded by partition
+                # cardinality, queryable as a table, and the unit a
+                # partial re-run would replay
+                cols = [c for c in stage.partition_by
+                        if c in current.columns]
+                if cols:
+                    per_part = (
+                        current.groupBy(*cols).count().collect())
+                    metric_rows += [
+                        (self.run_id, stage.name,
+                         "n_rows[" + ",".join(
+                             f"{c}={r[c]}" for c in cols) + "]",
+                         float(r["count"]))
+                        for r in per_part
+                    ]
+            self._append("metrics", metric_rows, METRICS_SCHEMA)
             upstream = f"{upstream}>{stage.name}"
         return current

@@ -239,3 +239,18 @@ def test_streaming_sessionize_stateful_matches_batch(spark, tmp_path):
     assert latest == batch
     # state genuinely crossed batches: more emitted rows than users
     assert len(emitted) > len(batch)
+
+
+def test_per_partition_lineage_metrics(spark, tmp_path):
+    """north_rule: partitioned stages record per-partition row counts
+    as queryable metrics rows."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "py" if i % 2 else "java") for i in range(10)],
+        "doc_id: long, text: string, lang: string")
+    root = str(tmp_path / "pipe_lineage")
+    r = PipelineRunner(spark, root, run_id="lin1")
+    r.run(docs, [Stage("ident", lambda df: df, partition_by=("lang",))])
+    met = {row["name"]: row["value"] for row in r.metrics().collect()}
+    assert met["n_rows"] == 10.0
+    assert met["n_rows[lang=py]"] == 5.0
+    assert met["n_rows[lang=java]"] == 5.0
