@@ -1,0 +1,67 @@
+"""Event extraction (engine addition; north_rule names the EE stack).
+
+The reference reserves an EE task package but ships no implementation
+(``/root/reference/fastie/tasks/ee/__init__.py`` is empty) — its EE
+design is the same two mechanisms the rest of the stack uses: trigger
+detection as sequence tagging, argument attachment as span-pair
+classification.  This module composes the engine's existing operators
+into that shape, fully relationally:
+
+* **trigger detection** — broadcast join of tokens against a trigger
+  lexicon (the deterministic stand-in for a trigger tagger, exactly
+  like the gazetteer NER stand-in);
+* **argument attachment** — mentions within a token window of the
+  trigger, role-labeled by side (closest-left = subject-like AGENT,
+  right-within-gap = THEME), the same bounded-window pair rule the
+  relation stage uses.
+
+Everything is explode + broadcast join + window filter: no UDF, no
+shuffle beyond the final consumer's, and the whole decode
+oracle-replays in SQL (queries.py:event_extract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_events(sentences: DataFrame, triggers: dict[str, str],
+                   mentions_col: str = "ent_pred",
+                   gap: int = 3) -> DataFrame:
+    """Sentence rows (doc_key, tokens, + mention array) → flat event
+    argument table (doc_key, trig_pos, event_type, role, arg_start,
+    arg_end, arg_label).
+
+    ``triggers``: token → event type.  AGENT = mention ending at or
+    before the trigger with end-to-trigger distance ≤ gap; THEME =
+    mention starting after the trigger within gap.  A trigger with no
+    argument in the window emits nothing (no null roles to dedupe).
+    """
+    spark = sentences.sparkSession
+    trig_df = spark.createDataFrame(
+        sorted(triggers.items()), "trig_tok string, event_type string")
+    toks = sentences.select(
+        "doc_key", F.posexplode("tokens").alias("trig_pos", "trig_tok"))
+    trig = toks.join(F.broadcast(trig_df), "trig_tok") \
+        .select("doc_key", "trig_pos", "event_type")
+    ments = sentences.select(
+        "doc_key", F.explode(mentions_col).alias("m")
+    ).select(
+        "doc_key",
+        F.col("m.start").alias("arg_start"),
+        F.col("m.end").alias("arg_end"),
+        F.col("m.label").alias("arg_label"),
+    )
+    joined = trig.join(ments, "doc_key")
+    agent = joined.where(
+        (F.col("arg_end") <= F.col("trig_pos"))
+        & (F.col("trig_pos") - F.col("arg_end") <= gap)
+    ).withColumn("role", F.lit("AGENT"))
+    theme = joined.where(
+        (F.col("arg_start") > F.col("trig_pos"))
+        & (F.col("arg_start") - F.col("trig_pos") - 1 <= gap)
+    ).withColumn("role", F.lit("THEME"))
+    return agent.unionByName(theme).select(
+        "doc_key", "trig_pos", "event_type", "role",
+        "arg_start", "arg_end", "arg_label")

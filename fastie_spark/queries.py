@@ -602,6 +602,54 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.row_number().over(w).cast("bigint").alias("id"))
 
 # ---------------------------------------------------------------------------
+# EE — event extraction (trigger + role-labeled arguments)
+# ---------------------------------------------------------------------------
+
+EE_TRIGGERS = [("scan", "SCAN_EVENT"), ("merge", "MERGE_EVENT")]
+EE_GAP = 3
+
+@query("event_extract", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "ments", chunked=False)},
+trig AS (
+  SELECT t.doc_id, t.pos AS trig_pos, g.event_type
+  FROM toks t JOIN (VALUES {", ".join(f"('{w}', '{e}')" for w, e in EE_TRIGGERS)})
+       g(w, event_type) ON t.token = g.w),
+agent AS (
+  SELECT tr.doc_id, tr.trig_pos, tr.event_type, 'AGENT' AS role,
+         m.start AS arg_start, m."end" AS arg_end, m.label AS arg_label
+  FROM trig tr JOIN ments m ON tr.doc_id = m.doc_id
+  WHERE m."end" <= tr.trig_pos AND tr.trig_pos - m."end" <= {EE_GAP}),
+theme AS (
+  SELECT tr.doc_id, tr.trig_pos, tr.event_type, 'THEME' AS role,
+         m.start AS arg_start, m."end" AS arg_end, m.label AS arg_label
+  FROM trig tr JOIN ments m ON tr.doc_id = m.doc_id
+  WHERE m.start > tr.trig_pos AND m.start - tr.trig_pos - 1 <= {EE_GAP})
+SELECT doc_id, trig_pos::BIGINT AS trig_pos, event_type, role,
+       arg_start, arg_end, arg_label
+FROM (SELECT * FROM agent UNION ALL SELECT * FROM theme)
+""")
+def q_event_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event extraction: trigger lexicon join + bounded-window
+    role-labeled argument attachment — the EE stack the north rule
+    names, composed from the engine's NER + pair-window operators."""
+    from fastie_spark.extraction.events import extract_events
+    s = _doc_sentences(spark, sf_dir)
+    with_m = gazetteer_join_mentions(s, _gaz_df(spark, GAZ), max_len=2,
+                                     out_col="ent_pred")
+    out = extract_events(with_m, dict(EE_TRIGGERS),
+                         mentions_col="ent_pred", gap=EE_GAP)
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("trig_pos").cast("bigint").alias("trig_pos"),
+        "event_type", "role",
+        F.col("arg_start").cast("bigint").alias("arg_start"),
+        F.col("arg_end").cast("bigint").alias("arg_end"),
+        "arg_label",
+    )
+
+
+# ---------------------------------------------------------------------------
 # P2 — deterministic split routing
 # ---------------------------------------------------------------------------
 

@@ -203,3 +203,23 @@ def test_gazetteer_fit_caps_vocabulary(spark, caplog):
     ner2 = GazetteerNER.fit(df)
     assert len(ner2.surface2label) == 3
     assert not caplog.records
+
+
+def test_event_extraction_golden(spark):
+    """Trigger + role-windowed argument attachment (EE stack): AGENT
+    left-within-gap, THEME right-within-gap, no-arg triggers dropped."""
+    from fastie_spark.extraction.events import extract_events
+
+    df = spark.createDataFrame(
+        [("d0", 0, "Alpha quickly scans Beta today".split(),
+          [(0, 1, "SYS"), (3, 4, "SYS")]),
+         ("d1", 0, "scans far far far far Beta".split(),
+          [(5, 6, "SYS")]),          # THEME out of gap → nothing
+         ("d2", 0, "nothing here".split(), [])],
+        "doc_key string, sent_id int, tokens array<string>, "
+        "ent_pred array<struct<start:int,end:int,label:string>>")
+    out = extract_events(df, {"scans": "SCAN_EVENT"},
+                         mentions_col="ent_pred", gap=2)
+    rows = {(r["doc_key"], r["role"], r["arg_start"], r["arg_end"])
+            for r in out.collect()}
+    assert rows == {("d0", "AGENT", 0, 1), ("d0", "THEME", 3, 4)}
