@@ -602,6 +602,75 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.row_number().over(w).cast("bigint").alias("id"))
 
 # ---------------------------------------------------------------------------
+# S2 — JsonLinesRE loader core: offset rebase + right-exclusive shift +
+# symmetric duplication, over doc-structured input built in-plan
+# ---------------------------------------------------------------------------
+
+@query("jsonlines_re_rebase", oracle=f"""
+WITH sp AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+chunks AS (
+  SELECT doc_id, n, unnest(generate_series(0, (n - 1) // {SENT_LEN})) AS s
+  FROM sp),
+c AS (
+  SELECT doc_id, s, n, least({SENT_LEN}, n - {SENT_LEN} * s) AS L,
+         least(s % 10, least({SENT_LEN}, n - {SENT_LEN} * s) - 1) AS pos,
+         s % 7 AS a
+  FROM chunks)
+SELECT doc_id, s::BIGINT AS sent_id, ({SENT_LEN} * s)::BIGINT AS sent_start,
+       pos::BIGINT AS m_start, (pos + 1)::BIGINT AS m_end,
+       (CASE WHEN L >= a + 2 THEN 2 ELSE 0 END)::BIGINT AS n_rels,
+       CASE WHEN L >= a + 2 THEN a::BIGINT END AS r_s_start,
+       CASE WHEN L >= a + 2 THEN (a + 1)::BIGINT END AS r_mirror_s_start
+FROM c
+""")
+def q_jsonlines_re_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonLinesRE loader core (jsonlinesRE.py:80-142): global→local
+    offset rebase via the W1 prefix sum, right-inclusive→exclusive
+    shift, and in-array symmetric duplication — run through the ACTUAL
+    loader (`rebase_doc_offsets`) on doc-structured rows built in-plan
+    from the documents table (mention at token s%10, single-token
+    relation pair at s%7 per chunk, label 'REL' symmetric)."""
+    from fastie_spark.sources.jsonlines import rebase_doc_offsets
+    N = SENT_LEN
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.expr("split(text, ' ')").alias("toks"),
+    ).select(
+        "doc_key",
+        F.expr(f"""transform(sequence(0, (size(toks) - 1) div {N}),
+                   s -> slice(toks, s * {N} + 1, {N}))""").alias("sentences"),
+        F.expr(f"""transform(sequence(0, (size(toks) - 1) div {N}), s ->
+            array(array(
+              cast({N} * s + least(s % 10,
+                   least({N}, size(toks) - {N} * s) - 1) as string),
+              cast({N} * s + least(s % 10,
+                   least({N}, size(toks) - {N} * s) - 1) as string),
+              'X')))""").alias("ner"),
+        F.expr(f"""transform(sequence(0, (size(toks) - 1) div {N}), s ->
+            if(least({N}, size(toks) - {N} * s) >= (s % 7) + 2,
+               array(array(cast({N} * s + s % 7 as string),
+                           cast({N} * s + s % 7 as string),
+                           cast({N} * s + s % 7 + 1 as string),
+                           cast({N} * s + s % 7 + 1 as string),
+                           'REL')),
+               cast(array() as array<array<string>>)))""").alias("relations"),
+    )
+    out = rebase_doc_offsets(docs, symmetric_label=["REL"])
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.col("sent_start").cast("bigint").alias("sent_start"),
+        F.expr("entity_mentions[0].start").cast("bigint").alias("m_start"),
+        F.expr("entity_mentions[0].end").cast("bigint").alias("m_end"),
+        F.size("relation_mentions").cast("bigint").alias("n_rels"),
+        F.expr("get(relation_mentions, 0).s_start").cast("bigint")
+         .alias("r_s_start"),
+        F.expr("get(relation_mentions, 1).s_start").cast("bigint")
+         .alias("r_mirror_s_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # EE — event extraction (trigger + role-labeled arguments)
 # ---------------------------------------------------------------------------
 
