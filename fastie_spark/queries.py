@@ -584,6 +584,51 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F2 — wordpiece alignment maps (deterministic 4-char splitter)
+# ---------------------------------------------------------------------------
+
+WP_LEN, WP_PROBE = 4, 5
+
+@query("wordpiece_align", oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+c AS (SELECT doc_id, l,
+             list_transform(l, t ->
+               greatest(ceil(len(t) / {WP_LEN}.0)::BIGINT, 1)) AS cnts
+      FROM sp),
+p AS (SELECT doc_id, l, cnts,
+             least({WP_PROBE}, len(l) - 1) AS p0 FROM c)
+SELECT doc_id,
+       list_sum(cnts)::BIGINT AS n_pieces,
+       (1 + coalesce(list_sum(cnts[1 : p0]), 0))::BIGINT AS probe_start,
+       (1 + coalesce(list_sum(cnts[1 : p0]), 0)
+          + cnts[p0 + 1])::BIGINT AS probe_end,
+       list_sum(list_transform(cnts, (c, i) -> (i - 1) * c))::BIGINT
+           AS wp2token_sum
+FROM p
+""")
+def q_wordpiece_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token↔wordpiece alignment maps (pure_pipe.py:77-97 algebra) with
+    the deterministic fixed-width splitter: total piece count, the
+    probe token's [start, end) piece span (incl. the +1 [CLS] shift),
+    and the inverse-map checksum Σ wp2token — all via the actual
+    operator's in-row prefix scan."""
+    from fastie_spark.functions.subword import with_wordpiece_alignment
+    s = _doc_sentences(spark, sf_dir)
+    a = with_wordpiece_alignment(s, piece_len=WP_LEN, cls_offset=1)
+    probe = f"least({WP_PROBE}, size(tokens) - 1)"
+    return a.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.size("wordpieces").cast("bigint").alias("n_pieces"),
+        F.expr(f"element_at(wp_start, {probe} + 1)").cast("bigint")
+         .alias("probe_start"),
+        F.expr(f"element_at(wp_end, {probe} + 1)").cast("bigint")
+         .alias("probe_end"),
+        F.expr("aggregate(wp2token, cast(0 as bigint), (acc, x) -> acc + x)")
+         .alias("wp2token_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 — vocabulary build (stable ids)
 # ---------------------------------------------------------------------------
 
