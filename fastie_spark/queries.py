@@ -629,6 +629,60 @@ def q_wordpiece_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W5 — TPLinker handshaking index + closed-form inverse
+# ---------------------------------------------------------------------------
+
+SHAKE_L = 12  # cells per doc = L(L+1)/2 = 78
+
+@query("shaking_index", oracle=f"""
+WITH sp AS (SELECT doc_id,
+                   least(len(string_split(text, ' ')), {SHAKE_L}) AS L
+            FROM documents),
+cells AS (
+  SELECT doc_id, L, i.i AS i, j.j AS j
+  FROM sp, generate_series(0, {SHAKE_L - 1}) i(i),
+           generate_series(0, {SHAKE_L - 1}) j(j)
+  WHERE i.i < L AND j.j < L AND i.i <= j.j)
+SELECT doc_id, i::BIGINT AS i, j::BIGINT AS j,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY i, j)
+        - 1)::BIGINT AS k,
+       i::BIGINT AS inv_i, j::BIGINT AS inv_j
+FROM cells
+""")
+def q_shaking_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handshaking triangular flatten + closed-form inverse
+    (handshake_tagger.py:57-70): Spark computes k and (inv_i, inv_j)
+    with the CLOSED FORMS; the oracle derives k from the enumeration
+    ORDER (row_number over (i, j)) and the inverse trivially — a
+    non-circular cross-check of both formulas."""
+    from fastie_spark.extraction.tplinker import (
+        shaking_index_expr,
+        shaking_unindex_exprs,
+    )
+    s = _doc_sentences(spark, sf_dir).select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.least(F.size("tokens"), F.lit(SHAKE_L)).alias("L"),
+    )
+    cells = s.select(
+        "doc_id", "L",
+        F.explode(F.expr("sequence(0, L - 1)")).alias("i"),
+    ).select(
+        "doc_id", "L", "i",
+        F.explode(F.expr("sequence(i, L - 1)")).alias("j"),
+    )
+    k = shaking_index_expr("i", "j", "L")
+    inv_i, inv_j = shaking_unindex_exprs(k, "L")
+    return cells.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.expr(k).cast("bigint").alias("k"),
+        F.expr(inv_i).cast("bigint").alias("inv_i"),
+        F.expr(inv_j).cast("bigint").alias("inv_j"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 — vocabulary build (stable ids)
 # ---------------------------------------------------------------------------
 
