@@ -55,7 +55,9 @@ def flagship_throughput(spark) -> dict[str, float]:
     # snapshot (the production stage boundary), best of 3 after warm-up
     snap = os.path.join(tempfile.gettempdir(),
                         f"scaling_snap_{BENCH_DOCS}")
-    if not os.path.isdir(snap):
+    # _SUCCESS guards against reusing a partial snapshot from a
+    # crashed earlier run (a bare isdir check would trust it)
+    if not os.path.isfile(os.path.join(snap, "_SUCCESS")):
         sents_plan.repartition(64).write.mode("overwrite").parquet(snap)
     sents = spark.read.parquet(snap).select(
         "doc_key", "sent_id", "tokens", "content_sha")

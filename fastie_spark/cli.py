@@ -124,7 +124,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "train":
         sents = _load_sentences(args.input)
         ner = GazetteerNER.fit(sents)
-        rel = PairRelationModel.fit(sents)
+        # NER-only datasets (e.g. the legacy conll2003/wikiann ingest)
+        # carry no relation annotations — train the mention stage alone
+        rel = (PairRelationModel.fit(sents)
+               if "relation_mentions" in sents.columns
+               else PairRelationModel({}))
         _save_model(args.model, ner, rel)
         print(json.dumps({"saved": args.model,
                           "surfaces": len(ner.surface2label),
@@ -132,9 +136,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "eval":
         sents = _load_sentences(args.input)
         ner, rel = _load_model(args.model)
-        pred = rel.transform(ner.transform(sents, out_col="ent_pred"),
-                             mentions_col="ent_pred", out_col="rel_pred")
-        print(json.dumps(re_metric(pred, sents)))
+        has_rel = "relation_mentions" in sents.columns
+        pred = ner.transform(sents, out_col="ent_pred")
+        if has_rel:
+            pred = rel.transform(pred, mentions_col="ent_pred",
+                                 out_col="rel_pred")
+        print(json.dumps(re_metric(pred, sents,
+                                   evaluate_relation=has_rel)))
     elif args.cmd == "infer":
         docs = spark.read.parquet(args.input)
         ner, rel = _load_model(args.model)
@@ -182,11 +190,14 @@ def main(argv: list[str] | None = None) -> int:
             answer(args.sentence)
         else:
             # controller/interactor.py parity: loop on stdin until EOF
+            # (or an explicit exit/quit); blank lines are skipped, not
+            # treated as EOF
             for line in sys.stdin:
                 line = line.strip()
-                if not line or line in ("exit", "quit"):
+                if line in ("exit", "quit"):
                     break
-                answer(line)
+                if line:
+                    answer(line)
     spark.stop()
     return 0
 

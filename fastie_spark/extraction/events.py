@@ -39,21 +39,26 @@ def extract_events(sentences: DataFrame, triggers: dict[str, str],
     argument in the window emits nothing (no null roles to dedupe).
     """
     spark = sentences.sparkSession
+    # positions are SENTENCE-local, so trigger↔argument pairing must be
+    # keyed per sentence when the input carries sent_id (multi-sentence
+    # docs would otherwise attach cross-sentence arguments)
+    key = ["doc_key"] + (["sent_id"] if "sent_id" in sentences.columns
+                         else [])
     trig_df = spark.createDataFrame(
         sorted(triggers.items()), "trig_tok string, event_type string")
     toks = sentences.select(
-        "doc_key", F.posexplode("tokens").alias("trig_pos", "trig_tok"))
+        *key, F.posexplode("tokens").alias("trig_pos", "trig_tok"))
     trig = toks.join(F.broadcast(trig_df), "trig_tok") \
-        .select("doc_key", "trig_pos", "event_type")
+        .select(*key, "trig_pos", "event_type")
     ments = sentences.select(
-        "doc_key", F.explode(mentions_col).alias("m")
+        *key, F.explode(mentions_col).alias("m")
     ).select(
-        "doc_key",
+        *key,
         F.col("m.start").alias("arg_start"),
         F.col("m.end").alias("arg_end"),
         F.col("m.label").alias("arg_label"),
     )
-    joined = trig.join(ments, "doc_key")
+    joined = trig.join(ments, key)
     agent = joined.where(
         (F.col("arg_end") <= F.col("trig_pos"))
         & (F.col("trig_pos") - F.col("arg_end") <= gap)
@@ -63,5 +68,5 @@ def extract_events(sentences: DataFrame, triggers: dict[str, str],
         & (F.col("arg_start") - F.col("trig_pos") - 1 <= gap)
     ).withColumn("role", F.lit("THEME"))
     return agent.unionByName(theme).select(
-        "doc_key", "trig_pos", "event_type", "role",
+        *key, "trig_pos", "event_type", "role",
         "arg_start", "arg_end", "arg_label")

@@ -129,7 +129,10 @@ def _with_rel_id(df: DataFrame, rel2id: dict[str, int] | None) -> DataFrame:
         return df.withColumn("rel_id", F.col("rel"))
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(rel2id.items()) for x in kv])
-    return df.withColumn("rel_id", mapping[F.col("rel")])
+    # a label missing from the vocab must sort LAST under cap pressure
+    # (nulls would sort first and silently outrank mapped relations)
+    return df.withColumn(
+        "rel_id", F.coalesce(mapping[F.col("rel")], F.lit(2147483647)))
 
 
 def decode_relational(spots: DataFrame, apply_caps: bool = True,

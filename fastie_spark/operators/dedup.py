@@ -106,7 +106,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
+        # materialize the (small) hot-shingle list once: the count job
+        # below and the anti-join both consume it without recomputing
+        # the full shingle aggregation
+        hot = sh.groupBy("shingle").count() \
+            .where(F.col("count") > max_df).localCheckpoint()
         # no-silent-caps rule: surface what the guard dropped
         n_hot = hot.count()
         log.info("ngram_jaccard_pairs: max_df=%d drops %d hot shingles",

@@ -99,31 +99,14 @@ def _plane_weight(p: int, d: int) -> int:
     return 2 * (h % 2) - 1
 
 
-def sign_lsh_buckets(vectors: DataFrame, n_planes: int = 8,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding",
-                     dims: int | None = None) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector.
-
-    Plane p's weight for dimension d is ±1 by bit 0 of
-    portable_hash64('p<p>d<d>'); bucket bit p = (Σ_d w_pd · v_d) > 0.
-    Output: (vec_id, bucket) — bucket ∈ [0, 2^n_planes).
-
-    The (plane, dim) weight matrix is a plan-time literal (it depends on
-    nothing in the data), so each row costs n_planes dot products and no
-    hashing.
-    """
-    if dims is None:
-        first = vectors.select(F.size(vec_col)).first()
-        dims = int(first[0]) if first else 0
-    # the bucket fold is interpreted (HOF) — parallelize it
-    vectors = vectors.repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism)
+def _bucket_column(df: DataFrame, vec_col: str, n_planes: int,
+                   dims: int) -> DataFrame:
+    """Add the sign-LSH ``bucket`` column in place (no join, one pass).
+    The (plane, dim) ±1 weight matrix is a plan-time literal."""
     planes = F.array(*[
         F.array(*[F.lit(float(_plane_weight(p, d))) for d in range(dims)])
         for p in range(n_planes)
     ])
-    df = vectors.withColumn("_planes", planes)
     bucket = f"""
     aggregate(
         sequence(0, {n_planes - 1}),
@@ -135,10 +118,28 @@ def sign_lsh_buckets(vectors: DataFrame, n_planes: int = 8,
                 cast(0.0 as double), (s, v) -> s + v) > 0,
             shiftleft(cast(1 as bigint), p), cast(0 as bigint)))
     """
-    return df.select(
-        F.col(id_col).cast("bigint").alias(id_col),
-        F.expr(bucket).alias("bucket"),
-    )
+    return df.withColumn("_planes", planes) \
+        .withColumn("bucket", F.expr(bucket)).drop("_planes")
+
+
+def sign_lsh_buckets(vectors: DataFrame, n_planes: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     dims: int | None = None) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector.
+
+    Plane p's weight for dimension d is ±1 by bit 0 of
+    portable_hash64('p<p>d<d>'); bucket bit p = (Σ_d w_pd · v_d) > 0.
+    Output: (vec_id, bucket) — bucket ∈ [0, 2^n_planes).
+    """
+    if dims is None:
+        first = vectors.select(F.size(vec_col)).first()
+        dims = int(first[0]) if first else 0
+    # the bucket fold is interpreted (HOF) — parallelize it
+    vectors = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism)
+    return _bucket_column(vectors, vec_col, n_planes, dims).select(
+        F.col(id_col).cast("bigint").alias(id_col), "bucket")
 
 
 def lsh_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
@@ -277,16 +278,19 @@ def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
     import pandas as pd
 
     thr = float(threshold)
+    if dims is None:
+        first = vectors.select(F.size(vec_col)).first()
+        dims = int(first[0]) if first else 0
     norm = l2_normalize(
         vectors.select(F.col(id_col).cast("bigint").alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v")),
         "v", "vn").drop("v")
-    buckets = sign_lsh_buckets(
-        vectors.select(F.col(id_col), F.col(vec_col)),
-        n_planes=n_planes, id_col=id_col, vec_col=vec_col, dims=dims)
-    bucketed = norm.join(
-        buckets.select(F.col(id_col).cast("bigint").alias("id"), "bucket"),
-        "id")
+    # sign-LSH is scale-invariant, so the bucket computes directly on
+    # the normalized column: ONE corpus scan, no id re-join
+    bucketed = _bucket_column(
+        norm.repartition(
+            vectors.sparkSession.sparkContext.defaultParallelism),
+        "vn", n_planes, dims)
 
     def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

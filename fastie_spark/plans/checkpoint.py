@@ -78,16 +78,17 @@ class PipelineRunner:
         except Exception:  # noqa: BLE001
             return self.spark.createDataFrame([], METRICS_SCHEMA)
 
-    def _completed(self) -> dict[str, tuple[str, str]]:
-        """stage name → (input fingerprint, extra json) of latest ok row."""
+    def _completed(self) -> dict[str, tuple[str, str, int]]:
+        """stage name → (fingerprint, extra json, n_rows) of latest ok row."""
         rows = (
             self.manifest().where(F.col("status") == "ok")
             .groupBy("stage")
             .agg(F.expr("max_by(input_fingerprint, ts)").alias("fp"),
-                 F.expr("max_by(extra, ts)").alias("extra"))
+                 F.expr("max_by(extra, ts)").alias("extra"),
+                 F.expr("max_by(n_rows, ts)").alias("n_rows"))
             .collect()
         )
-        return {r["stage"]: (r["fp"], r["extra"]) for r in rows}
+        return {r["stage"]: (r["fp"], r["extra"], r["n_rows"]) for r in rows}
 
     # -- fingerprints ---------------------------------------------------
     @staticmethod
@@ -111,17 +112,26 @@ class PipelineRunner:
             snap = f"{self.root}/stages/{stage.name}"
             done = completed.get(stage.name)
             if resume and done is not None and done[0] == fp:
+                skipped = None
                 try:
-                    current = self.spark.read.parquet(snap)
-                except Exception:  # noqa: BLE001 — an empty partitioned
-                    # snapshot holds only _SUCCESS; rebuild the empty
-                    # DataFrame from the schema persisted in the manifest
-                    from pyspark.sql.types import StructType
-                    schema = StructType.fromJson(
-                        json.loads(done[1])["schema"])
-                    current = self.spark.createDataFrame([], schema)
-                upstream = f"{upstream}>{stage.name}"
-                continue
+                    skipped = self.spark.read.parquet(snap)
+                except Exception:  # noqa: BLE001 — snapshot unreadable
+                    # Legitimately empty (manifest says 0 rows, only
+                    # _SUCCESS on disk): rebuild the empty DataFrame
+                    # from the persisted schema.  A NON-empty manifest
+                    # row with an unreadable snapshot means the data is
+                    # gone (deleted/corrupted) — fall through and
+                    # RE-RUN the stage rather than silently resuming
+                    # with an empty frame.
+                    schema_json = json.loads(done[1] or "{}").get("schema")
+                    if done[2] == 0 and schema_json is not None:
+                        from pyspark.sql.types import StructType
+                        skipped = self.spark.createDataFrame(
+                            [], StructType.fromJson(schema_json))
+                if skipped is not None:
+                    current = skipped
+                    upstream = f"{upstream}>{stage.name}"
+                    continue
             t0 = time.time()
             out = stage.fn(current)
             writer = out.write.mode("overwrite")

@@ -94,7 +94,12 @@ def streaming_extract(spark: SparkSession, docs_path: str,
     uncommitted batches); foreachBatch delivery is at-least-once, so
     each batch overwrites its own ``batch=<id>`` subdirectory — a
     retried partial write is replaced, never duplicated
-    (exactly-once-per-batch output)."""
+    (exactly-once-per-batch output).
+
+    Output LAYOUT NOTE: the sink is hive-partitioned by ``batch``, so
+    readers see an extra ``batch`` partition column; do not point this
+    writer at a directory holding flat (non-partitioned) parquet from
+    another writer — Spark rejects mixed directory structures."""
     from fastie_spark.extraction.pipeline import explode_triples
     from fastie_spark.operators.pairs import enumerate_pairs
     from fastie_spark.sources.normalize import docs_to_sentences

@@ -254,3 +254,27 @@ def test_per_partition_lineage_metrics(spark, tmp_path):
     assert met["n_rows"] == 10.0
     assert met["n_rows[lang=py]"] == 5.0
     assert met["n_rows[lang=java]"] == 5.0
+
+
+def test_resume_reruns_stage_when_snapshot_lost(spark, tmp_path):
+    """Regression: a manifest-ok stage whose NON-empty snapshot is gone
+    must RE-RUN (not silently resume with an empty frame)."""
+    import shutil
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id: long, text: string")
+    root = str(tmp_path / "pipe_lost")
+    calls = []
+
+    def stage_a(df):
+        calls.append("a")
+        return df.withColumn("n", F.length("text"))
+
+    stages = [Stage("a", stage_a)]
+    PipelineRunner(spark, root, run_id="l1").run(docs, stages)
+    assert calls == ["a"]
+    shutil.rmtree(f"{root}/stages/a")  # simulate deleted snapshot
+
+    out = PipelineRunner(spark, root, run_id="l2").run(docs, stages)
+    assert calls == ["a", "a"]  # stage re-ran
+    assert out.count() == 6     # and the data is back

@@ -223,3 +223,20 @@ def test_event_extraction_golden(spark):
     rows = {(r["doc_key"], r["role"], r["arg_start"], r["arg_end"])
             for r in out.collect()}
     assert rows == {("d0", "AGENT", 0, 1), ("d0", "THEME", 3, 4)}
+
+
+def test_event_extraction_sentence_scoped(spark):
+    """Regression: trigger↔argument pairing is keyed per (doc, sent) —
+    a mention in another sentence of the same doc must not attach."""
+    from fastie_spark.extraction.events import extract_events
+
+    df = spark.createDataFrame(
+        [("d0", 0, "Alpha scans".split(), [(0, 1, "SYS")]),
+         ("d0", 1, "noop Beta here".split(), [(1, 2, "SYS")])],
+        "doc_key string, sent_id int, tokens array<string>, "
+        "ent_pred array<struct<start:int,end:int,label:string>>")
+    out = extract_events(df, {"scans": "SCAN_EVENT"},
+                         mentions_col="ent_pred", gap=3).collect()
+    rows = {(r["doc_key"], r["sent_id"], r["role"], r["arg_start"])
+            for r in out}
+    assert rows == {("d0", 0, "AGENT", 0)}  # Beta (sent 1) not attached

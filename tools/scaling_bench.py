@@ -57,7 +57,8 @@ docs = synthetic_source_docs(spark, n_docs={n_docs})
 # per-stage snapshot (plans/checkpoint.py): columnar parquet, not a
 # deserialized heap checkpoint.
 snap = {snap_dir!r}
-if not os.path.isdir(snap):
+# _SUCCESS check: never trust a partial snapshot from a crashed run
+if not os.path.isfile(os.path.join(snap, "_SUCCESS")):
     docs_to_sentences(docs).repartition(64) \
         .write.mode("overwrite").parquet(snap)
 sents = spark.read.parquet(snap).select("doc_key", "sent_id", "tokens",
