@@ -59,14 +59,17 @@ def extract_events(sentences: DataFrame, triggers: dict[str, str],
         F.col("m.label").alias("arg_label"),
     )
     joined = trig.join(ments, key)
-    agent = joined.where(
-        (F.col("arg_end") <= F.col("trig_pos"))
-        & (F.col("trig_pos") - F.col("arg_end") <= gap)
-    ).withColumn("role", F.lit("AGENT"))
-    theme = joined.where(
-        (F.col("arg_start") > F.col("trig_pos"))
-        & (F.col("arg_start") - F.col("trig_pos") - 1 <= gap)
-    ).withColumn("role", F.lit("THEME"))
-    return agent.unionByName(theme).select(
-        *key, "trig_pos", "event_type", "role",
-        "arg_start", "arg_end", "arg_label")
+    # AGENT/THEME windows are disjoint (one ends at/before the trigger,
+    # the other starts after), so a single filtered pass with a CASE
+    # role beats a two-branch union that re-executes the upstream twice
+    agent_cond = ((F.col("arg_end") <= F.col("trig_pos"))
+                  & (F.col("trig_pos") - F.col("arg_end") <= gap))
+    theme_cond = ((F.col("arg_start") > F.col("trig_pos"))
+                  & (F.col("arg_start") - F.col("trig_pos") - 1 <= gap))
+    return (
+        joined.where(agent_cond | theme_cond)
+        .withColumn("role", F.when(agent_cond, F.lit("AGENT"))
+                             .otherwise(F.lit("THEME")))
+        .select(*key, "trig_pos", "event_type", "role",
+                "arg_start", "arg_end", "arg_label")
+    )
