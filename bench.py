@@ -64,7 +64,10 @@ def flagship_throughput(spark) -> dict[str, float]:
     triples = extract_triples_arrow(sents, gaz, max_gap=3, pred="calls")
     triples.count()  # warm: page cache + codegen + worker pool
     best = None
-    for _ in range(3):
+    # best-of-5: the host occasionally stalls a single Arrow task or
+    # throttles for a window (documented sandbox quirk); each run is
+    # ~2 s so the extra iterations are cheap insurance
+    for _ in range(5):
         t0 = time.time()
         triples.count()
         dt = time.time() - t0
