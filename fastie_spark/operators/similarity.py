@@ -304,3 +304,66 @@ def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
 
     return bucketed.groupBy("bucket").applyInPandas(
         verify_bucket, schema="src bigint, dst bigint")
+
+
+def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
+              scale: int = 1000, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: deterministic integer Lloyd iterations.
+
+    The brief's IVF ANN path needs a k-means cell per vector.  Floats
+    make k-means engine- and order-dependent (avg is a non-associative
+    float fold), so everything here is INTEGER math and therefore
+    bit-exact and reproducible in SQL:
+
+    * vectors are quantized once: ``w_d = round(v_d · scale)`` (int64);
+    * init: cells 0..n_cells-1 = the n_cells smallest-id vectors;
+    * assign: argmin integer squared-L2 to the centroids (broadcast —
+      they are ``n_cells`` rows), ties → smallest cell id;
+    * update: integer centroid ``floor(sum(w_d) / count)`` per
+      dimension (floor, not truncation — identical for negative sums
+      in both engines), rebuilt relationally (posexplode →
+      groupBy(cell, d) → regroup), never on the driver.
+
+    ``n_iters`` is a fixed unrolled count (no convergence test) so the
+    DuckDB oracle can replay the exact same two rounds.  Output:
+    (vec_id, cell).
+    """
+    q = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(f"transform(cast({vec_col} as array<double>), "
+               f"x -> cast(round(x * {scale}) as bigint))").alias("w"),
+    ).repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+
+    dist = ("aggregate(zip_with(w, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)")
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = q.join(F.broadcast(centroids))
+        win = Window.partitionBy("id").orderBy("d2", "cell")
+        return (
+            scored.withColumn("d2", F.expr(dist))
+            .withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("id", "w", "cell")
+        )
+
+    centroids = q.orderBy("id").limit(n_cells).select(
+        F.expr(f"row_number() over (order by id) - 1").alias("cell"),
+        F.col("w").alias("c"),
+    )
+    assigned = None
+    for _ in range(n_iters):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select(
+                "cell", F.posexplode("w").alias("d", "val"))
+            .groupBy("cell", "d")
+            .agg(F.floor(F.sum("val") / F.count("*"))
+                 .cast("bigint").alias("m"))
+            .groupBy("cell")
+            .agg(F.expr(
+                "transform(sort_array(collect_list(struct(d, m))), "
+                "s -> s.m)").alias("c"))
+        )
+    return assigned.select(F.col("id").alias(id_col), "cell")

@@ -1290,6 +1290,56 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
+IVF_CELLS, IVF_SCALE = 4, 1000
+
+@query("ann_ivf_cells", oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> round(x * {IVF_SCALE})::BIGINT) AS w
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cell, w AS c FROM e
+       WHERE vec_id < {IVF_CELLS}),
+s0 AS (
+  SELECT e.vec_id, e.w, c0.cell,
+         list_sum(list_transform(list_zip(e.w, c0.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM e, c0),
+a0 AS (
+  SELECT vec_id, w, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rn FROM s0)
+  WHERE rn = 1),
+m1 AS (
+  SELECT cell, d.d AS d,
+         floor(sum(w[d.d])::DOUBLE / count(*))::BIGINT AS m
+  FROM a0, generate_series(1, 64) d(d)
+  GROUP BY cell, d.d),
+c1 AS (SELECT cell, list(m ORDER BY d) AS c FROM m1 GROUP BY cell),
+s1 AS (
+  SELECT e.vec_id, c1.cell,
+         list_sum(list_transform(list_zip(e.w, c1.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM e, c1),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rn FROM s1)
+  WHERE rn = 1)
+SELECT vec_id::BIGINT AS vec_id, cell::BIGINT AS cell FROM a1
+""")
+def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer (the brief's IVF ANN variant): two
+    deterministic INTEGER Lloyd iterations (quantized vectors,
+    floor-mean centroids, argmin with smallest-cell tie-break) — the
+    oracle replays the identical two rounds in SQL, so the k-means is
+    bit-exact across engines."""
+    from fastie_spark.operators.similarity import ivf_cells
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_cells(vecs, n_cells=IVF_CELLS, n_iters=2,
+                     scale=IVF_SCALE)
+
+
 CC_LSH_PLANES = 4
 
 @query("cc_components_lsh", oracle=f"""

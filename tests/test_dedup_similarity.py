@@ -191,3 +191,22 @@ def test_jaccard_max_df_logs_dropped_count(docs, caplog):
     assert msgs, "expected a dropped-shingle log line"
     # docs 0/1/2 share shingles with df>1: 'a b c','b c d' (df 3), 'c d e' (df 2)
     assert "drops 3 hot shingles" in msgs[0]
+
+
+def test_ivf_cells_deterministic_and_groups_duplicates(spark):
+    """Integer IVF quantizer: identical vectors share a cell, cell ids
+    stay within range, and the assignment is run-deterministic."""
+    from fastie_spark.operators.similarity import ivf_cells
+
+    vecs = _rand_vecs(spark, n=40)
+    dup = vecs.union(
+        vecs.where("vec_id < 8")
+        .selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    a = {r["vec_id"]: r["cell"]
+         for r in ivf_cells(dup, n_cells=4, n_iters=2).collect()}
+    b = {r["vec_id"]: r["cell"]
+         for r in ivf_cells(dup, n_cells=4, n_iters=2).collect()}
+    assert a == b                          # deterministic
+    assert set(a.values()) <= {0, 1, 2, 3}
+    for i in range(8):
+        assert a[i] == a[i + 1000]         # exact dup → same cell
