@@ -60,6 +60,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # NOTE: this host occasionally livelocks a single Arrow-runner
+        # task (job stalls on one straggler).  spark.speculation=true
+        # would re-launch it, but an A/B at sf0.1 showed a steady-state
+        # 15-35% overhead in local mode — a bad trade for a rare stall,
+        # so it stays off here; on a real cluster (where speculative
+        # copies land on OTHER hosts) it should be on.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
