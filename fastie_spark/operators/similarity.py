@@ -5,17 +5,26 @@ Engine additions beyond the reference (brief §training-data ops):
 * ``cosine_topk`` — brute-force cosine top-k: the exactness baseline.
   The probe set is broadcast (it is small by construction); the corpus
   side streams through a single narrow projection — no corpus shuffle at
-  all, the only shuffle is the final per-probe top-k aggregation, which
-  Spark computes with partial map-side top-k via window + AQE.
+  all.  The per-probe ranking is a TWO-LEVEL top-k (partial top-k per
+  (probe, salt) shard, final top-k over the survivors) so no single
+  task ever holds a probe's full candidate set.
 * ``sign_lsh_buckets`` — the scale path: random-hyperplane (sign) LSH.
   Hyperplane weights are derived from the portable md5 hash of
   (plane, dim) — deterministic, reproducible in SQL, no RNG state to
   ship.  At 100 TB the bucket id becomes the shuffle/partition key and
   only same-bucket pairs are verified.
+* ``cosine_pairs`` / ``cosine_pairs_lsh`` — threshold all-pairs, exact
+  (blocked distributed matmul) and bucket-restricted.  The LSH form
+  sub-blocks WITHIN hot buckets (r2 VERDICT #1): a grouped-map pandas
+  stage cannot be AQE-skew-split, so one hot bucket would otherwise be
+  one O(bucket²) task on one executor; splitting each hot bucket into
+  block-pair groups bounds every task at O((bucket/B)²) and restores
+  parallelism regardless of bucket skew.
 
-All vector math runs JVM-side via ``zip_with``/``aggregate`` on double
-arrays (codegen'd) — benchmarked faster than an Arrow round-trip for
-64-dim vectors; a pandas-UDF variant would win only for ≫1k dims.
+All plain vector math runs JVM-side via ``zip_with``/``aggregate`` on
+double arrays (codegen'd) — benchmarked faster than an Arrow round-trip
+for 64-dim vectors; the matmul-shaped verify stages use NumPy inside
+``applyInPandas`` (Arrow batches, never per-row Python).
 """
 
 from __future__ import annotations
@@ -47,6 +56,38 @@ def l2_normalize(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     ).drop("_nrm")
 
 
+def _topk_per_probe(scored: DataFrame, k: int,
+                    n_salts: int | None = None) -> DataFrame:
+    """Deterministic per-probe top-k with BOUNDED task size.
+
+    A single window ``partitionBy(probe_id)`` puts every candidate of a
+    probe into one task — at 100 TB a hot probe (full corpus for the
+    brute-force path, a huge bucket for the LSH path) is one straggler
+    that AQE cannot split.  Two levels bound it: partial top-k within
+    (probe, salt) shards (each task ≤ candidates/S rows), then the
+    final top-k over the ≤ S·k survivors.  Both levels use the same
+    total order (sim DESC, neighbor_id ASC), so the result is
+    bit-identical to the single-window form.
+    """
+    if n_salts is None:
+        n_salts = scored.sparkSession.sparkContext.defaultParallelism
+    order = [F.col("sim").desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy("probe_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("probe_id").orderBy(*order)
+    return (
+        scored.withColumn("_salt", F.pmod("neighbor_id", F.lit(n_salts)))
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("probe_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            F.col("rank").cast("bigint"),
+        )
+    )
+
+
 def cosine_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each probe.
@@ -54,7 +95,8 @@ def cosine_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
     Output: (probe_id, neighbor_id, rank) with deterministic tie-break
     (sim desc, neighbor_id asc).  Probes are broadcast; self-matches
     excluded.  Both sides are L2-normalized once up front, so the
-    per-pair cost is one dot product.
+    per-pair cost is one dot product; the ranking is the two-level
+    bounded top-k (:func:`_topk_per_probe`).
     """
     p = l2_normalize(
         probes.select(F.col(id_col).alias("probe_id"),
@@ -75,18 +117,7 @@ def cosine_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
             F.expr(_dot("pv", "nv")).alias("sim"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("probe_id").cast("bigint"),
-            F.col("neighbor_id").cast("bigint"),
-            F.col("rank").cast("bigint"),
-        )
-    )
+    return _topk_per_probe(scored, k)
 
 
 def _plane_weight(p: int, d: int) -> int:
@@ -149,9 +180,10 @@ def lsh_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
     """Approximate top-k: candidates restricted to the probe's LSH bucket,
     then exact cosine rank within the bucket.  The scale path — the
     corpus is hash-partitioned by bucket, so each probe touches one
-    partition instead of the full corpus.  Pass ``dims`` to keep plan
-    construction job-free (else the dimensionality is probed with a
-    one-row scan)."""
+    partition instead of the full corpus; the per-probe ranking is the
+    two-level bounded top-k (a hot bucket would otherwise put all its
+    rows in one window task).  Pass ``dims`` to keep plan construction
+    job-free (else the dimensionality is probed with a one-row scan)."""
     vb = sign_lsh_buckets(vectors, n_planes, id_col, vec_col, dims).join(
         vectors.select(F.col(id_col), F.col(vec_col)), id_col
     )
@@ -168,16 +200,43 @@ def lsh_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
         .select("probe_id", "neighbor_id",
                 F.expr(cosine_sim_expr("pv", "nv")).alias("sim"))
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("probe_id").cast("bigint"),
-                F.col("neighbor_id").cast("bigint"),
-                F.col("rank").cast("bigint"))
-    )
+    return _topk_per_probe(scored, k)
+
+
+def _pair_block_fn(threshold: float):
+    """Grouped-map kernel shared by the blocked all-pairs stages: one
+    NumPy matmul per (bi, bj) block-pair group, upper triangle when the
+    blocks coincide.  Expects columns (id, vn, blk, bi, bj)."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"src": [], "dst": []})
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["vn"].to_numpy())
+            sims = mat @ mat.T
+            ai, aj = np.nonzero(sims >= thr)
+            keep = ids[ai] < ids[aj]
+            return pd.DataFrame({"src": ids[ai][keep],
+                                 "dst": ids[aj][keep]})
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"src": [], "dst": []})
+        ida = a["id"].to_numpy(dtype=np.int64)
+        idb = b["id"].to_numpy(dtype=np.int64)
+        sims = np.stack(a["vn"].to_numpy()) @ np.stack(b["vn"].to_numpy()).T
+        ai, aj = np.nonzero(sims >= thr)
+        src = np.minimum(ida[ai], idb[aj])
+        dst = np.maximum(ida[ai], idb[aj])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    return pair_block
 
 
 def cosine_pairs(vectors: DataFrame, threshold: float,
@@ -207,14 +266,10 @@ def cosine_pairs(vectors: DataFrame, threshold: float,
     """
     import math
 
-    import numpy as np
-    import pandas as pd
-
     spark = vectors.sparkSession
     if n_blocks is None:
         n_blocks = max(2, math.isqrt(
             2 * spark.sparkContext.defaultParallelism))
-    thr = float(threshold)
 
     norm = l2_normalize(
         vectors.select(F.col(id_col).cast("bigint").alias("id"),
@@ -230,80 +285,101 @@ def cosine_pairs(vectors: DataFrame, threshold: float,
             F.greatest("blk", "other").alias("bj"),
         )
     )
-
-    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(pdf):
-            return pd.DataFrame({"src": [], "dst": []})
-        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
-        if bi == bj:
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.stack(pdf["vn"].to_numpy())
-            sims = mat @ mat.T
-            ai, aj = np.nonzero(sims >= thr)
-            keep = ids[ai] < ids[aj]
-            return pd.DataFrame({"src": ids[ai][keep],
-                                 "dst": ids[aj][keep]})
-        a = pdf[pdf["blk"] == bi]
-        b = pdf[pdf["blk"] == bj]
-        if not len(a) or not len(b):
-            return pd.DataFrame({"src": [], "dst": []})
-        ida = a["id"].to_numpy(dtype=np.int64)
-        idb = b["id"].to_numpy(dtype=np.int64)
-        sims = np.stack(a["vn"].to_numpy()) @ np.stack(b["vn"].to_numpy()).T
-        ai, aj = np.nonzero(sims >= thr)
-        src = np.minimum(ida[ai], idb[aj])
-        dst = np.maximum(ida[ai], idb[aj])
-        return pd.DataFrame({"src": src, "dst": dst})
-
     return replicated.groupBy("bi", "bj").applyInPandas(
-        pair_block, schema="src bigint, dst bigint")
+        _pair_block_fn(threshold), schema="src bigint, dst bigint")
+
+
+#: buckets larger than this get split into block-pair sub-groups; at
+#: 64 dims a 4096-row block pair is a ~16M-dot-product task (~0.1 s of
+#: BLAS), the granularity AQE would pick for a skewed relational join
+LSH_SPLIT_THRESHOLD = 4096
+
+
+def _lsh_blocked(vectors: DataFrame, n_planes: int,
+                 id_col: str, vec_col: str, dims: int | None,
+                 n_blocks: int | None,
+                 split_threshold: int) -> DataFrame:
+    """Bucketed + sub-blocked candidate frame for the LSH verify stage:
+    (bucket, id, vn, blk, bi, bj) with every unordered same-bucket pair
+    landing in exactly one (bucket, bi, bj) group.
+
+    Buckets at or below ``split_threshold`` rows stay one group
+    (bi = bj = 0, no replication — the common case pays no blow-up);
+    larger buckets replicate each row to the B block-pair groups of the
+    :func:`cosine_pairs` scheme, so a skewed bucket becomes
+    B·(B+1)/2 tasks of ≤ ~2·bucket/B rows instead of one O(bucket²)
+    grouped-map task that AQE cannot split.
+    """
+    import math
+
+    spark = vectors.sparkSession
+    if dims is None:
+        first = vectors.select(F.size(vec_col)).first()
+        dims = int(first[0]) if first else 0
+    if n_blocks is None:
+        n_blocks = max(2, math.isqrt(
+            2 * spark.sparkContext.defaultParallelism))
+
+    base = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # bucket on the RAW vector: the sign is scale-invariant in real
+    # arithmetic, but in floats a near-zero plane dot can round to a
+    # different sign after normalization — computing the identical
+    # expression as sign_lsh_buckets / the SQL oracles keeps bucket ids
+    # bit-exact across paths (ADVICE r2)
+    bucketed = _bucket_column(base, "v", n_planes, dims)
+    normed = l2_normalize(bucketed, "v", "vn").drop("v")
+
+    counts = normed.groupBy("bucket").agg(F.count("*").alias("_bn"))
+    tagged = normed.join(F.broadcast(counts), "bucket")
+    small = tagged.where(F.col("_bn") <= split_threshold).select(
+        "bucket", "id", "vn",
+        F.lit(0).alias("blk"), F.lit(0).alias("bi"), F.lit(0).alias("bj"))
+    hot = (
+        tagged.where(F.col("_bn") > split_threshold)
+        .withColumn("blk", F.pmod("id", F.lit(n_blocks)))
+        .withColumn("other", F.explode(F.expr(
+            f"sequence(0, {n_blocks - 1})")))
+        .select(
+            "bucket", "id", "vn", "blk",
+            F.least("blk", "other").alias("bi"),
+            F.greatest("blk", "other").alias("bj"),
+        )
+    )
+    return small.unionByName(hot)
 
 
 def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
                      n_planes: int = 4,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     dims: int | None = None) -> DataFrame:
+                     dims: int | None = None,
+                     n_blocks: int | None = None,
+                     split_threshold: int = LSH_SPLIT_THRESHOLD) -> DataFrame:
     """Approximate threshold pairs: candidates restricted to the same
-    sign-LSH bucket, verified with a per-bucket NumPy matmul — the
-    100 TB shape (bucket = shuffle key, work O(Σ bucket²) ≪ O(N²)).
+    sign-LSH bucket, verified with NumPy matmuls — the 100 TB shape
+    (bucket = shuffle key, work O(Σ bucket²) ≪ O(N²)).
+
+    Buckets larger than ``split_threshold`` are SUB-BLOCKED into
+    (bucket, bi, bj) block-pair groups (see :func:`_lsh_blocked`): the
+    grouped-map verify stage cannot be AQE-skew-split, so without this
+    one hot bucket = one executor doing the whole O(bucket²) matmul.
+    The grouping only changes task granularity — the emitted pair set
+    is identical for any ``split_threshold``/``n_blocks``.
 
     Recall: a pair at cosine angle θ survives one ``n_planes``-plane
     bucket with probability (1 − θ/π)^n_planes; run with rotated plane
     seeds and union for multi-probe recall.  Exactly reproducible in
     SQL — bucket ids are the same md5-derived integers as
-    :func:`sign_lsh_buckets`.
+    :func:`sign_lsh_buckets` (computed on the raw vectors, same float
+    expression).
     """
-    import numpy as np
-    import pandas as pd
-
-    thr = float(threshold)
-    if dims is None:
-        first = vectors.select(F.size(vec_col)).first()
-        dims = int(first[0]) if first else 0
-    norm = l2_normalize(
-        vectors.select(F.col(id_col).cast("bigint").alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("v")),
-        "v", "vn").drop("v")
-    # sign-LSH is scale-invariant, so the bucket computes directly on
-    # the normalized column: ONE corpus scan, no id re-join
-    bucketed = _bucket_column(
-        norm.repartition(
-            vectors.sparkSession.sparkContext.defaultParallelism),
-        "vn", n_planes, dims)
-
-    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"src": [], "dst": []})
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        mat = np.stack(pdf["vn"].to_numpy())
-        sims = mat @ mat.T
-        ai, aj = np.nonzero(sims >= thr)
-        keep = ids[ai] < ids[aj]
-        return pd.DataFrame({"src": ids[ai][keep], "dst": ids[aj][keep]})
-
-    return bucketed.groupBy("bucket").applyInPandas(
-        verify_bucket, schema="src bigint, dst bigint")
+    blocked = _lsh_blocked(vectors, n_planes, id_col, vec_col, dims,
+                           n_blocks, split_threshold)
+    return blocked.groupBy("bucket", "bi", "bj").applyInPandas(
+        _pair_block_fn(threshold), schema="src bigint, dst bigint")
 
 
 def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
@@ -317,7 +393,9 @@ def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
     bit-exact and reproducible in SQL:
 
     * vectors are quantized once: ``w_d = round(v_d · scale)`` (int64);
-    * init: cells 0..n_cells-1 = the n_cells smallest-id vectors;
+    * init: cells 0..n_cells-1 = the n_cells smallest-id vectors
+      (cell id = rank of the vector id, NOT the id itself — ids need
+      not be contiguous or 0-based);
     * assign: argmin integer squared-L2 to the centroids (broadcast —
       they are ``n_cells`` rows), ties → smallest cell id;
     * update: integer centroid ``floor(sum(w_d) / count)`` per

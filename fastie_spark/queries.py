@@ -1298,8 +1298,8 @@ WITH e AS (
          list_transform(embedding::DOUBLE[],
                         x -> round(x * {IVF_SCALE})::BIGINT) AS w
   FROM embeddings),
-c0 AS (SELECT vec_id AS cell, w AS c FROM e
-       WHERE vec_id < {IVF_CELLS}),
+c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell, w AS c
+       FROM (SELECT vec_id, w FROM e ORDER BY vec_id LIMIT {IVF_CELLS})),
 s0 AS (
   SELECT e.vec_id, e.w, c0.cell,
          list_sum(list_transform(list_zip(e.w, c0.c),

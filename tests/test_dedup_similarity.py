@@ -210,3 +210,52 @@ def test_ivf_cells_deterministic_and_groups_duplicates(spark):
     assert set(a.values()) <= {0, 1, 2, 3}
     for i in range(8):
         assert a[i] == a[i + 1000]         # exact dup → same cell
+
+
+def test_lsh_hot_bucket_is_sub_blocked(spark):
+    """r2 VERDICT #1: a grouped-map pandas stage cannot be AQE-skew-
+    split, so a hot LSH bucket must be sub-blocked — no single
+    applyInPandas task may hold the whole O(hot-bucket) group.  Plants
+    ALL vectors in one bucket and asserts (a) the verify input splits
+    into B(B+1)/2 bounded block-pair groups, (b) the emitted pair set
+    is identical split vs unsplit vs exact, (c) bucket ids equal
+    sign_lsh_buckets' (computed on the RAW vector, ADVICE r2)."""
+    from fastie_spark.operators.similarity import (
+        _lsh_blocked,
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    n, d = 120, 16
+    base = [7.1, -3.3, 5.9, 2.2, -6.4, 1.7, -2.9, 4.4,
+            -1.6, 3.8, -5.1, 2.6, -4.7, 6.2, -3.1, 1.9]
+    rows = [(i, [base[j] + (1e-5 * i if j == 0 else 0.0) for j in range(d)])
+            for i in range(n)]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id: long, embedding: array<double>")
+    want_buckets = {r["vec_id"]: r["bucket"]
+                    for r in sign_lsh_buckets(vecs, n_planes=4,
+                                              dims=d).collect()}
+    assert len(set(want_buckets.values())) == 1  # the planted hot bucket
+
+    blocked = _lsh_blocked(vecs, 4, "vec_id", "embedding", d,
+                           n_blocks=4, split_threshold=50)
+    got_buckets = {r["id"]: r["bucket"]
+                   for r in blocked.select("id", "bucket").distinct()
+                   .collect()}
+    assert got_buckets == want_buckets  # raw-vector bucketing, bit-equal
+
+    groups = blocked.groupBy("bucket", "bi", "bj").count().collect()
+    assert len(groups) == 10            # B(B+1)/2 tasks, not one
+    assert max(r["count"] for r in groups) <= 2 * -(-n // 4)
+
+    kw = dict(n_planes=4, dims=d)
+    split = {(r["src"], r["dst"])
+             for r in cosine_pairs_lsh(vecs, 0.5, n_blocks=4,
+                                       split_threshold=50, **kw).collect()}
+    unsplit = {(r["src"], r["dst"])
+               for r in cosine_pairs_lsh(vecs, 0.5, split_threshold=10**9,
+                                         **kw).collect()}
+    exact = {(r["src"], r["dst"])
+             for r in cosine_pairs(vecs, 0.5).collect()}
+    assert split == unsplit == exact
