@@ -33,10 +33,28 @@ class PairRelationModel:
     def __init__(self, key2label: dict[tuple[str, str, int], str]):
         self.key2label = key2label
 
+    #: rules retained by fit() — the rule table IS driver/broadcast
+    #: state, so the collect must be bounded (same rationale and shape
+    #: as GazetteerNER.MAX_SURFACES, extraction/ner.py)
+    MAX_RULES = 1_000_000
+
     @classmethod
     def fit(cls, sentences: DataFrame,
-            relations_col: str = "relation_mentions") -> "PairRelationModel":
-        rows = (
+            relations_col: str = "relation_mentions",
+            max_rules: int | None = None) -> "PairRelationModel":
+        """Collect the distinct (subj surface, obj surface, dist) → label
+        rules from the annotated split; on ambiguity the
+        lexicographically smallest label wins (deterministic).
+
+        The collect is CAPPED at ``max_rules`` (default ``MAX_RULES``)
+        keeping the most frequent rules (ties → lexicographically
+        smallest key) — an open vocabulary would otherwise collect
+        unbounded rows to the driver; per the no-silent-caps rule the
+        dropped count is logged."""
+        import logging
+
+        cap = max_rules if max_rules is not None else cls.MAX_RULES
+        agg = (
             sentences.select(F.explode(relations_col).alias("r"), "tokens")
             .select(
                 F.concat_ws(" ", F.expr("slice(tokens, r.s_start + 1, r.s_end - r.s_start)")).alias("subj"),
@@ -45,9 +63,18 @@ class PairRelationModel:
                 F.col("r.label").alias("label"),
             )
             .groupBy("subj", "obj", "dist")
-            .agg(F.min("label").alias("label"))
-            .collect()
+            .agg(F.min("label").alias("label"), F.count("*").alias("freq"))
         )
+        rows = (agg.orderBy(F.col("freq").desc(), F.col("subj").asc(),
+                            F.col("obj").asc(), F.col("dist").asc())
+                .limit(cap + 1).collect())
+        if len(rows) > cap:
+            n_total = agg.count()
+            logging.getLogger(__name__).warning(
+                "PairRelationModel.fit: rule table %d exceeds "
+                "max_rules=%d; keeping the %d most frequent rules "
+                "(%d dropped)", n_total, cap, cap, n_total - cap)
+            rows = rows[:cap]
         return cls({(r["subj"], r["obj"], r["dist"]): r["label"] for r in rows})
 
     def transform(self, sentences: DataFrame, mentions_col: str = "ent_pred",

@@ -15,11 +15,18 @@ Scale notes (100 TB):
   otherwise explode the join (the classic hot-key guard — at web scale a
   boilerplate shingle can appear in 10^9 docs).
 * MinHash/LSH replaces the quadratic verify set with banded buckets;
-  candidate generation is a self-join on (band, band_signature), which
-  AQE splits if a bucket is skewed.
+  candidate generation is a self-join on (band, band_signature).  The
+  band joins here are plain equi-JOINS, which AQE's skew-join rule CAN
+  split when a band bucket is hot (unlike grouped-map pandas stages,
+  which cannot be split — see operators/similarity.py for the
+  sub-blocking that bounds those).
 * SimHash pairs here use a cross-join verify for small n (exact oracle);
   the scale path blocks on bit-bands of the fingerprint first (same LSH
   trick, provided by ``simhash_bands``).
+* intermediate fingerprint frames are ``persist(MEMORY_AND_DISK)``, not
+  ``localCheckpoint``: a localCheckpoint truncates lineage, so on a real
+  cluster a lost executor makes the blocks unrecoverable and fails the
+  job; persist keeps the lineage recomputable.
 """
 
 from __future__ import annotations
@@ -108,9 +115,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     if max_df is not None:
         # materialize the (small) hot-shingle list once: the count job
         # below and the anti-join both consume it without recomputing
-        # the full shingle aggregation
+        # the full shingle aggregation; persist (recomputable lineage),
+        # NOT localCheckpoint (unrecoverable on executor loss)
+        from pyspark import StorageLevel
         hot = sh.groupBy("shingle").count() \
-            .where(F.col("count") > max_df).localCheckpoint()
+            .where(F.col("count") > max_df) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         # no-silent-caps rule: surface what the guard dropped
         n_hot = hot.count()
         log.info("ngram_jaccard_pairs: max_df=%d drops %d hot shingles",
@@ -282,9 +292,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     pre-blocks with :func:`simhash_bands` so only same-band pairs verify.
     """
     # materialize fingerprints once — both sides of the self-join would
-    # otherwise recompute the (expensive, interpreted) vote fold
+    # otherwise recompute the (expensive, interpreted) vote fold;
+    # persist keeps lineage recomputable on executor loss
+    from pyspark import StorageLevel
     s = simhash(docs, text_col=text_col, id_col=id_col,
-                shingle_n=shingle_n).localCheckpoint()
+                shingle_n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
     a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
     return (
@@ -348,8 +360,9 @@ def simhash_pairs_banded(docs: DataFrame, max_hamming: int = 8,
     hamming ≤ 8 recall is near-total on real near-dups, and the
     operator's contract (same banding in the oracle) is exact.
     """
+    from pyspark import StorageLevel
     s = simhash(docs, text_col=text_col, id_col=id_col,
-                shingle_n=shingle_n).localCheckpoint()
+                shingle_n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
     b = fingerprint_bands(s, n_bands=n_bands, id_col=id_col)
     cand = (
         b.select(F.col(id_col).alias("a"), "band", "band_bits")

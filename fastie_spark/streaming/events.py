@@ -99,10 +99,26 @@ def streaming_extract(spark: SparkSession, docs_path: str,
     Output LAYOUT NOTE: the sink is hive-partitioned by ``batch``, so
     readers see an extra ``batch`` partition column; do not point this
     writer at a directory holding flat (non-partitioned) parquet from
-    another writer — Spark rejects mixed directory structures."""
+    another writer — mixing the two layouts in one directory makes
+    Spark reject the read, so this function FAILS FAST if ``out_path``
+    already holds flat parquet (``part-*`` files directly under it)."""
     from fastie_spark.extraction.pipeline import explode_triples
     from fastie_spark.operators.pairs import enumerate_pairs
     from fastie_spark.sources.normalize import docs_to_sentences
+
+    # flat-layout guard (works on any Hadoop-visible FS, not just local)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            if st.getPath().getName().startswith("part-"):
+                raise ValueError(
+                    f"streaming_extract: {out_path} contains flat parquet "
+                    "(part-* directly under the sink root) from a "
+                    "non-partitioned writer; this sink writes "
+                    "batch=<id>/ subdirectories and the two layouts "
+                    "cannot mix — point it at a fresh directory")
 
     src_schema = ("repo string, path string, commit string, lang string, "
                   "content string")
@@ -165,22 +181,42 @@ def streaming_sessionize(events: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    import numpy as np
+
     def update(key, pdfs, state):
         if state.exists:
             last_epoch, n_sessions, cur_len, max_len = state.get
         else:
             last_epoch, n_sessions, cur_len, max_len = None, 0, 0, 0
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
-                epoch = int(pd.Timestamp(ts).timestamp())
-                if last_epoch is None or epoch - last_epoch > gap_s:
-                    n_sessions += 1
-                    cur_len = 1
-                else:
-                    cur_len += 1
+            # vectorized session fold (r2 VERDICT #6): epoch diffs >
+            # gap open sessions; segment lengths = diffs of the session
+            # start positions.  State transitions identical to the
+            # per-row loop (the streaming pytest compares against the
+            # batch sessionize oracle).
+            epochs = (pdf["ts"].to_numpy().astype("datetime64[s]")
+                      .astype(np.int64))
+            # sentinel forces a session start without int64 overflow
+            first_prev = (epochs[0] - gap_s - 1 if last_epoch is None
+                          else last_epoch)
+            prev = np.concatenate(([first_prev], epochs[:-1]))
+            is_start = (epochs - prev) > gap_s
+            starts = np.flatnonzero(is_start)
+            n = len(epochs)
+            n_sessions += len(starts)
+            if len(starts) == 0:
+                cur_len += n
                 max_len = max(max_len, cur_len)
-                last_epoch = epoch
+            else:
+                # events before the first start extend the open session
+                max_len = max(max_len, cur_len + int(starts[0]))
+                seg_lens = np.diff(np.append(starts, n))
+                max_len = max(max_len, int(seg_lens.max()))
+                cur_len = int(seg_lens[-1])
+            last_epoch = int(epochs[-1])
         state.update((last_epoch, n_sessions, cur_len, max_len))
         yield pd.DataFrame({"user_id": [key[0]],
                             "n_sessions": [n_sessions],

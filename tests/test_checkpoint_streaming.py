@@ -278,3 +278,28 @@ def test_resume_reruns_stage_when_snapshot_lost(spark, tmp_path):
     out = PipelineRunner(spark, root, run_id="l2").run(docs, stages)
     assert calls == ["a", "a"]  # stage re-ran
     assert out.count() == 6     # and the data is back
+
+
+def test_streaming_extract_rejects_flat_sink_layout(spark, tmp_path):
+    """ADVICE r2: the batch-partitioned sink must fail fast when pointed
+    at a directory already holding flat parquet from the old layout —
+    mixing the two structures makes the read undefined."""
+    import pytest as _pytest
+
+    from fastie_spark.extraction.ner import GazetteerNER
+    from fastie_spark.streaming.events import streaming_extract
+
+    src = str(tmp_path / "docs_src3")
+    spark.createDataFrame(
+        [("r1", "f0.py", "c1", "py", "Alpha calls Beta")],
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string",
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "flat_out")
+    # legacy flat layout: part-* files directly under the sink root
+    spark.range(3).coalesce(1).write.mode("overwrite").parquet(out)
+
+    ner = GazetteerNER({("Alpha",): "CLASS"})
+    with _pytest.raises(ValueError, match="flat parquet"):
+        streaming_extract(spark, src, str(tmp_path / "ck_flat"), out, ner)

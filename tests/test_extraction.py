@@ -240,3 +240,32 @@ def test_event_extraction_sentence_scoped(spark):
     rows = {(r["doc_key"], r["sent_id"], r["role"], r["arg_start"])
             for r in out}
     assert rows == {("d0", 0, "AGENT", 0)}  # Beta (sent 1) not attached
+
+
+def test_pair_relation_fit_caps_rules(spark, caplog):
+    """PairRelationModel.fit mirrors the GazetteerNER.fit bound: the
+    rule table is driver/broadcast state, so the collect is capped at
+    the most frequent rules and the dropped count is logged."""
+    import logging
+
+    rows = [("d0", 0, "A calls B".split(),
+             [(0, 1, 2, 3, "CALLS")]),
+            ("d1", 0, "A calls B".split(),
+             [(0, 1, 2, 3, "CALLS")]),
+            ("d2", 0, "C uses D".split(),
+             [(0, 1, 2, 3, "USES")])]
+    df = spark.createDataFrame(
+        rows, "doc_key string, sent_id int, tokens array<string>, "
+              "relation_mentions array<struct<s_start:int,s_end:int,"
+              "o_start:int,o_end:int,label:string>>")
+    with caplog.at_level(logging.WARNING,
+                         logger="fastie_spark.extraction.relation"):
+        rel = PairRelationModel.fit(df, max_rules=1)
+    assert rel.key2label == {("A", "B", -2): "CALLS"}  # top-1 by freq
+    assert any("1 dropped" in r.message for r in caplog.records)
+
+    # default path unchanged: no cap hit, no warning
+    caplog.clear()
+    rel2 = PairRelationModel.fit(df)
+    assert len(rel2.key2label) == 2
+    assert not caplog.records
