@@ -85,6 +85,147 @@ def eager_tag(tokens: list[str],
     return out
 
 
+#: hidden width / clip bound of the deep (2-layer) tagger
+HID_DIM = 6
+CLIP = 100_000
+
+
+def _split_pieces(tok: str, piece_len: int = 4) -> list[str]:
+    """Deterministic wordpiece stand-in — same convention as
+    functions/subword.py (F2) and pure_pack.py: fixed-width pieces,
+    ``##``-prefixed continuations."""
+    ps = [tok[i:i + piece_len] for i in range(0, len(tok), piece_len)]
+    return [ps[0]] + ["##" + p for p in ps[1:]] if ps else [tok]
+
+
+def frozen_weights_l1(hid: int = HID_DIM, dim: int = EMB_DIM):
+    """Layer-1 (hid × dim) int64 matrix W1[k, d] = H('w1k<k>d<d>')."""
+    import numpy as np
+
+    return np.array(
+        [[_coef(f"w1k{k}d{d}") for d in range(dim)] for k in range(hid)],
+        dtype=np.int64)
+
+
+def frozen_weights_l2(n_labels: int, hid: int = HID_DIM):
+    """Layer-2 (n_labels × hid) int64 matrix W2[c, k] = H('w2c<c>k<k>')."""
+    import numpy as np
+
+    return np.array(
+        [[_coef(f"w2c{c}k{k}") for k in range(hid)]
+         for c in range(n_labels)],
+        dtype=np.int64)
+
+
+def embed_token_deep(tok: str, dim: int = EMB_DIM) -> list[int]:
+    """Token embedding of the deep tagger = SUM of its wordpiece
+    embeddings (the F2 alignment gather: one token → ≥1 contiguous
+    pieces, features pooled back to the token)."""
+    emb = [0] * dim
+    for piece in _split_pieces(tok):
+        for d in range(dim):
+            emb[d] += _coef(f"e{d}#{piece}")
+    return emb
+
+
+def eager_tag_deep(tokens: list[str],
+                   labels: list[str] = DEFAULT_LABELS) -> list[int]:
+    """Single-process eager 2-layer forward — the parity twin of the
+    padded/batched distributed path (one token at a time, no NumPy)."""
+    n_labels, hid = len(labels), HID_DIM
+    out = []
+    for t in tokens:
+        emb = embed_token_deep(t)
+        h = []
+        for k in range(hid):
+            z = sum(_coef(f"w1k{k}d{d}") * emb[d] for d in range(EMB_DIM))
+            h.append(min(max(z, 0), CLIP))
+        scores = [
+            sum(_coef(f"w2c{c}k{k}") * h[k] for k in range(hid))
+            for c in range(n_labels)
+        ]
+        out.append(max(range(n_labels), key=lambda c: (scores[c], -c)))
+    return out
+
+
+class DeepTokenClassifier:
+    """2-layer integer MLP through the seam with PADDED per-sentence
+    batching — the reference BERT forward's shape
+    (``/root/reference/fastie/tasks/ner/bert/bert.py:97-120``) minus
+    torch: layered broadcast weights, a (batch, max_len, dim) padded
+    tensor per Arrow batch, matmul → clipped nonlinearity → matmul,
+    per-token argmax, unpad by sentence length.  All integer math, so
+    the forward is bit-exact across NumPy, the eager twin, and the
+    DuckDB oracle (query ``model_ner_deep``).
+
+    Token embeddings are the summed wordpiece embeddings of the F2
+    fixed-width splitter (functions/subword.py convention) — the
+    alignment-gather step a real encoder performs before pooling.
+    """
+
+    def __init__(self, labels: list[str] = DEFAULT_LABELS,
+                 dim: int = EMB_DIM, hid: int = HID_DIM):
+        self.labels = list(labels)
+        self.dim = dim
+        self.hid = hid
+        self.w1 = frozen_weights_l1(hid, dim)
+        self.w2 = frozen_weights_l2(len(self.labels), hid)
+
+    def transform(self, sentences: DataFrame,
+                  out_col: str = "tag_pred") -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        spark = sentences.sparkSession
+        bc = spark.sparkContext.broadcast((self.w1, self.w2))
+        dim, clip = self.dim, CLIP
+        in_cols = sentences.columns
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in sentences.schema.fields) + f", {out_col} array<int>"
+
+        def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            w1, w2 = bc.value  # one deref per python worker
+            for pdf in batches:
+                toks_col = list(pdf["tokens"])
+                vocab: dict[str, int] = {}
+                for toks in toks_col:
+                    for t in toks:
+                        if t not in vocab:
+                            vocab[t] = len(vocab)
+                lens = np.array([len(t) for t in toks_col], dtype=np.int64)
+                n_rows = len(toks_col)
+                lmax = int(lens.max()) if n_rows else 0
+                if vocab and lmax:
+                    emb_vocab = np.array(
+                        [embed_token_deep(t, dim) for t in vocab],
+                        dtype=np.int64)                    # (V, dim)
+                    # padded (B, Lmax) index tensor; pad slot 0 is a real
+                    # vocab row whose output is sliced away by length
+                    idx = np.zeros((n_rows, lmax), dtype=np.int64)
+                    for i, toks in enumerate(toks_col):
+                        if len(toks):
+                            idx[i, :len(toks)] = [vocab[t] for t in toks]
+                    emb = emb_vocab[idx]                   # (B, Lmax, dim)
+                    z1 = emb @ w1.T                        # (B, Lmax, hid)
+                    h = np.clip(z1, 0, clip)
+                    scores = h @ w2.T                      # (B, Lmax, C)
+                    # first maximum → smallest tag id, same as the eager
+                    # twin and the oracle's (score DESC, c ASC) ranking
+                    tags = np.argmax(scores, axis=2).astype(np.int32)
+                    preds = [
+                        [int(x) for x in tags[i, :lens[i]]]
+                        for i in range(n_rows)
+                    ]
+                else:
+                    preds = [[] for _ in range(n_rows)]
+                pdf = pdf.copy()
+                pdf[out_col] = preds
+                yield pdf[in_cols + [out_col]]
+
+        return sentences.mapInPandas(forward, schema=out_schema)
+
+
 class NumpyTokenClassifier:
     """Broadcast-weights token tagger through the mapInPandas seam."""
 

@@ -78,6 +78,16 @@ def load_column_ner(spark: SparkSession, path: str, token_col: int = 0,
     lines = spark.read.text(path).select(
         F.monotonically_increasing_id().alias("lineno"), "value"
     )
+    return column_blocks_from_lines(lines, token_col, tag_col)
+
+
+def column_blocks_from_lines(lines: DataFrame, token_col: int = 0,
+                             tag_col: int | None = None) -> DataFrame:
+    """Core of the ColumnNER loader: (lineno, value) rows → one row per
+    blank-line-delimited block.  The block id is the running count of
+    blank lines before the line — a global ordered window, acceptable
+    for a FILE loader (one file = one task's worth of lines; corpus
+    scale comes from many files, each loaded independently)."""
     w = Window.orderBy("lineno").rowsBetween(Window.unboundedPreceding, 0)
     lines = lines.withColumn(
         "sent_id", F.sum((F.trim("value") == "").cast("int")).over(w)

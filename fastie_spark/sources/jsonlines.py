@@ -28,7 +28,15 @@ def load_jsonlines_ner(
     spark: SparkSession, path: str, right_inclusive: bool = False
 ) -> DataFrame:
     """jsonl → sentence rows with right-exclusive span mentions."""
-    raw = spark.read.json(path)
+    return ner_rows_from_raw(spark.read.json(path), right_inclusive)
+
+
+def ner_rows_from_raw(raw: DataFrame,
+                      right_inclusive: bool = False) -> DataFrame:
+    """Core of the JsonLinesNER loader (jsonlinesNER.py:81-126), applied
+    to an already-parsed DataFrame: normalizes either mention encoding
+    (index-list or start/end spans, with the ``right_inclusive`` end+1
+    shift) to right-exclusive span structs."""
     shift = 1 if right_inclusive else 0
     fields = {f.name for f in raw.schema.fields}
     mention_fields = (

@@ -269,3 +269,58 @@ def test_pair_relation_fit_caps_rules(spark, caplog):
     rel2 = PairRelationModel.fit(df)
     assert len(rel2.key2label) == 2
     assert not caplog.records
+
+
+def test_deep_model_forward_seam_parity(spark):
+    """DeepTokenClassifier (2-layer integer MLP, padded per-sentence
+    batching) equals the eager per-token twin across RAGGED batch
+    boundaries: mixed sentence lengths including empty sentences, with
+    the Arrow batch size forced small so sentences straddle batches."""
+    from fastie_spark.extraction.model_ner import (
+        DeepTokenClassifier,
+        eager_tag_deep,
+    )
+
+    sents = [
+        ("d0", 0, "Alpha calls Beta quickly".split()),
+        ("d1", 0, []),                                   # empty sentence
+        ("d2", 0, "supercalifragilistic token".split()),  # long pieces
+        ("d3", 0, ["x"]),
+        ("d4", 0, "one two three four five six seven".split()),
+        ("d5", 0, "Alpha Alpha Alpha".split()),           # repeated vocab
+        ("d6", 0, []),
+        ("d7", 0, "tail row after empties".split()),
+    ]
+    df = spark.createDataFrame(
+        sents, "doc_key string, sent_id int, tokens array<string>")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        model = DeepTokenClassifier()
+        got = {r["doc_key"]: list(r["tag_pred"])
+               for r in model.transform(df).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for key, _, toks in sents:
+        assert got[key] == eager_tag_deep(toks), key
+    # nonlinearity is genuinely layered: some hidden unit must clip/ReLU
+    # (otherwise the 2-layer net would collapse to the linear tagger)
+    from fastie_spark.extraction.model_ner import (
+        CLIP,
+        embed_token_deep,
+        frozen_weights_l1,
+    )
+    import numpy as np
+    emb = np.array([embed_token_deep(t)
+                    for _, _, toks in sents for t in toks])
+    z1 = emb @ frozen_weights_l1().T
+    assert (z1 < 0).any() or (z1 > CLIP).any()
+
+    plan = model.transform(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" in plan
