@@ -1,0 +1,177 @@
+"""End-to-end 100×-shape rehearsal (r2 VERDICT #7).
+
+A multi-file synthetic corpus (10× the sf0.01 correctness-gate corpus,
+16 parquet files) runs the FULL flagship pipeline through
+``PipelineRunner``:
+
+    dedup(max_df ON) → ingest → extract → link → CC-lsh → KG write
+    (partitioned by pred)
+
+The run is killed after stage 3 (only the first three stages execute),
+then resumed with a fresh runner on the same root — the resumed run must
+skip the completed stages and the final KG table must row-for-row equal
+an uninterrupted run on a separate root.  This exercises the resume
+machinery on the real pipeline (dedup guard, Arrow NER seam, blocked
+linking join, sub-blocked LSH verify, iterative CC) rather than the toy
+stage chain in test_checkpoint_streaming.py.
+"""
+
+from pyspark.sql import functions as F
+
+from fastie_spark.plans.checkpoint import PipelineRunner, Stage
+
+N_DOCS = 5000  # 10× the sf0.01 documents table the driver gates on
+
+
+def _build_stages(calls):
+    from fastie_spark.corpus import entity_gazetteer
+    from fastie_spark.extraction.ner import GazetteerNER
+    from fastie_spark.extraction.pipeline import explode_triples
+    from fastie_spark.functions.hashing import spark_hash64_sql
+    from fastie_spark.graph import connected_components
+    from fastie_spark.linking import link_entities
+    from fastie_spark.operators.dedup import ngram_jaccard_pairs
+    from fastie_spark.operators.pairs import enumerate_pairs
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    from fastie_spark.sources.normalize import docs_to_sentences
+
+    gaz = GazetteerNER({(s,): lab for s, lab in entity_gazetteer()})
+    doc_key_hash = spark_hash64_sql(
+        "concat(repo, '/', path, '@', commit)")
+
+    def dedup(docs):
+        calls.append("dedup")
+        keyed = (docs.withColumn("doc_id", F.expr(doc_key_hash))
+                 .withColumn("text",
+                             F.regexp_replace("content", "\n", " ")))
+        pairs = ngram_jaccard_pairs(keyed, n=3, min_jaccard_num=4,
+                                    min_jaccard_den=5, max_df=200)
+        losers = pairs.select(F.col("b").alias("doc_id")).distinct()
+        return keyed.join(losers, "doc_id", "left_anti") \
+            .drop("doc_id", "text")
+
+    def ingest(docs):
+        calls.append("ingest")
+        return docs_to_sentences(docs)
+
+    def extract(sents):
+        calls.append("extract")
+        with_m = gaz.transform(sents, out_col="ent_pred")
+        paired = enumerate_pairs(with_m, mentions_col="ent_pred",
+                                 flat=False)
+        with_rel = paired.withColumn(
+            "rel_pred",
+            F.expr(
+                "transform(filter(pairs, p -> "
+                "p.obj.start - p.subj.end >= 0 "
+                "AND p.obj.start - p.subj.end <= 3), "
+                "p -> struct(p.subj.start as s_start, "
+                "p.subj.end as s_end, p.obj.start as o_start, "
+                "p.obj.end as o_end, 'calls' as label))"),
+        ).drop("pairs")
+        return explode_triples(with_rel)
+
+    def link(triples):
+        calls.append("link")
+        catalog = triples.sparkSession.createDataFrame(
+            [(e, e) for e, _ in entity_gazetteer()],
+            "alias string, entity string")
+        links = link_entities(
+            triples.selectExpr("subj_text as surface"), catalog,
+            max_distance=2)
+        return (
+            triples.join(
+                links.selectExpr("surface as subj_text",
+                                 "entity as subj_canon"),
+                "subj_text", "left")
+            .withColumn("subj_canon",
+                        F.coalesce("subj_canon", "subj_text"))
+        )
+
+    def cc(triples):
+        calls.append("cc")
+        # canonicalization over deterministic hash embeddings: entities
+        # sharing a first letter get identical vectors, so CC-lsh merges
+        # them — small, but the REAL sub-blocked LSH verify + iterative
+        # CC code path end-to-end
+        ents = (
+            triples.select(F.col("subj_canon").alias("name"))
+            .union(triples.select(F.col("obj_text").alias("name")))
+            .distinct()
+            .withColumn("vec_id", F.expr(spark_hash64_sql("name")))
+            .withColumn("embedding", F.expr(
+                "transform(sequence(0, 7), d -> "
+                "(cast(conv(substr(md5(concat(substring(name, 1, 1), "
+                "'#', d)), 1, 15), 16, 10) as bigint) % 1000) / 1000.0"
+                ")"))
+        )
+        edges = cosine_pairs_lsh(
+            ents.select("vec_id", "embedding"), threshold=0.999,
+            n_planes=2, dims=8, split_threshold=4)
+        comp = connected_components(edges)
+        ent_comp = (
+            ents.join(comp, ents["vec_id"] == comp["node"], "left")
+            .select("name",
+                    F.coalesce("comp", "vec_id").alias("component"))
+        )
+        return (
+            triples.join(ent_comp,
+                         triples["subj_canon"] == ent_comp["name"])
+            .drop("name")
+            .withColumnRenamed("component", "subj_comp")
+        )
+
+    def kg(triples):
+        calls.append("kg")
+        return triples.groupBy("subj_comp", "subj_canon", "pred",
+                               "obj_text").agg(
+            F.count("*").cast("bigint").alias("weight"),
+            F.countDistinct("doc_key").cast("bigint").alias("n_docs"),
+        )
+
+    return [
+        Stage("dedup", dedup),
+        Stage("ingest", ingest),
+        Stage("extract", extract),
+        Stage("link", link),
+        Stage("cc", cc),
+        Stage("kg", kg, partition_by=("pred",)),
+    ]
+
+
+def test_full_pipeline_kill_resume_hash_equal(spark, tmp_path):
+    from fastie_spark.corpus import synthetic_source_docs
+
+    src = str(tmp_path / "corpus")
+    synthetic_source_docs(spark, n_docs=N_DOCS).repartition(16) \
+        .write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+    assert docs.rdd.getNumPartitions() > 1  # genuinely multi-file
+
+    # uninterrupted reference run
+    calls_u: list[str] = []
+    u_out = PipelineRunner(spark, str(tmp_path / "uroot"), run_id="u") \
+        .run(docs, _build_stages(calls_u))
+    want = sorted(map(tuple, u_out.collect()))
+    assert calls_u == ["dedup", "ingest", "extract", "link", "cc", "kg"]
+    assert len(want) > 0
+
+    # interrupted run: "kill" after stage 3 (only dedup/ingest/extract
+    # have manifest rows), then resume the full chain on the same root
+    calls_i: list[str] = []
+    stages_i = _build_stages(calls_i)
+    iroot = str(tmp_path / "iroot")
+    PipelineRunner(spark, iroot, run_id="i1").run(docs, stages_i[:3])
+    assert calls_i == ["dedup", "ingest", "extract"]
+
+    calls_i.clear()
+    r_out = PipelineRunner(spark, iroot, run_id="i2").run(docs, stages_i)
+    assert calls_i == ["link", "cc", "kg"]  # first three resumed
+    got = sorted(map(tuple, r_out.collect()))
+    assert got == want
+
+    # the dedup guard did real work: survivors ≪ corpus (the synthetic
+    # content repeats with a short period → large duplicate classes)
+    man = PipelineRunner(spark, iroot).manifest()
+    n_sents = {r["stage"]: r["n_rows"] for r in man.collect()}
+    assert n_sents["ingest"] < N_DOCS  # most docs deduped away
