@@ -293,10 +293,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     """
     # materialize fingerprints once — both sides of the self-join would
     # otherwise recompute the (expensive, interpreted) vote fold;
-    # persist keeps lineage recomputable on executor loss
+    # persist keeps lineage recomputable on executor loss, the eager
+    # count populates the cache BEFORE the branches fan out (lazy
+    # persist can race: concurrent stages each recompute the fold)
     from pyspark import StorageLevel
     s = simhash(docs, text_col=text_col, id_col=id_col,
                 shingle_n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    s.count()
     a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
     return (
@@ -363,6 +366,7 @@ def simhash_pairs_banded(docs: DataFrame, max_hamming: int = 8,
     from pyspark import StorageLevel
     s = simhash(docs, text_col=text_col, id_col=id_col,
                 shingle_n=shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    s.count()  # eager: fold once, branches read the cache
     b = fingerprint_bands(s, n_bands=n_bands, id_col=id_col)
     cand = (
         b.select(F.col(id_col).alias("a"), "band", "band_bits")

@@ -331,6 +331,12 @@ def _lsh_blocked(vectors: DataFrame, n_planes: int,
     # bit-exact across paths (ADVICE r2)
     bucketed = _bucket_column(base, "v", n_planes, dims)
     normed = l2_normalize(bucketed, "v", "vn").drop("v")
+    # the bucket fold is the expensive step (interpreted HOF) and BOTH
+    # the size census and the replication branch consume it — persist
+    # (recomputable lineage) + eager count so it runs exactly once
+    from pyspark import StorageLevel
+    normed = normed.persist(StorageLevel.MEMORY_AND_DISK)
+    normed.count()
 
     counts = normed.groupBy("bucket").agg(F.count("*").alias("_bn"))
     tagged = normed.join(F.broadcast(counts), "bucket")
