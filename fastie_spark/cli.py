@@ -73,7 +73,32 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sentence", default=None)
     sp.add_argument("--model", default=None)
     sp.add_argument("--config", default=None)
+    sub.add_parser("list", help="list available tasks, datasets and "
+                                "registered queries (the reference's "
+                                "exhibition.py surface)")
     args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        # no Spark session needed — pure registry introspection
+        from fastie_spark.queries import ORACLES, QUERIES
+        listing = {
+            "tasks": ["gazetteer_ner (NER)", "pair_relation (RE)",
+                      "tplinker (RE decode)", "unire (RE decode)",
+                      "pure_pack (RE approx packing)",
+                      "model_ner / model_ner_deep (weights forward)",
+                      "event_extract (EE)",
+                      "perceptron_trainer (training loop)"],
+            "datasets": ["parquet(docs: repo,path,commit,lang,content)",
+                         "parquet(sentence rows)", "jsonlines_ner",
+                         "jsonlines_re", "column_ner (CoNLL)",
+                         "conll2003 (HF parquet dump)",
+                         "wikiann (HF parquet dump)", "sentence (raw)"],
+            "queries": {name: ("oracle" if name in ORACLES
+                               else "rows-only")
+                        for name in QUERIES},
+        }
+        print(json.dumps(listing, indent=2))
+        return 0
 
     # config file fills any flag the user left unset (command.py:95-158
     # resolution order: explicit CLI > config > defaults)

@@ -1,0 +1,179 @@
+"""Distributed training loop (the reference Trainer's shape, Spark-first).
+
+The reference trains with an eager epoch loop — fastNLP ``Trainer``
+(``/root/reference/fastie/controller/trainer.py:78-97``) over
+dataloader batches, with optimizers and top-k checkpoint callbacks
+(``/root/reference/fastie/tasks/base_task.py:455-497,543-572``).  The
+cluster-scale equivalent is the classic Spark ML iteration: the model
+lives on the DRIVER (it is tiny — a (labels × dim) matrix), each epoch
+
+1. broadcasts the current weights,
+2. runs the forward pass through the SAME ``mapInPandas`` seam the
+   inference path uses (model_ner.py),
+3. aggregates the gradient RELATIONALLY — a partial-aggregating
+   groupBy whose result is (labels × dim) rows, the only thing ever
+   collected,
+4. applies the update on the driver and records an epoch metrics row.
+
+The learner is a multi-class BATCH perceptron over the engine's hashed
+integer embeddings: for every token occurrence whose argmax prediction
+differs from its gold label, ``W[gold] += emb`` and ``W[pred] -= emb``,
+applied once per epoch.  Batch (not online) updates make the epoch a
+pure sum of per-row integer contributions — order-independent across
+partitions, hence deterministic under any partitioning AND exactly
+replayable in SQL (the ``train_perceptron`` oracle unrolls two whole
+epochs).  Floats would make the gradient a non-associative fold;
+integers make distributed training bit-exact.
+
+Top-k checkpoint retention (reference CheckpointCallback,
+``base_task.py:543-572``) keeps the k best epoch snapshots by mistake
+count (ties → earliest epoch), driver-side bookkeeping exactly like the
+reference.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastie_spark.extraction.model_ner import EMB_DIM, embed_tokens
+from fastie_spark.functions.hashing import spark_hash64_sql
+
+
+def emb_array_expr(token_col: str = "token", dim: int = EMB_DIM) -> str:
+    """Spark-SQL expr: the hashed integer embedding array of a token —
+    the SAME H('e<d>#'||token) % 2001 - 1000 family the model seam and
+    the DuckDB oracles use (model_ner.py)."""
+    h = spark_hash64_sql(
+        f"concat('e', cast(d as string), '#', {token_col})")
+    return (f"transform(sequence(0, {dim - 1}), "
+            f"d -> cast(({h} % 2001) - 1000 as bigint))")
+
+
+def gold_label_expr(token_col: str = "token", n_labels: int = 5) -> str:
+    """Deterministic gold label H('g#'||token) % n_labels — a labeling
+    any engine can recompute, used by the training contract query."""
+    h = spark_hash64_sql(f"concat('g#', {token_col})")
+    return f"cast({h} % {n_labels} as int)"
+
+
+class PerceptronTrainer:
+    """Driver-held (n_labels × dim) integer weights + per-epoch
+    broadcast-forward / relational-gradient / driver-update loop."""
+
+    def __init__(self, n_labels: int, dim: int = EMB_DIM,
+                 keep_top_k: int = 3):
+        import numpy as np
+
+        self.n_labels = n_labels
+        self.dim = dim
+        self.keep_top_k = keep_top_k
+        self.weights = np.zeros((n_labels, dim), dtype=np.int64)
+        #: per-epoch (epoch, n_mistakes) — the metrics the reference's
+        #: Trainer logs per evaluation
+        self.history: list[tuple[int, int]] = []
+        #: k best (n_mistakes, epoch, weights) snapshots, best first
+        self.checkpoints: list[tuple[int, int, "object"]] = []
+
+    # -- forward (the inference seam, reused for training) -------------
+    def _predict(self, tokens: DataFrame,
+                 token_col: str = "token") -> DataFrame:
+        """+ ``pred`` column: argmax_c (emb @ Wᵀ), tie → smallest c.
+        One matmul per Arrow batch over the batch's unique vocabulary —
+        identical plumbing to NumpyTokenClassifier.transform."""
+        import numpy as np
+        import pandas as pd
+
+        spark = tokens.sparkSession
+        bc = spark.sparkContext.broadcast(self.weights)
+        dim = self.dim
+        in_cols = tokens.columns
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in tokens.schema.fields) + ", pred int"
+
+        def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            w = bc.value
+            for pdf in batches:
+                vocab: dict[str, int] = {}
+                for t in pdf[token_col]:
+                    if t not in vocab:
+                        vocab[t] = len(vocab)
+                if vocab:
+                    emb = embed_tokens(list(vocab), dim)
+                    preds_of = np.argmax(emb @ w.T, axis=1).astype(np.int32)
+                    preds = [int(preds_of[vocab[t]])
+                             for t in pdf[token_col]]
+                else:
+                    preds = []
+                pdf = pdf.copy()
+                pdf["pred"] = preds
+                yield pdf[in_cols + ["pred"]]
+
+        return tokens.mapInPandas(forward, schema=out_schema)
+
+    # -- one epoch ------------------------------------------------------
+    def _epoch_gradient(self, tokens: DataFrame, token_col: str,
+                        gold_col: str) -> tuple["object", int]:
+        """(ΔW, n_mistakes) of one batch-perceptron epoch.
+
+        The gradient is a RELATIONAL aggregation: mistakes → two
+        posexplodes of the in-plan embedding expr (+1 toward gold,
+        −1 away from pred) → groupBy(c, d).sum — partial map-side agg,
+        ≤ n_labels·dim rows collected, never the corpus."""
+        import numpy as np
+
+        tagged = self._predict(tokens, token_col)
+        mist = tagged.where(F.col("pred") != F.col(gold_col))
+        emb = emb_array_expr(token_col, self.dim)
+        contrib = mist.select(
+            F.col(gold_col).alias("c"), F.posexplode(F.expr(emb))
+            .alias("d", "v"),
+        ).unionByName(mist.select(
+            F.col("pred").alias("c"),
+            F.posexplode(F.expr(f"transform({emb}, x -> -x)"))
+            .alias("d", "v"),
+        ))
+        rows = (contrib.groupBy("c", "d")
+                .agg(F.sum("v").alias("g"),
+                     # mistake count rides along: Σ|rows| per (c,d) is
+                     # n_mistakes for every d of the gold side — read it
+                     # from (c, d=0) sums below instead of a second job
+                     F.count("*").alias("n"))
+                .collect())
+        grad = np.zeros((self.n_labels, self.dim), dtype=np.int64)
+        n_gold_contribs = 0
+        for r in rows:
+            grad[r["c"], r["d"]] += int(r["g"])
+            if r["d"] == 0:
+                n_gold_contribs += int(r["n"])
+        # each mistake contributes one gold row and one pred row per d
+        return grad, n_gold_contribs // 2
+
+    def fit(self, tokens: DataFrame, epochs: int = 2,
+            token_col: str = "token",
+            gold_col: str = "gold") -> "PerceptronTrainer":
+        import logging
+
+        for epoch in range(epochs):
+            grad, n_mist = self._epoch_gradient(tokens, token_col,
+                                                gold_col)
+            self.weights = self.weights + grad
+            self.history.append((epoch, n_mist))
+            # top-k checkpoint retention (k best by monitored metric,
+            # ties → earliest epoch — deterministic, K1 semantics)
+            self.checkpoints.append((n_mist, epoch, self.weights.copy()))
+            self.checkpoints.sort(key=lambda t: (t[0], t[1]))
+            del self.checkpoints[self.keep_top_k:]
+            logging.getLogger(__name__).info(
+                "PerceptronTrainer epoch %d: %d mistakes", epoch, n_mist)
+        return self
+
+    def weights_df(self, spark) -> DataFrame:
+        """Final weights as (c, d, w) rows — the checkpointable model
+        table (Hub.save analogue, hub.py:16-30)."""
+        rows = [(c, d, int(self.weights[c, d]))
+                for c in range(self.n_labels) for d in range(self.dim)]
+        return spark.createDataFrame(rows, "c int, d int, w long")

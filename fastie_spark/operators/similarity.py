@@ -388,6 +388,42 @@ def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
         _pair_block_fn(threshold), schema="src bigint, dst bigint")
 
 
+def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
+             n_cells: int = 4, n_iters: int = 2, scale: int = 1000,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cells: DataFrame | None = None) -> DataFrame:
+    """IVF search: exact cosine top-k restricted to the probe's coarse
+    cell — the IVF counterpart of :func:`lsh_topk` (cell = partition
+    key; each probe scans ~N/n_cells candidates instead of the corpus).
+
+    ``cells`` defaults to :func:`ivf_cells` over ``vectors``; probes
+    must be corpus members (their cell is looked up by id — the same
+    probes-⊂-corpus contract as the driver's ANN queries).  Ranking is
+    the two-level bounded top-k, deterministic tie-break
+    (sim DESC, neighbor_id ASC).
+    """
+    if cells is None:
+        cells = ivf_cells(vectors, n_cells=n_cells, n_iters=n_iters,
+                          scale=scale, id_col=id_col, vec_col=vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).join(cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+           "neighbor_id")
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    ).join(cells.select(F.col(id_col).alias("probe_id"), "cell"),
+           "probe_id")
+    scored = (
+        v.join(F.broadcast(p), "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id",
+                F.expr(cosine_sim_expr("pv", "nv")).alias("sim"))
+    )
+    return _topk_per_probe(scored, k)
+
+
 def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
               scale: int = 1000, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:

@@ -91,3 +91,20 @@ def test_cli_missing_input_errors(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["train"])  # no input, no config
+
+
+def test_cli_list_exhibition():
+    """`list` prints the task/dataset/query registries without a Spark
+    session (exhibition.py parity)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "fastie_spark", "list"],
+        capture_output=True, text=True, check=True)
+    listing = json.loads(out.stdout)
+    assert "gazetteer_ner (NER)" in listing["tasks"]
+    assert any("conll2003" in d for d in listing["datasets"])
+    assert listing["queries"]["triples"] == "oracle"
+    assert len(listing["queries"]) >= 55

@@ -259,3 +259,25 @@ def test_lsh_hot_bucket_is_sub_blocked(spark):
     exact = {(r["src"], r["dst"])
              for r in cosine_pairs(vecs, 0.5).collect()}
     assert split == unsplit == exact
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF search: planted exact duplicates (identical integer
+    quantization ⇒ identical cell) are every probe's rank-1 in both
+    the exact and cell-restricted top-k."""
+    from fastie_spark.operators.similarity import cosine_topk, ivf_topk
+
+    base = _rand_vecs(spark, n=80)
+    corpus = base.union(
+        base.where("vec_id < 6")
+        .selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    probes = base.where("vec_id < 6")
+    exact = cosine_topk(corpus, probes, k=5)
+    approx = ivf_topk(corpus, probes, k=5, n_cells=4)
+    e1 = {r["probe_id"]: r["neighbor_id"]
+          for r in exact.collect() if r["rank"] == 1}
+    a1 = {r["probe_id"]: r["neighbor_id"]
+          for r in approx.collect() if r["rank"] == 1}
+    for p in range(6):
+        assert e1[p] == p + 1000
+        assert a1[p] == p + 1000  # same cell guaranteed for exact dups

@@ -324,3 +324,40 @@ def test_deep_model_forward_seam_parity(spark):
     plan = model.transform(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" in plan
+
+
+def test_perceptron_trainer_learns_and_keeps_topk(spark):
+    """Distributed batch perceptron (training loop, trainer.py:78-97
+    analog): on separable data (gold = argmax under a hidden teacher
+    matrix) training reduces mistakes; two runs produce identical
+    weights (integer batch updates are order-independent); top-k
+    checkpoint retention keeps the k best epochs by mistake count."""
+    import numpy as np
+
+    from fastie_spark.extraction.model_ner import (
+        embed_tokens,
+        frozen_weights,
+    )
+    from fastie_spark.extraction.training import PerceptronTrainer
+
+    tokens = [f"tok{i}" for i in range(30)]
+    teacher = frozen_weights(5)           # hidden separator
+    emb = embed_tokens(tokens)
+    gold = np.argmax(emb @ teacher.T, axis=1)
+    rows = [(t, int(g)) for t, g in zip(tokens, gold)]
+    # occurrences with repeats so counts matter
+    rows = rows + rows[:10]
+    df = spark.createDataFrame(rows, "token string, gold int")
+
+    def run():
+        return PerceptronTrainer(5, keep_top_k=2).fit(df, epochs=6)
+
+    t1, t2 = run(), run()
+    assert (t1.weights == t2.weights).all()          # deterministic
+    mists = [m for _, m in t1.history]
+    assert mists[0] > 0
+    assert min(mists) < mists[0]                      # it learns
+    assert len(t1.checkpoints) == 2                   # k best kept
+    kept = [(m, e) for m, e, _ in t1.checkpoints]
+    assert kept == sorted(kept)
+    assert kept[0][0] == min(mists)
