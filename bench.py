@@ -42,14 +42,20 @@ def flagship_throughput(spark) -> dict[str, float]:
     gaz = {(s,): lab for s, lab in entity_gazetteer()}
     docs = synthetic_source_docs(spark, n_docs=BENCH_DOCS)
 
-    # e2e: ingest + chunk + kernel, one cold pass (no snapshot)
+    # e2e: ingest + chunk + kernel in one plan (no snapshot).  Best of
+    # 2 like every other number — the plan is un-cached, so each run
+    # re-executes the full ingest; the min only filters host stalls.
     sents_plan = docs_to_sentences(docs).select(
         "doc_key", "sent_id", "tokens", "content_sha")
-    t0 = time.time()
-    n = extract_triples_arrow(sents_plan, gaz, max_gap=3,
-                              pred="calls").count()
-    e2e_sec = time.time() - t0
-    assert n > 0
+    e2e_plan = extract_triples_arrow(sents_plan, gaz, max_gap=3,
+                                     pred="calls")
+    e2e_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        n = e2e_plan.count()
+        dt = time.time() - t0
+        e2e_sec = dt if e2e_sec is None or dt < e2e_sec else e2e_sec
+        assert n > 0
 
     # flagship: scan → kernel → count over the parquet sentence
     # snapshot (the production stage boundary), best of 3 after warm-up

@@ -40,7 +40,8 @@ def wordpiece_split_expr(tokens_col: str = "tokens",
 
 def with_wordpiece_alignment(sentences: DataFrame,
                              piece_len: int = 4,
-                             cls_offset: int = 1) -> DataFrame:
+                             cls_offset: int = 1,
+                             pieces_expr: str | None = None) -> DataFrame:
     """Add wordpieces + both alignment maps.
 
     Columns added:
@@ -50,8 +51,15 @@ def with_wordpiece_alignment(sentences: DataFrame,
       wp2token          array<int>      piece p → owning token index
     ``cls_offset`` shifts piece indices as if a [CLS] slot precedes the
     sequence (the reference's +1, pure_pipe.py:88).
+
+    ``pieces_expr`` overrides the tokenizer: any SQL expr producing
+    ``array<array<string>>`` per-token pieces over the ``tokens``
+    column — e.g. the greedy WordPiece,
+    ``transform(tokens, tkn -> <wordpiece_greedy_expr('tkn')>)``.  The
+    alignment algebra below consumes only piece COUNTS, so it is
+    tokenizer-agnostic by construction.
     """
-    pieces = wordpiece_split_expr("tokens", piece_len)
+    pieces = pieces_expr or wordpiece_split_expr("tokens", piece_len)
     df = sentences.withColumn("_pieces", F.expr(pieces))
     # running piece-count prefix: offsets[t] = pieces before token t
     df = df.withColumn(
@@ -81,6 +89,86 @@ def with_wordpiece_alignment(sentences: DataFrame,
                 "x -> cast(t as int))))"))
         .drop("_pieces", "_counts", "_offsets")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy longest-match WordPiece (the real HF algorithm, vocab-driven)
+# ---------------------------------------------------------------------------
+#
+# The reference tokenizes with HF's WordpieceTokenizer (greedy longest
+# prefix match against a vocab, ``##`` continuation pieces, whole token
+# → [UNK] when any position has no vocab match or the token exceeds
+# ``max_input_chars_per_word``).  HF itself isn't in this container,
+# so the vocab is a fixed deterministic one below — the ALGORITHM is
+# the genuine article, expressed as a pure in-row Spark SQL fold (no
+# UDF): aggregate over character steps carrying (pos, pieces, unk),
+# each step binding the longest vocab match at pos via the
+# transform-array let idiom.  Single-char a-z pieces in both vocab
+# classes guarantee termination for alphabetic tokens; anything else
+# (digits, punctuation) exercises the [UNK] fallback.
+
+WP_UNK = "[UNK]"
+WP_MAX_CHARS = 100  # HF max_input_chars_per_word
+
+# start-of-token pieces (no ## prefix) — multi-char entries make greedy
+# matching non-trivial; a-z singles guarantee coverage
+WORDPIECE_START_VOCAB: tuple[str, ...] = tuple(sorted(
+    ("the", "scan", "sort", "table", "quer", "join", "hash", "wind",
+     "mer", "part", "filt", "grou", "batch", "val", "cust", "ord",
+     "li", "sp", "sm", "fa", "ke", "ro", "da", "sl")
+    + tuple("abcdefghijklmnopqrstuvwxyz"),
+    key=lambda v: (-len(v), v)))
+
+# continuation pieces (rendered with ## prefix)
+WORDPIECE_CONT_VOCAB: tuple[str, ...] = tuple(sorted(
+    ("able", "ble", "ing", "er", "an", "ar", "in", "ow", "rt", "ry",
+     "all", "ter", "dow", "ge", "up", "ta", "ue")
+    + tuple("abcdefghijklmnopqrstuvwxyz"),
+    key=lambda v: (-len(v), v)))
+
+
+def _sql_str_array(pieces: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{p}'" for p in pieces) + ")"
+
+
+def wordpiece_greedy_expr(token_col: str = "token",
+                          start_vocab: tuple[str, ...] =
+                          WORDPIECE_START_VOCAB,
+                          cont_vocab: tuple[str, ...] =
+                          WORDPIECE_CONT_VOCAB) -> str:
+    """SQL expr: greedy longest-match WordPiece of one token column →
+    ``array<string>`` pieces (continuations ``##``-prefixed, no-match
+    or over-length → ``['[UNK]']``, empty token → ``[]``).
+
+    Vocab arrays are length-desc sorted literals, so the FIRST filter
+    survivor is the longest match; ``get(..., 0)`` (never element_at —
+    ANSI throws out-of-bounds) returns NULL on no match.  The matched
+    piece is bound once via ``transform(array(x), m -> body)`` so
+    CollapseProject cannot re-evaluate the vocab scan four times.
+    """
+    t = token_col
+    v0, vc = _sql_str_array(start_vocab), _sql_str_array(cont_vocab)
+    match = f"""if(st.pos = 0,
+        get(filter({v0}, v -> substring({t}, 1, length(v)) = v), 0),
+        get(filter({vc}, v -> substring({t}, st.pos + 1, length(v)) = v),
+            0))"""
+    return f"""
+    aggregate(
+      sequence(1, greatest(length({t}), 1)),
+      named_struct('pos', 0,
+                   'ps', cast(array() as array<string>),
+                   'unk', length({t}) > {WP_MAX_CHARS}),
+      (st, _x) -> if(st.unk or st.pos >= length({t}), st,
+        get(transform(array({match}), m ->
+          if(m is null,
+             named_struct('pos', st.pos, 'ps', st.ps, 'unk', true),
+             named_struct(
+               'pos', st.pos + length(m),
+               'ps', concat(st.ps, array(
+                       if(st.pos = 0, m, concat('##', m)))),
+               'unk', false))), 0)),
+      st -> if(st.unk, array('{WP_UNK}'), st.ps))
+    """
 
 
 def rebase_spans_to_wordpieces(df: DataFrame,

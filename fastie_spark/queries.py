@@ -629,6 +629,91 @@ def q_wordpiece_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F2 (full) — greedy longest-match WordPiece, the real HF algorithm
+# ---------------------------------------------------------------------------
+
+WPG_TOKS = 16  # tokens per doc fed to the tokenizer contract
+
+
+def _duck_str_list(pieces: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{p}'" for p in pieces) + "]"
+
+
+def _wpg_oracle() -> str:
+    from fastie_spark.functions.subword import (
+        WORDPIECE_CONT_VOCAB,
+        WORDPIECE_START_VOCAB,
+        WP_MAX_CHARS,
+        WP_UNK,
+    )
+    v0 = _duck_str_list(WORDPIECE_START_VOCAB)
+    vc = _duck_str_list(WORDPIECE_CONT_VOCAB)
+    return f"""
+WITH RECURSIVE
+sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ti AS (SELECT doc_id, l,
+              unnest(generate_series(1, least(len(l), {WPG_TOKS}))) AS i
+       FROM sp),
+tok AS (SELECT doc_id, (i - 1)::BIGINT AS tok_idx, l[i] AS token FROM ti),
+d AS (SELECT DISTINCT token FROM tok),
+st(token, pos, acc, unk) AS (
+  SELECT token, 0, '', length(token) > {WP_MAX_CHARS} FROM d
+  UNION ALL
+  SELECT token, pos + coalesce(length(m), 0),
+         CASE WHEN m IS NULL THEN acc
+              WHEN pos = 0 THEN m
+              ELSE acc || '|##' || m END,
+         m IS NULL
+  FROM (
+    SELECT token, pos, acc,
+           CASE WHEN pos = 0
+                THEN list_filter({v0},
+                       v -> substring(token, 1, length(v)) = v)[1]
+                ELSE list_filter({vc},
+                       v -> substring(token, pos + 1, length(v)) = v)[1]
+           END AS m
+    FROM st WHERE NOT unk AND pos < length(token)) s),
+fin AS (SELECT token,
+               CASE WHEN unk THEN '{WP_UNK}' ELSE acc END AS pieces_str,
+               CASE WHEN unk THEN 1
+                    WHEN acc = '' THEN 0
+                    ELSE length(acc) - length(replace(acc, '|', '')) + 1
+               END AS n_pieces
+        FROM st WHERE unk OR pos >= length(token))
+SELECT t.doc_id, t.tok_idx, t.token, f.pieces_str,
+       f.n_pieces::BIGINT AS n_pieces
+FROM tok t JOIN fin f USING (token)
+"""
+
+
+@query("wordpiece_greedy", oracle=_wpg_oracle())
+def q_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece (the real HF WordpieceTokenizer
+    algorithm the reference tokenizes with — vocab prefix match, ##
+    continuations, whole-token [UNK] fallback) as a pure in-row SQL
+    fold; the oracle replays the greedy loop with a recursive CTE over
+    (token, pos) state — two independent engines walking the same
+    matching order.  Distinct-surface dictionary trick: the fold runs
+    once per DISTINCT token, then dictionary-joins back to occurrences
+    (at 100 TB distinct surfaces ≪ token instances; the join key is the
+    surface, broadcastable here, shuffle-join at scale)."""
+    from fastie_spark.functions.subword import wordpiece_greedy_expr
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, WPG_TOKS))
+         .alias("tok_idx", "token"))
+    dist = (toks.select("token").distinct()
+            .withColumn("pieces", F.expr(wordpiece_greedy_expr("token"))))
+    return toks.join(F.broadcast(dist), "token").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("tok_idx").cast("bigint").alias("tok_idx"),
+        "token",
+        F.concat_ws("|", "pieces").alias("pieces_str"),
+        F.size("pieces").cast("bigint").alias("n_pieces"))
+
+
+# ---------------------------------------------------------------------------
 # W5 — TPLinker handshaking index + closed-form inverse
 # ---------------------------------------------------------------------------
 
@@ -2211,13 +2296,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pricing_summary     — TPC-H Q1 demo (not a §2 operator), oracle-
 #                         green in r01 AND r02; rotated out so the NEW
 #                         ann_ivf_topk (r3) gets driver evidence
+#   wordpiece_align     — F2 alignment algebra, green r02; the row's
+#                         driver evidence is now wordpiece_greedy (the
+#                         real HF greedy matcher, strictly stronger)
 # All remain registered public queries; tools/check_queries.py verifies
 # the full registry (55+) against DuckDB locally every round.
 # ---------------------------------------------------------------------------
 
 _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                   "events_hopping", "multimodal_resize", "sent_offsets",
-                  "pricing_summary"]
+                  "pricing_summary", "wordpiece_align"]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

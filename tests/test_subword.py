@@ -3,8 +3,10 @@
 from pyspark.sql import functions as F
 
 from fastie_spark.functions.subword import (
+    WP_MAX_CHARS,
     rebase_spans_to_wordpieces,
     with_wordpiece_alignment,
+    wordpiece_greedy_expr,
 )
 
 
@@ -45,3 +47,61 @@ def test_roundtrip_token_identity(spark):
         rebuilt.append("".join(p.removeprefix("##") for p in ps))
     assert rebuilt == toks
     assert len(r["wp2token"]) == len(r["wordpieces"])
+
+
+def _greedy(spark, tokens):
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    out = df.withColumn("p", F.expr(wordpiece_greedy_expr("token")))
+    return {r["token"]: r["p"] for r in out.collect()}
+
+
+def test_greedy_wordpiece_hf_semantics(spark):
+    """Greedy longest-match with ## continuations and whole-token [UNK]
+    — the HF WordpieceTokenizer contract on hand-checkable cases."""
+    got = _greedy(spark, ["table", "scanner", "thequery", "sorting",
+                          "x9z", "", "q", "windowing"])
+    assert got["table"] == ["table"]          # whole-word longest match
+    assert got["scanner"] == ["scan", "##n", "##er"]
+    assert got["thequery"] == ["the", "##q", "##ue", "##ry"]
+    assert got["sorting"] == ["sort", "##ing"]
+    assert got["x9z"] == ["[UNK]"]            # digit → no match → [UNK]
+    assert got[""] == []                      # empty token → no pieces
+    assert got["q"] == ["q"]                  # single-char fallback
+    # greedy takes 'wind'+'##ow', not 'w'+'##in'+...
+    assert got["windowing"] == ["wind", "##ow", "##ing"]
+
+
+def test_greedy_wordpiece_overlength_unk(spark):
+    """HF max_input_chars_per_word: over-length tokens are [UNK] without
+    running the matcher."""
+    long_tok = "a" * (WP_MAX_CHARS + 1)
+    got = _greedy(spark, [long_tok, "a" * WP_MAX_CHARS])
+    assert got[long_tok] == ["[UNK]"]
+    assert got["a" * WP_MAX_CHARS] == ["a"] + ["##a"] * (WP_MAX_CHARS - 1)
+
+
+def test_greedy_roundtrip_identity(spark):
+    """Stripping ## and re-joining pieces recovers every non-[UNK]
+    token — greedy segmentation is a partition of the surface."""
+    toks = ["spark", "querying", "merge", "partition", "hashjoin",
+            "smallint", "fastscan"]
+    got = _greedy(spark, toks)
+    for t in toks:
+        assert got[t] != ["[UNK]"], t
+        assert "".join(p.removeprefix("##") for p in got[t]) == t
+
+
+def test_greedy_pieces_through_alignment(spark):
+    """The alignment algebra is tokenizer-agnostic: greedy pieces flow
+    through with_wordpiece_alignment and the maps stay consistent."""
+    rows = [("d", 0, ["sorting", "x9z", "table"], [])]
+    df = spark.createDataFrame(
+        rows, "doc_key string, sent_id int, tokens array<string>, "
+        "entity_mentions array<struct<start:int,end:int,label:string>>")
+    greedy = (f"transform(tokens, tkn -> "
+              f"{wordpiece_greedy_expr('tkn')})")
+    r = with_wordpiece_alignment(df, pieces_expr=greedy).collect()[0]
+    assert r["wordpieces"] == ["sort", "##ing", "[UNK]", "table"]
+    assert r["wp_start"] == [1, 3, 4]          # +1 CLS shift
+    assert r["wp_end"] == [3, 4, 5]
+    assert r["wp2token"] == [0, 0, 1, 2]
