@@ -9,11 +9,13 @@ tokenizer:
   ``end[t]`` = index of its last wordpiece;
 * inverse wordpiece → token map (``tplinker_pipe.py:130-145``).
 
-The tokenizer itself is swappable (HF isn't in this container); the
-deterministic stand-in splits a token into fixed-width pieces with the
-``##`` continuation convention — the alignment algebra, which is what
-downstream span re-basing consumes, is identical for any tokenizer
-that maps one token to ≥1 contiguous pieces.
+Two tokenizers ship: the REAL greedy longest-match WordPiece
+(``wordpiece_greedy_expr`` — HF's algorithm over a fixed deterministic
+vocab, since HF itself isn't in this container) and a fixed-width
+splitter kept as the cheap default.  The alignment algebra, which is
+what downstream span re-basing consumes, is identical for any
+tokenizer that maps one token to ≥1 contiguous pieces — proven by the
+``pieces_expr`` override test.
 
 Everything is pure column expressions: per-token piece counts fold into
 running offsets with an in-row prefix scan — shuffle-free.

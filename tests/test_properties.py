@@ -1,0 +1,129 @@
+"""Property-based + exhaustive invariant tests.
+
+Three kinds of algebra the whole oracle suite leans on, checked over
+generated inputs rather than goldens:
+
+* the portable 60-bit md5 hash — identical in Spark and DuckDB for
+  ARBITRARY unicode (this equality is the backbone of every
+  oracle-checked dedup/LSH/fingerprint query);
+* greedy WordPiece — segmentation is a partition of the surface
+  (rejoin identity), with [UNK] exactly on out-of-vocab characters;
+* the TPLinker shaking-index closed forms and the sliding-window
+  chunker — exhaustively, every L ≤ 64 / every n ≤ 80 in ONE Spark
+  job (cheaper and stronger than sampling).
+
+Hypothesis examples are batched into one DataFrame per example and
+derandomized (fixed corpus) so the suite stays deterministic and each
+property costs a handful of Spark jobs, not hundreds.
+"""
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fastie_spark.functions.hashing import duck_hash64_sql, portable_hash64
+from fastie_spark.functions.subword import wordpiece_greedy_expr
+
+SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=30))
+def test_portable_hash_cross_engine_parity(spark, strings):
+    """Spark conv(substr(md5)) == DuckDB ('0x'||substr(md5))::BIGINT
+    for arbitrary unicode — the identity every oracle hash rests on."""
+    pdf = pd.DataFrame({"s": strings})
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [r[0] for r in
+                 sdf.select(portable_hash64("s")).collect()]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {duck_hash64_sql('s')} FROM t").fetchall()]
+    con.close()
+    assert got_spark == got_duck
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=12),
+    min_size=1, max_size=40))
+def test_greedy_wordpiece_partition_property(spark, tokens):
+    """For any token: pieces rejoin to the surface (segmentation is a
+    partition) or the whole token is [UNK]; [UNK] fires exactly when
+    the token contains an out-of-vocab (non a-z) character; the first
+    piece is never ##-prefixed and every later piece is."""
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    rows = df.withColumn(
+        "p", F.expr(wordpiece_greedy_expr("token"))).collect()
+    for r in rows:
+        t, ps = r["token"], r["p"]
+        if t == "":
+            assert ps == []
+            continue
+        has_oov = any(not c.isalpha() for c in t)
+        if has_oov:
+            assert ps == ["[UNK]"], (t, ps)
+            continue
+        assert ps and not ps[0].startswith("##"), (t, ps)
+        assert all(p.startswith("##") for p in ps[1:]), (t, ps)
+        assert "".join(p.removeprefix("##") for p in ps) == t
+
+
+def test_shaking_closed_forms_exhaustive(spark):
+    """k(i, j, L) and its inverse, for EVERY cell of every L ≤ 64:
+    k equals the rank in (i, j) enumeration order and the inverse
+    recovers (i, j) — one Spark job, 45 760 cells."""
+    from fastie_spark.extraction.tplinker import (
+        shaking_index_expr,
+        shaking_unindex_exprs,
+    )
+    inv_i, inv_j = shaking_unindex_exprs("k", "L")
+    cells = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("L"),
+        F.explode(F.expr(
+            "flatten(transform(sequence(0, cast(id as int) - 1), i -> "
+            "transform(sequence(i, cast(id as int) - 1), j -> "
+            "struct(i as i, j as j))))")).alias("c"),
+    ).select("L", "c.i", "c.j").withColumn(
+        "k", F.expr(shaking_index_expr("i", "j", "L"))
+    ).withColumn("ri", F.expr(inv_i)).withColumn("rj", F.expr(inv_j))
+    pdf = cells.toPandas().sort_values(["L", "i", "j"]).reset_index(
+        drop=True)
+    # inverse identity
+    assert (pdf["ri"] == pdf["i"]).all()
+    assert (pdf["rj"] == pdf["j"]).all()
+    # k is exactly the 0-based rank in (i, j) order within each L
+    ranks = pdf.groupby("L").cumcount()
+    assert (pdf["k"] == ranks).all()
+    assert len(pdf) == sum(n * (n + 1) // 2 for n in range(1, 65))
+
+
+def test_sliding_window_coverage_exhaustive(spark):
+    """For every n ≤ 80 and three (max_seq_len, stride) shapes: chunks
+    start on the stride grid, are ≤ max long, non-empty, and their
+    union covers [0, n) exactly."""
+    from fastie_spark.operators.windows import sliding_window_split
+    base = spark.range(1, 81).select(
+        F.lit("d").alias("doc_key"),
+        F.col("id").cast("int").alias("sent_id"),
+        F.expr("transform(sequence(1, cast(id as int)), "
+               "x -> concat('t', x))").alias("tokens"),
+    )
+    for max_len, stride in ((10, 5), (7, 7), (16, 4)):
+        out = sliding_window_split(
+            base, max_seq_len=max_len, slide_window=stride
+        ).select("sent_id" if False else "orig_sent_id",
+                 "sent_id", "chunk_start", "chunk_end").toPandas()
+        for n, grp in out.groupby("orig_sent_id"):
+            g = grp.sort_values("chunk_start")
+            starts = list(g["chunk_start"])
+            ends = list(g["chunk_end"])
+            assert starts == list(range(0, n, stride)), (n, starts)
+            assert all(e - s <= max_len and e > s
+                       for s, e in zip(starts, ends)), (n, list(g.itertuples()))
+            assert ends[-1] == n  # last chunk reaches the end
+            # union of [s, e) covers [0, n): each next start ≤ prev end
+            assert all(s2 <= e1 for e1, s2 in zip(ends, starts[1:]))
