@@ -25,6 +25,14 @@ replayable in SQL (the ``train_perceptron`` oracle unrolls two whole
 epochs).  Floats would make the gradient a non-associative fold;
 integers make distributed training bit-exact.
 
+Because the hashed embedding AND the gold label are pure functions of
+the token surface, that sum factors exactly over the distinct
+vocabulary: ``fit`` aggregates occurrences to ``(token, gold, count)``
+once (the only corpus-sized job) and every epoch runs forward +
+count-weighted gradient on the cached vocabulary frame — at 100 TB the
+per-epoch cost scales with |vocab|, not |corpus|, and the weights are
+bit-identical to the per-occurrence loop.
+
 Top-k checkpoint retention (reference CheckpointCallback,
 ``base_task.py:543-572``) keeps the k best epoch snapshots by mistake
 count (ties → earliest epoch), driver-side bookkeeping exactly like the
@@ -40,16 +48,6 @@ from pyspark.sql import functions as F
 
 from fastie_spark.extraction.model_ner import EMB_DIM, embed_tokens
 from fastie_spark.functions.hashing import spark_hash64_sql
-
-
-def emb_array_expr(token_col: str = "token", dim: int = EMB_DIM) -> str:
-    """Spark-SQL expr: the hashed integer embedding array of a token —
-    the SAME H('e<d>#'||token) % 2001 - 1000 family the model seam and
-    the DuckDB oracles use (model_ner.py)."""
-    h = spark_hash64_sql(
-        f"concat('e', cast(d as string), '#', {token_col})")
-    return (f"transform(sequence(0, {dim - 1}), "
-            f"d -> cast(({h} % 2001) - 1000 as bigint))")
 
 
 def gold_label_expr(token_col: str = "token", n_labels: int = 5) -> str:
@@ -77,88 +75,94 @@ class PerceptronTrainer:
         #: k best (n_mistakes, epoch, weights) snapshots, best first
         self.checkpoints: list[tuple[int, int, "object"]] = []
 
-    # -- forward (the inference seam, reused for training) -------------
-    def _predict(self, tokens: DataFrame,
-                 token_col: str = "token") -> DataFrame:
-        """+ ``pred`` column: argmax_c (emb @ Wᵀ), tie → smallest c.
-        One matmul per Arrow batch over the batch's unique vocabulary —
-        identical plumbing to NumpyTokenClassifier.transform."""
+    # -- one epoch ------------------------------------------------------
+    def _epoch_gradient(self, vocab: DataFrame, token_col: str,
+                        gold_col: str) -> tuple["object", int]:
+        """(ΔW, n_mistakes) of one batch-perceptron epoch over the
+        factored ``(token, gold, _cnt)`` vocabulary frame.
+
+        Forward and gradient are FUSED into one ``mapInPandas`` kernel
+        (the same broadcast-weights + batched-matmul seam the inference
+        path uses, model_ner.py): each Arrow batch embeds its tokens,
+        argmaxes ``emb @ Wᵀ`` (tie → smallest label, np.argmax), and
+        scatter-adds the count-weighted contributions of its mistakes
+        (+cnt·emb toward gold, −cnt·emb away from pred) into a local
+        (labels × dim) partial gradient.  Each task emits exactly
+        labels·dim + 1 rows — the map-side-combined gradient plus a
+        mistake-count row — and one tiny ``groupBy(c, d).sum`` reduces
+        them; nothing corpus- or vocab-sized is ever collected."""
         import numpy as np
         import pandas as pd
 
-        spark = tokens.sparkSession
+        spark = vocab.sparkSession
         bc = spark.sparkContext.broadcast(self.weights)
-        dim = self.dim
-        in_cols = tokens.columns
-        out_schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in tokens.schema.fields) + ", pred int"
+        dim, n_labels = self.dim, self.n_labels
 
-        def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            w = bc.value
+        def grad_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            w0 = bc.value
+            g = np.zeros((n_labels, dim), dtype=np.int64)
+            n_mist = 0
             for pdf in batches:
-                vocab: dict[str, int] = {}
-                for t in pdf[token_col]:
-                    if t not in vocab:
-                        vocab[t] = len(vocab)
-                if vocab:
-                    emb = embed_tokens(list(vocab), dim)
-                    preds_of = np.argmax(emb @ w.T, axis=1).astype(np.int32)
-                    preds = [int(preds_of[vocab[t]])
-                             for t in pdf[token_col]]
-                else:
-                    preds = []
-                pdf = pdf.copy()
-                pdf["pred"] = preds
-                yield pdf[in_cols + ["pred"]]
+                if not len(pdf):
+                    continue
+                emb = embed_tokens(list(pdf[token_col]), dim)
+                preds = np.argmax(emb @ w0.T, axis=1)
+                gold = pdf[gold_col].to_numpy()
+                cnt = pdf["_cnt"].to_numpy(dtype=np.int64)
+                m = preds != gold
+                if m.any():
+                    we = emb[m] * cnt[m, None]
+                    gm, pm = gold[m], preds[m]
+                    for c in range(n_labels):
+                        if (gm == c).any():
+                            g[c] += we[gm == c].sum(axis=0)
+                        if (pm == c).any():
+                            g[c] -= we[pm == c].sum(axis=0)
+                    n_mist += int(cnt[m].sum())
+            cs, ds = np.divmod(np.arange(n_labels * dim), dim)
+            yield pd.DataFrame({
+                "c": np.append(cs, -1), "d": np.append(ds, 0),
+                "g": np.append(g.ravel(), 0),
+                "n": np.append(np.zeros(n_labels * dim, np.int64),
+                               n_mist)})
 
-        return tokens.mapInPandas(forward, schema=out_schema)
-
-    # -- one epoch ------------------------------------------------------
-    def _epoch_gradient(self, tokens: DataFrame, token_col: str,
-                        gold_col: str) -> tuple["object", int]:
-        """(ΔW, n_mistakes) of one batch-perceptron epoch.
-
-        The gradient is a RELATIONAL aggregation: mistakes → two
-        posexplodes of the in-plan embedding expr (+1 toward gold,
-        −1 away from pred) → groupBy(c, d).sum — partial map-side agg,
-        ≤ n_labels·dim rows collected, never the corpus."""
-        import numpy as np
-
-        tagged = self._predict(tokens, token_col)
-        mist = tagged.where(F.col("pred") != F.col(gold_col))
-        emb = emb_array_expr(token_col, self.dim)
-        contrib = mist.select(
-            F.col(gold_col).alias("c"), F.posexplode(F.expr(emb))
-            .alias("d", "v"),
-        ).unionByName(mist.select(
-            F.col("pred").alias("c"),
-            F.posexplode(F.expr(f"transform({emb}, x -> -x)"))
-            .alias("d", "v"),
-        ))
-        rows = (contrib.groupBy("c", "d")
-                .agg(F.sum("v").alias("g"),
-                     # mistake count rides along: Σ|rows| per (c,d) is
-                     # n_mistakes for every d of the gold side — read it
-                     # from (c, d=0) sums below instead of a second job
-                     F.count("*").alias("n"))
+        rows = (vocab.mapInPandas(
+                    grad_part, schema="c int, d int, g long, n long")
+                .groupBy("c", "d")
+                .agg(F.sum("g").alias("g"), F.sum("n").alias("n"))
                 .collect())
         grad = np.zeros((self.n_labels, self.dim), dtype=np.int64)
-        n_gold_contribs = 0
+        n_mistakes = 0
         for r in rows:
-            grad[r["c"], r["d"]] += int(r["g"])
-            if r["d"] == 0:
-                n_gold_contribs += int(r["n"])
-        # each mistake contributes one gold row and one pred row per d
-        return grad, n_gold_contribs // 2
+            if r["c"] < 0:
+                n_mistakes = int(r["n"])
+            else:
+                grad[r["c"], r["d"]] += int(r["g"])
+        return grad, n_mistakes
 
     def fit(self, tokens: DataFrame, epochs: int = 2,
             token_col: str = "token",
             gold_col: str = "gold") -> "PerceptronTrainer":
+        """Train for ``epochs`` over the token-occurrence frame.
+
+        The corpus is touched EXACTLY ONCE regardless of epoch count:
+        both the embedding and the gold label are pure functions of the
+        token surface, so the batch-perceptron sum factors exactly over
+        the distinct vocabulary — the first job aggregates occurrences
+        to ``(token, gold, count)`` (map-side combine; output is vocab-
+        sized, not corpus-sized) and every epoch's forward + gradient
+        runs on that cached frame with count-weighted contributions,
+        bit-identical to the per-occurrence loop."""
         import logging
 
+        from pyspark import StorageLevel
+
+        vocab = (tokens.groupBy(token_col, gold_col)
+                 .agg(F.count("*").alias("_cnt"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        vocab.count()  # the single corpus pass
         for epoch in range(epochs):
-            grad, n_mist = self._epoch_gradient(tokens, token_col,
+            grad, n_mist = self._epoch_gradient(vocab, token_col,
                                                 gold_col)
             self.weights = self.weights + grad
             self.history.append((epoch, n_mist))
@@ -169,6 +173,7 @@ class PerceptronTrainer:
             del self.checkpoints[self.keep_top_k:]
             logging.getLogger(__name__).info(
                 "PerceptronTrainer epoch %d: %d mistakes", epoch, n_mist)
+        vocab.unpersist()
         return self
 
     def weights_df(self, spark) -> DataFrame:
