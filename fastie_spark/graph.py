@@ -119,14 +119,27 @@ def alias_edges_from_mentions(mentions: DataFrame,
     )
 
 
-def materialize_kg(triples: DataFrame, entity_map: DataFrame | None = None
-                   ) -> tuple[DataFrame, DataFrame]:
-    """Triples (+ optional mention→canonical-entity map on subj/obj text)
-    → (nodes, edges).
+def kg_stats(triples: DataFrame, entity_map: DataFrame | None = None
+             ) -> tuple[DataFrame, DataFrame]:
+    """MERGEABLE partial-aggregate form of the KG tables — the
+    incremental-ingest representation.
 
-    nodes: (entity, label, n_mentions) — label by majority→lexicographic
-    tie-break (max_by over (count, label)).
-    edges: (src, dst, pred, weight, n_docs).
+    A production KG is never rebuilt from scratch: each new batch of
+    documents yields a delta that must fold into the standing tables.
+    Final columns like the majority label or ``n_docs``
+    (count DISTINCT) are NOT mergeable, so the stored form is the
+    finest granularity whose re-aggregation is a plain sum:
+
+    * ``node_stats`` — (entity, label, c): per-label mention counts;
+    * ``edge_stats`` — (src, dst, pred, doc_key, w): per-doc edge
+      support (keeping ``doc_key`` makes the distinct-doc count exact
+      under merge — the sketch-free answer; swap in HLL sketches when
+      approximate ``n_docs`` is acceptable at extreme fan-in).
+
+    Both are partial-aggregating shuffles over the delta only; merging
+    two stats frames and finalizing is bit-equal to rebuilding from the
+    unioned triples (``merge_kg_stats``/``finalize_kg``, contract query
+    ``kg_merge``).
     """
     t = triples
     if entity_map is not None:
@@ -150,29 +163,73 @@ def materialize_kg(triples: DataFrame, entity_map: DataFrame | None = None
         t = (t.withColumn("subj_entity", F.col("subj_text"))
              .withColumn("obj_entity", F.col("obj_text")))
 
-    nodes = (
+    node_stats = (
         t.select(F.col("subj_entity").alias("entity"),
                  F.col("subj_label").alias("label"))
         .union(t.select(F.col("obj_entity"), F.col("obj_label")))
         .groupBy("entity", "label").agg(F.count("*").alias("c"))
-        .groupBy("entity")
+    )
+    edge_stats = (
+        t.groupBy(
+            F.col("subj_entity").alias("src"),
+            F.col("obj_entity").alias("dst"),
+            F.col("pred"),
+            F.col("doc_key"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return node_stats, edge_stats
+
+
+def merge_kg_stats(a: tuple[DataFrame, DataFrame],
+                   b: tuple[DataFrame, DataFrame]
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Fold two (node_stats, edge_stats) pairs into one — the
+    incremental-ingest step.  Union + re-sum at the same grain, so the
+    merge is associative and commutative; the inputs may overlap in
+    entities, edges, and even (edge, doc) pairs (each triple must be in
+    exactly one input, documents may span inputs)."""
+    na, ea = a
+    nb, eb = b
+    node_stats = (na.unionByName(nb).groupBy("entity", "label")
+                  .agg(F.sum("c").alias("c")))
+    edge_stats = (ea.unionByName(eb)
+                  .groupBy("src", "dst", "pred", "doc_key")
+                  .agg(F.sum("w").alias("w")))
+    return node_stats, edge_stats
+
+
+def finalize_kg(node_stats: DataFrame, edge_stats: DataFrame
+                ) -> tuple[DataFrame, DataFrame]:
+    """Stats → the user-facing (nodes, edges) tables.
+
+    nodes: (entity, label, n_mentions) — label by majority→
+    lexicographic tie-break (max_by over (count, label)).
+    edges: (src, dst, pred, weight, n_docs) — ``n_docs`` is exact: the
+    stats grain already holds one row per (edge, doc)."""
+    nodes = (
+        node_stats.groupBy("entity")
         .agg(
             F.expr("max_by(label, struct(c, label))").alias("label"),
             F.sum("c").cast("bigint").alias("n_mentions"),
         )
     )
     edges = (
-        t.groupBy(
-            F.col("subj_entity").alias("src"),
-            F.col("obj_entity").alias("dst"),
-            F.col("pred"),
-        )
+        edge_stats.groupBy("src", "dst", "pred")
         .agg(
-            F.count("*").cast("bigint").alias("weight"),
-            F.countDistinct("doc_key").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("weight"),
+            F.count("*").cast("bigint").alias("n_docs"),
         )
     )
     return nodes, edges
+
+
+def materialize_kg(triples: DataFrame, entity_map: DataFrame | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Triples (+ optional mention→canonical-entity map on subj/obj text)
+    → (nodes, edges): one-shot build = stats + finalize.  See
+    :func:`kg_stats` for the incremental path."""
+    return finalize_kg(*kg_stats(triples, entity_map))
 
 
 def write_partitioned(df: DataFrame, path: str,

@@ -120,22 +120,27 @@ def cosine_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
     return _topk_per_probe(scored, k)
 
 
-def _plane_weight(p: int, d: int) -> int:
+def _plane_weight(p: int, d: int, seed: int = 0) -> int:
     """±1 weight of plane p, dim d — the SAME md5-derived parity the
     DuckDB oracle computes in SQL (portable_hash64('p<p>d<d>') % 2),
-    evaluated once at plan-build time instead of once per row."""
+    evaluated once at plan-build time instead of once per row.
+    ``seed`` > 0 rotates the whole plane family (key 's<seed>p<p>d<d>')
+    for multi-probe passes; seed 0 is the canonical family every
+    existing oracle replays."""
     import hashlib
 
-    h = int(hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[:15], 16)
+    key = f"s{seed}p{p}d{d}" if seed else f"p{p}d{d}"
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
     return 2 * (h % 2) - 1
 
 
 def _bucket_column(df: DataFrame, vec_col: str, n_planes: int,
-                   dims: int) -> DataFrame:
+                   dims: int, seed: int = 0) -> DataFrame:
     """Add the sign-LSH ``bucket`` column in place (no join, one pass).
     The (plane, dim) ±1 weight matrix is a plan-time literal."""
     planes = F.array(*[
-        F.array(*[F.lit(float(_plane_weight(p, d))) for d in range(dims)])
+        F.array(*[F.lit(float(_plane_weight(p, d, seed)))
+                  for d in range(dims)])
         for p in range(n_planes)
     ])
     bucket = f"""
@@ -298,7 +303,7 @@ LSH_SPLIT_THRESHOLD = 4096
 def _lsh_blocked(vectors: DataFrame, n_planes: int,
                  id_col: str, vec_col: str, dims: int | None,
                  n_blocks: int | None,
-                 split_threshold: int) -> DataFrame:
+                 split_threshold: int, seed: int = 0) -> DataFrame:
     """Bucketed + sub-blocked candidate frame for the LSH verify stage:
     (bucket, id, vn, blk, bi, bj) with every unordered same-bucket pair
     landing in exactly one (bucket, bi, bj) group.
@@ -329,7 +334,7 @@ def _lsh_blocked(vectors: DataFrame, n_planes: int,
     # different sign after normalization — computing the identical
     # expression as sign_lsh_buckets / the SQL oracles keeps bucket ids
     # bit-exact across paths (ADVICE r2)
-    bucketed = _bucket_column(base, "v", n_planes, dims)
+    bucketed = _bucket_column(base, "v", n_planes, dims, seed)
     normed = l2_normalize(bucketed, "v", "vn").drop("v")
     # the bucket fold is the expensive step (interpreted HOF) and BOTH
     # the size census and the replication branch consume it — persist
@@ -363,7 +368,8 @@ def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
                      vec_col: str = "embedding",
                      dims: int | None = None,
                      n_blocks: int | None = None,
-                     split_threshold: int = LSH_SPLIT_THRESHOLD) -> DataFrame:
+                     split_threshold: int = LSH_SPLIT_THRESHOLD,
+                     seed: int = 0) -> DataFrame:
     """Approximate threshold pairs: candidates restricted to the same
     sign-LSH bucket, verified with NumPy matmuls — the 100 TB shape
     (bucket = shuffle key, work O(Σ bucket²) ≪ O(N²)).
@@ -376,16 +382,46 @@ def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
     is identical for any ``split_threshold``/``n_blocks``.
 
     Recall: a pair at cosine angle θ survives one ``n_planes``-plane
-    bucket with probability (1 − θ/π)^n_planes; run with rotated plane
-    seeds and union for multi-probe recall.  Exactly reproducible in
-    SQL — bucket ids are the same md5-derived integers as
+    bucket with probability (1 − θ/π)^n_planes; ``seed`` rotates the
+    plane family and :func:`cosine_pairs_lsh_multiprobe` unions rotated
+    passes for multi-probe recall.  Exactly reproducible in SQL —
+    bucket ids are the same md5-derived integers as
     :func:`sign_lsh_buckets` (computed on the raw vectors, same float
     expression).
     """
     blocked = _lsh_blocked(vectors, n_planes, id_col, vec_col, dims,
-                           n_blocks, split_threshold)
+                           n_blocks, split_threshold, seed)
     return blocked.groupBy("bucket", "bi", "bj").applyInPandas(
         _pair_block_fn(threshold), schema="src bigint, dst bigint")
+
+
+def cosine_pairs_lsh_multiprobe(vectors: DataFrame, threshold: float,
+                                n_planes: int = 4, n_probes: int = 2,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                dims: int | None = None,
+                                n_blocks: int | None = None,
+                                split_threshold: int = LSH_SPLIT_THRESHOLD
+                                ) -> DataFrame:
+    """Multi-probe LSH threshold pairs: the union of ``n_probes``
+    independently-seeded single-probe passes, deduplicated.
+
+    A true pair at angle θ survives at least one of P independent
+    ``n_planes``-plane families with probability
+    1 − (1 − (1 − θ/π)^n_planes)^P — the standard recall knob that does
+    NOT touch bucket granularity, so per-task bounds (sub-blocking,
+    ``split_threshold``) are unchanged and total work grows linearly in
+    P rather than quadratically in bucket size.  Every emitted pair is
+    matmul-verified ≥ threshold inside its pass, so the union has no
+    false positives and the dedup is a plain ``distinct`` on (src, dst).
+    """
+    out = None
+    for seed in range(n_probes):
+        p = cosine_pairs_lsh(vectors, threshold, n_planes, id_col,
+                             vec_col, dims, n_blocks, split_threshold,
+                             seed=seed)
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
 
 
 def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,

@@ -1238,23 +1238,33 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # bucket CTE shared by the LSH-restricted oracles (n_planes planes over
 # 64 dims, same md5-parity hyperplanes as sign_lsh_buckets)
-def _bucket_cte(n_planes: int) -> str:
+def _bucket_cte_seeded(n_planes: int, seed: int, sfx: str) -> str:
+    """bvotes/bk CTE pair (suffixed) for one seeded sign-LSH plane
+    family — seed 0 is the canonical 'p<p>d<d>' key, seed s > 0 the
+    rotated 's<s>p<p>d<d>' family (similarity._plane_weight)."""
+    key = (f"'s{seed}p' || p.p || 'd' || d.d" if seed
+           else "'p' || p.p || 'd' || d.d")
     return f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bvotes AS (
+bvotes{sfx} AS (
   SELECT vec_id, p.p,
          sum(v[d.d + 1] *
-             (2 * (({duck_hash64_sql("'p' || p.p || 'd' || d.d")}) % 2) - 1))
+             (2 * (({duck_hash64_sql(key)}) % 2) - 1))
              AS dot
   FROM e, generate_series(0, {n_planes - 1}) p(p),
           generate_series(0, 63) d(d)
   GROUP BY vec_id, p.p),
-bk AS (
+bk{sfx} AS (
   SELECT vec_id,
          sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
              AS bucket
-  FROM bvotes GROUP BY vec_id)
+  FROM bvotes{sfx} GROUP BY vec_id)
 """
+
+
+def _bucket_cte(n_planes: int) -> str:
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_bucket_cte_seeded(n_planes, 0, "")}"""
 
 
 @query("ann_lsh_topk", oracle=f"""
@@ -1375,6 +1385,30 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
+@query("kg_merge", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE})
+SELECT subj_text AS src, obj_text AS dst, pred,
+       count(*)::BIGINT AS weight,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM base GROUP BY 1, 2, 3
+""")
+def q_kg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL KG ingest: the triple stream is split into two
+    batches (odd/even sentence — so documents SPAN batches, the hard
+    case for the distinct-doc count), each batch is reduced to its
+    mergeable stats (``kg_stats``), the stats are folded
+    (``merge_kg_stats``) and finalized.  The oracle is the full-rebuild
+    edge table: merged-incremental must be bit-equal to one-shot."""
+    from fastie_spark.graph import finalize_kg, kg_stats, merge_kg_stats
+    t = _triples(spark, sf_dir).withColumnRenamed("doc_id", "doc_key")
+    a = t.where(F.col("sent_id") % 2 == 0)
+    b = t.where(F.col("sent_id") % 2 == 1)
+    _, edges = finalize_kg(*merge_kg_stats(kg_stats(a), kg_stats(b)))
+    return edges.select("src", "dst", "pred",
+                        F.col("weight").cast("bigint").alias("weight"),
+                        F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
 IVF_CELLS, IVF_SCALE = 4, 1000
 
 # the two deterministic integer Lloyd rounds, shared by the quantizer
@@ -1470,6 +1504,36 @@ def q_cc_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("component"),
         )
     )
+
+
+@query("dedup_lsh_multiprobe", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_bucket_cte_seeded(CC_LSH_PLANES, 0, "0")},
+{_bucket_cte_seeded(CC_LSH_PLANES, 1, "1")},
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM bk0 a JOIN bk0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM bk1 a JOIN bk1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.src::BIGINT AS src, c.dst::BIGINT AS dst
+FROM cand c
+JOIN e ea ON ea.vec_id = c.src
+JOIN e eb ON eb.vec_id = c.dst
+WHERE list_cosine_similarity(ea.v, eb.v) >= {CC_THRESH}
+""")
+def q_dedup_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH near-dup pairs: two independently-seeded
+    4-plane sign-LSH passes, unioned and deduplicated — the recall
+    knob at constant bucket granularity (pair recall 1-(1-r)^P).  The
+    oracle replays both seeded plane families and their union."""
+    from fastie_spark.operators.similarity import (
+        cosine_pairs_lsh_multiprobe,
+    )
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs_lsh_multiprobe(
+        vecs, threshold=CC_THRESH, n_planes=CC_LSH_PLANES, n_probes=2,
+        dims=64)
 
 
 # ---------------------------------------------------------------------------
@@ -2299,13 +2363,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   wordpiece_align     — F2 alignment algebra, green r02; the row's
 #                         driver evidence is now wordpiece_greedy (the
 #                         real HF greedy matcher, strictly stronger)
+#   multimodal_frames   — explode-before-decode sibling of
+#                         multimodal_features (green r02); rotated out
+#                         so the NEW kg_merge (r3 incremental ingest)
+#                         gets driver evidence
+#   ann_lsh_buckets     — the bucket assignment alone (green r01+r02);
+#                         the identical bucket chain is the first stage
+#                         of ann_lsh_topk AND dedup_lsh_multiprobe —
+#                         rotated out so the NEW dedup_lsh_multiprobe
+#                         (r3 recall knob) gets driver evidence
 # All remain registered public queries; tools/check_queries.py verifies
 # the full registry (55+) against DuckDB locally every round.
 # ---------------------------------------------------------------------------
 
 _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                   "events_hopping", "multimodal_resize", "sent_offsets",
-                  "pricing_summary", "wordpiece_align"]
+                  "pricing_summary", "wordpiece_align",
+                  "multimodal_frames", "ann_lsh_buckets"]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

@@ -162,6 +162,38 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         assert a1[p] == p + 1000  # same bucket guaranteed for exact dups
 
 
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Multi-probe union: (a) every single-probe pair survives (it is a
+    union), (b) the result is still a SUBSET of the exact threshold
+    pairs (each pass matmul-verifies), and (c) on this fixture extra
+    seeds recover true pairs the seed-0 buckets split — the recall knob
+    actually turns."""
+    import numpy as np
+
+    from fastie_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+        cosine_pairs_lsh_multiprobe,
+    )
+
+    vecs = _rand_vecs(spark, n=120)
+    thr, planes = 0.3, 4
+    exact = {(r["src"], r["dst"])
+             for r in cosine_pairs(vecs, thr).collect()}
+    single = {(r["src"], r["dst"])
+              for r in cosine_pairs_lsh(
+                  vecs, thr, n_planes=planes, dims=16).collect()}
+    multi = {(r["src"], r["dst"])
+             for r in cosine_pairs_lsh_multiprobe(
+                 vecs, thr, n_planes=planes, n_probes=3,
+                 dims=16).collect()}
+    assert single <= multi <= exact
+    # the fixture has pairs the seed-0 family misses; 3 probes must
+    # recover at least one of them (else the knob is a no-op)
+    assert len(multi) > len(single)
+    assert len(exact) > len(single)  # fixture sanity: something to gain
+
+
 def test_simhash_banded_pairs_match_cross_join_on_near_dups(docs):
     """Banded blocking finds every pair the cross-join verify finds on
     this fixture (near-dups agree on ≥1 12-bit band)."""
