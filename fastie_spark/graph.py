@@ -101,6 +101,78 @@ def connected_components(edges: DataFrame, src: str = "src",
     return cc
 
 
+def pagerank_integer(edges: DataFrame, n_iters: int = 3,
+                     scale: int = 1_000_000, damp_num: int = 85,
+                     src: str = "src", dst: str = "dst",
+                     n_partitions: int | None = None) -> DataFrame:
+    """Deterministic integer PageRank over an edge list — KG entity
+    salience via the same iterative-join machinery as
+    :func:`connected_components` (GraphFrames-style rounds, no library).
+
+    Floats make PageRank engine- and order-dependent (the mass sum is a
+    non-associative fold), so ranks are scaled integers with floor
+    division everywhere:
+
+        r₀[v] = scale
+        rᵢ₊₁[v] = (100−damp)·scale ∕ 100
+                  + damp · Σ_{(u,v)∈E} (rᵢ[u] ∕ outdeg[u]) ∕ 100
+
+    (∕ = floor div; all terms non-negative).  Bit-exact under any
+    partitioning and replayable in SQL (``kg_pagerank`` unrolls the
+    rounds).  Dangling mass is dropped, the standard sparse
+    simplification — ranks are relative salience, not a distribution.
+    ``n_iters`` is fixed (no convergence test) so an oracle can replay
+    the exact rounds.  Per round: one join of the rank vector (two
+    longs per node) against the outdegree-annotated edge list + one
+    partial-aggregating groupBy — the working set never includes
+    payloads.  Each rank vector feeds exactly one downstream round, so
+    the un-checkpointed plan grows LINEARLY in ``n_iters`` and the
+    whole recurrence executes as a single job; lineage is truncated
+    only every ``checkpoint_every`` rounds (deep fixed plans cost
+    optimizer time, unbounded ones are the CC loop's problem, not
+    this one's).  Output: (node, rank).
+    """
+    spark = edges.sparkSession
+    if n_partitions is None:
+        n_partitions = max(
+            8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    base = (100 - damp_num) * scale // 100
+    checkpoint_every = 8
+
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct()
+         .repartition(n_partitions, "u")
+         # edge list + outdegree materialized ONCE (the expensive
+         # upstream — e.g. a triple pipeline — must not re-run per round)
+         .localCheckpoint())
+    outd = e.groupBy("u").agg(F.count("*").alias("od"))
+    e_od = e.join(outd, "u").localCheckpoint()
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select("v")).distinct()
+             .repartition(n_partitions, "node")
+             .localCheckpoint())
+    ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
+    for i in range(n_iters):
+        contrib = (
+            e_od.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select("v", F.expr("r div od").alias("c"))
+            .groupBy("v").agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("v", "node"),
+                       "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"({damp_num} * coalesce(s, 0)) div 100"))
+                .cast("bigint").alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
 def alias_edges_from_mentions(mentions: DataFrame,
                               surface_col: str = "surface") -> DataFrame:
     """Alias-similarity edges between mention surfaces: two surfaces are

@@ -1409,6 +1409,53 @@ def q_kg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+
+
+def _pagerank_cte_chain(n_iters: int, scale: int,
+                        damp_num: int = 85) -> str:
+    """Unrolled integer-PageRank rounds (graph.pagerank_integer) as
+    DuckDB CTEs over ``ed`` (src, dst) — each round is the identical
+    floor-div expression the Spark loop evaluates."""
+    base = (100 - damp_num) * scale // 100
+    parts = [f"""
+nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+outd AS (SELECT src, count(*)::BIGINT AS od FROM ed GROUP BY src),
+r0 AS (SELECT n, {scale}::BIGINT AS r FROM nodes)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""
+c{i} AS (SELECT ed.dst AS n, sum(r{i-1}.r // outd.od)::BIGINT AS s
+       FROM ed JOIN r{i-1} ON r{i-1}.n = ed.src
+               JOIN outd ON outd.src = ed.src
+       GROUP BY ed.dst),
+r{i} AS (SELECT nodes.n,
+              ({base} + ({damp_num} * coalesce(c{i}.s, 0)) // 100)::BIGINT
+                  AS r
+       FROM nodes LEFT JOIN c{i} ON c{i}.n = nodes.n)""")
+    return ",".join(parts)
+
+
+@query("kg_pagerank", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+ed AS (SELECT DISTINCT subj_text AS src, obj_text AS dst FROM base),
+{_pagerank_cte_chain(PR_ITERS, PR_SCALE)}
+SELECT n AS entity, r::BIGINT AS rank FROM r{PR_ITERS}
+""")
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience: {PR_ITERS} rounds of deterministic INTEGER
+    PageRank over the flagship triple graph — the iterative-join
+    analytics pattern (rank-vector join + partial-agg per round), with
+    floor-div integer math so the oracle replays the rounds bit-exactly."""
+    from fastie_spark.graph import pagerank_integer
+    t = _triples(spark, sf_dir)
+    edges = t.select(F.col("subj_text").alias("src"),
+                     F.col("obj_text").alias("dst"))
+    pr = pagerank_integer(edges, n_iters=PR_ITERS, scale=PR_SCALE)
+    return pr.select(F.col("node").alias("entity"),
+                     F.col("rank").cast("bigint").alias("rank"))
+
+
 IVF_CELLS, IVF_SCALE = 4, 1000
 
 # the two deterministic integer Lloyd rounds, shared by the quantizer
@@ -2372,6 +2419,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         of ann_lsh_topk AND dedup_lsh_multiprobe —
 #                         rotated out so the NEW dedup_lsh_multiprobe
 #                         (r3 recall knob) gets driver evidence
+#   dedup_simhash       — the per-doc fingerprint alone (green r01+r02);
+#                         simhash_pairs_banded recomputes the identical
+#                         fingerprint fold as its first stage — rotated
+#                         out so the NEW kg_pagerank (r3 iterative
+#                         graph analytics) gets driver evidence
 # All remain registered public queries; tools/check_queries.py verifies
 # the full registry (55+) against DuckDB locally every round.
 # ---------------------------------------------------------------------------
@@ -2379,7 +2431,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                   "events_hopping", "multimodal_resize", "sent_offsets",
                   "pricing_summary", "wordpiece_align",
-                  "multimodal_frames", "ann_lsh_buckets"]
+                  "multimodal_frames", "ann_lsh_buckets",
+                  "dedup_simhash"]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

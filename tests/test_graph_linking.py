@@ -80,6 +80,34 @@ def test_materialize_kg(spark):
     assert e[("B", "A", "uses")] == (1, 1)
 
 
+def test_pagerank_integer_matches_eager_loop(spark):
+    """The distributed iterative-join PageRank equals a driver-side
+    eager replay of the same integer recurrence on a small graph with a
+    hub, a dangling node, and a 2-cycle; more in-links ⇒ higher rank."""
+    from fastie_spark.graph import pagerank_integer
+
+    # 0→2, 1→2, 2→3, 3→2  (2 is the hub, 3↔2 cycle, 4→2 extra voter)
+    E = [(0, 2), (1, 2), (2, 3), (3, 2), (4, 2)]
+    edges = spark.createDataFrame(E, "src: long, dst: long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_integer(edges, n_iters=3,
+                                     scale=1000).collect()}
+
+    nodes = sorted({u for e in E for u in e})
+    outd = {}
+    for u, _ in E:
+        outd[u] = outd.get(u, 0) + 1
+    r = {n: 1000 for n in nodes}
+    for _ in range(3):
+        s = {n: 0 for n in nodes}
+        for u, v in E:
+            s[v] += r[u] // outd[u]
+        r = {n: 150 + (85 * s[n]) // 100 for n in nodes}
+    assert got == r
+    assert got[2] == max(got.values())          # the hub wins
+    assert got[0] == got[1] == got[4] == 150    # no in-links → base only
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
