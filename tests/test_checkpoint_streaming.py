@@ -303,3 +303,43 @@ def test_streaming_extract_rejects_flat_sink_layout(spark, tmp_path):
     ner = GazetteerNER({("Alpha",): "CLASS"})
     with _pytest.raises(ValueError, match="flat parquet"):
         streaming_extract(spark, src, str(tmp_path / "ck_flat"), out, ner)
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
+    """streaming_dedup_events: a redelivered (duplicate) file is
+    suppressed by the bounded-state watermark dedup — the drained sink
+    equals the batch dropDuplicates twin on the same input."""
+    import time as _t
+
+    from fastie_spark.streaming.events import (
+        read_events_stream,
+        streaming_dedup_events,
+    )
+
+    rows = [(i, f"2024-01-01 01:{i:02d}:00", i % 3, "click", 1.0, "{}")
+            for i in range(20)]
+    schema = ("event_id: long, ts: string, user_id: long, "
+              "event_type: string, value: double, props: string")
+    src = str(tmp_path / "dedup_src")
+    # file 1: all events; file 2: redelivery of the first half
+    for chunk in (rows, rows[:10]):
+        spark.createDataFrame(chunk, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (streaming_dedup_events(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(r["event_id"]
+                 for r in spark.sql("SELECT * FROM dedup_out").collect())
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(src).dropDuplicates(["event_id"])
+        .collect())
+    assert got == want == list(range(20))
