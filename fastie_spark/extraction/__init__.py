@@ -2,5 +2,10 @@ from fastie_spark.extraction.ner import GazetteerNER, gazetteer_join_mentions  #
 from fastie_spark.extraction.relation import PairRelationModel  # noqa: F401
 from fastie_spark.extraction.pipeline import extract_triples, triples_from_docs  # noqa: F401
 from fastie_spark.extraction.fused import extract_triples_arrow  # noqa: F401
-from fastie_spark.extraction.model_ner import NumpyTokenClassifier  # noqa: F401
+from fastie_spark.extraction.model_ner import (  # noqa: F401
+    AttnTokenClassifier,
+    DeepTokenClassifier,
+    NumpyTokenClassifier,
+)
+from fastie_spark.extraction.training import PerceptronTrainer  # noqa: F401
 from fastie_spark.extraction.ner import gazetteer_ner_arrow  # noqa: F401

@@ -226,6 +226,135 @@ class DeepTokenClassifier:
         return sentences.mapInPandas(forward, schema=out_schema)
 
 
+def frozen_weights_attn(prefix: str, rows: int, cols: int):
+    """(rows × cols) int64 matrix M[r, c] = H('<prefix><r>d<c>') — the
+    Wq/Wk/Wv ('wqh'/'wkh'/'wvh') and output ('woc', over hid) families
+    of the attention tagger."""
+    import numpy as np
+
+    return np.array(
+        [[_coef(f"{prefix}{r}d{c}") for c in range(cols)]
+         for r in range(rows)],
+        dtype=np.int64)
+
+
+def eager_tag_attn(tokens: list[str],
+                   labels: list[str] = DEFAULT_LABELS) -> list[int]:
+    """Single-process eager HARD-ATTENTION forward — parity twin of the
+    batched distributed path (pure Python, one pair at a time)."""
+    n, hid = len(tokens), HID_DIM
+    if n == 0:
+        return []
+    emb = [embed_token_deep(t) for t in tokens]
+    q = [[sum(_coef(f"wqh{h}d{d}") * e[d] for d in range(EMB_DIM))
+          for h in range(hid)] for e in emb]
+    k = [[sum(_coef(f"wkh{h}d{d}") * e[d] for d in range(EMB_DIM))
+          for h in range(hid)] for e in emb]
+    v = [[sum(_coef(f"wvh{h}d{d}") * e[d] for d in range(EMB_DIM))
+          for h in range(hid)] for e in emb]
+    out = []
+    for i in range(n):
+        scores = [sum(q[i][h] * k[j][h] for h in range(hid))
+                  for j in range(n)]
+        jstar = max(range(n), key=lambda j: (scores[j], -j))
+        hvec = [min(max(q[i][h] + v[jstar][h], 0), CLIP)
+                for h in range(hid)]
+        cls = [sum(_coef(f"woc{c}d{h}") * hvec[h] for h in range(hid))
+               for c in range(len(labels))]
+        out.append(max(range(len(labels)), key=lambda c: (cls[c], -c)))
+    return out
+
+
+class AttnTokenClassifier:
+    """Single-head HARD self-attention through the seam — the actual
+    transformer data-movement shape (``pure_model.py:157-200`` /
+    ``unire_model.py:84-249`` attention minus torch): per-sequence
+    Q/K/Vs from broadcast weight matrices, a full (batch, L, L)
+    attention-score tensor with PAD-COLUMN MASKING, a per-position
+    context gather, residual combine, clip nonlinearity, classify.
+
+    Softmax is replaced by HARD attention (each position attends to its
+    argmax-scoring key; tie → smallest position) because float softmax
+    makes the forward engine-dependent — with integer scores the whole
+    layer is bit-exact across NumPy, the eager twin, and the DuckDB
+    oracle (query ``model_ner_attn``), which is what makes the seam's
+    padding/masking/gather logic TESTABLE: a pad column that leaks into
+    the argmax, or a misaligned gather, flips a discrete answer instead
+    of nudging a float."""
+
+    def __init__(self, labels: list[str] = DEFAULT_LABELS,
+                 dim: int = EMB_DIM, hid: int = HID_DIM):
+        self.labels = list(labels)
+        self.dim = dim
+        self.hid = hid
+        self.wq = frozen_weights_attn("wqh", hid, dim)
+        self.wk = frozen_weights_attn("wkh", hid, dim)
+        self.wv = frozen_weights_attn("wvh", hid, dim)
+        self.wo = frozen_weights_attn("woc", len(self.labels), hid)
+
+    def transform(self, sentences: DataFrame,
+                  out_col: str = "tag_pred") -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        spark = sentences.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.wq, self.wk, self.wv, self.wo))
+        dim, clip = self.dim, CLIP
+        in_cols = sentences.columns
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in sentences.schema.fields) + f", {out_col} array<int>"
+
+        def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wq, wk, wv, wo = bc.value
+            for pdf in batches:
+                toks_col = list(pdf["tokens"])
+                vocab: dict[str, int] = {}
+                for toks in toks_col:
+                    for t in toks:
+                        if t not in vocab:
+                            vocab[t] = len(vocab)
+                lens = np.array([len(t) for t in toks_col], dtype=np.int64)
+                n_rows = len(toks_col)
+                lmax = int(lens.max()) if n_rows else 0
+                if vocab and lmax:
+                    emb_vocab = np.array(
+                        [embed_token_deep(t, dim) for t in vocab],
+                        dtype=np.int64)                    # (V, dim)
+                    idx = np.zeros((n_rows, lmax), dtype=np.int64)
+                    for i, toks in enumerate(toks_col):
+                        if len(toks):
+                            idx[i, :len(toks)] = [vocab[t] for t in toks]
+                    emb = emb_vocab[idx]                   # (B, L, dim)
+                    q = emb @ wq.T                         # (B, L, H)
+                    k = emb @ wk.T
+                    v = emb @ wv.T
+                    s = q @ k.transpose(0, 2, 1)           # (B, L, L)
+                    # pad-column mask: a padded KEY position must never
+                    # win the argmax (its embedding is a real vocab row)
+                    jj = np.arange(lmax)
+                    pad = jj[None, None, :] >= lens[:, None, None]
+                    s = np.where(pad, np.int64(-(1 << 62)), s)
+                    jstar = np.argmax(s, axis=2)           # (B, L)
+                    ctx = np.take_along_axis(
+                        v, jstar[:, :, None], axis=1)      # (B, L, H)
+                    h = np.clip(q + ctx, 0, clip)
+                    sc = h @ wo.T                          # (B, L, C)
+                    tags = np.argmax(sc, axis=2).astype(np.int32)
+                    preds = [
+                        [int(x) for x in tags[i, :lens[i]]]
+                        for i in range(n_rows)
+                    ]
+                else:
+                    preds = [[] for _ in range(n_rows)]
+                pdf = pdf.copy()
+                pdf[out_col] = preds
+                yield pdf[in_cols + [out_col]]
+
+        return sentences.mapInPandas(forward, schema=out_schema)
+
+
 class NumpyTokenClassifier:
     """Broadcast-weights token tagger through the mapInPandas seam."""
 

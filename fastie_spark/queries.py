@@ -2276,6 +2276,100 @@ def q_model_ner_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F5 (attention) — single-head HARD self-attention through the seam
+# ---------------------------------------------------------------------------
+
+#: summed-wordpiece token embedding CTEs shared by the deep/attention
+#: oracles (same text as inside the model_ner_deep oracle)
+_WP_EMB_CTE = f"""
+npc AS (SELECT doc_id, pos, token,
+               greatest((length(token) + 3) // 4, 1) AS np FROM toks),
+pc AS (SELECT doc_id, pos, token,
+              unnest(generate_series(1, np)) AS p
+       FROM npc),
+pieces AS (
+  SELECT doc_id, pos,
+         CASE WHEN p = 1 THEN substr(token, 1, 4)
+              ELSE '##' || substr(token, (p - 1) * 4 + 1, 4) END AS piece
+  FROM pc),
+emb AS (
+  SELECT doc_id, pos, d.d AS d,
+         sum(({duck_hash64_sql("'e' || d.d || '#' || piece")} % 2001) - 1000)
+             AS e
+  FROM pieces, generate_series(0, {MODEL_DIM - 1}) d(d)
+  GROUP BY doc_id, pos, d.d)"""
+
+
+def _proj_cte(name: str, prefix: str, rows: int) -> str:
+    """(doc_id, pos, h, val) projection CTE: val = Σ_d M[h,d]·e[d] with
+    M[h,d] = coef('<prefix><h>d<d>') — the Wq/Wk/Wv families."""
+    return f"""
+{name} AS (
+  SELECT doc_id, pos, h.h AS h,
+         sum((({duck_hash64_sql(f"'{prefix}' || h.h || 'd' || d")} % 2001)
+              - 1000) * e) AS val
+  FROM emb, generate_series(0, {rows - 1}) h(h)
+  GROUP BY doc_id, pos, h.h)"""
+
+
+@query("model_ner_attn", oracle=f"""
+WITH {TOKS_CTE},
+{_WP_EMB_CTE},
+{_proj_cte("qh", "wqh", MODEL_HID)},
+{_proj_cte("kh", "wkh", MODEL_HID)},
+{_proj_cte("vh", "wvh", MODEL_HID)},
+att AS (
+  SELECT a.doc_id, a.pos AS i, b.pos AS j, sum(a.val * b.val) AS s
+  FROM qh a JOIN kh b ON b.doc_id = a.doc_id AND b.h = a.h
+  GROUP BY a.doc_id, a.pos, b.pos),
+js AS (
+  SELECT doc_id, i, j FROM (
+    SELECT doc_id, i, j,
+           row_number() OVER (PARTITION BY doc_id, i
+                              ORDER BY s DESC, j) AS rn
+    FROM att) WHERE rn = 1),
+hv AS (
+  SELECT q.doc_id, q.pos, q.h,
+         least(greatest(q.val + v.val, 0), {MODEL_CLIP}) AS hval
+  FROM qh q
+  JOIN js ON js.doc_id = q.doc_id AND js.i = q.pos
+  JOIN vh v ON v.doc_id = q.doc_id AND v.pos = js.j AND v.h = q.h),
+sc AS (
+  SELECT doc_id, pos, c.c AS c,
+         sum((({duck_hash64_sql("'woc' || c.c || 'd' || h")} % 2001) - 1000)
+             * hval) AS score
+  FROM hv, generate_series(0, {MODEL_NL - 1}) c(c)
+  GROUP BY doc_id, pos, c.c),
+ranked AS (
+  SELECT doc_id, pos, c,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY score DESC, c) AS rn
+  FROM sc)
+SELECT doc_id, pos::BIGINT AS pos, c::BIGINT AS tag
+FROM ranked WHERE rn = 1
+""")
+def q_model_ner_attn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-head HARD self-attention tagger through the padded-batch
+    seam — the transformer attention data-movement shape: broadcast
+    Q/K/V/output weights, a (batch, L, L) integer score tensor with
+    pad-column masking, argmax context gather (softmax → hard argmax so
+    the layer is bit-exact), residual + clip, classify.  The oracle
+    replays projections, the attention argmax, the gather and the
+    classifier per (doc, position) in SQL."""
+    from fastie_spark.extraction.model_ner import AttnTokenClassifier
+    s = _doc_sentences(spark, sf_dir)
+    tagged = AttnTokenClassifier().transform(s, out_col="tag_pred")
+    return tagged.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.posexplode("tag_pred").alias("pos", "tag"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("tag").cast("bigint").alias("tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TRAINING LOOP — distributed batch perceptron (trainer.py:78-97 shape):
 # per-epoch broadcast forward through the mapInPandas seam + RELATIONAL
 # integer gradient aggregation + driver update.  Integer math makes even
@@ -2424,6 +2518,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         fingerprint fold as its first stage — rotated
 #                         out so the NEW kg_pagerank (r3 iterative
 #                         graph analytics) gets driver evidence
+#   token_stats         — text-analysis sibling of text_quality /
+#                         doc_fingerprint (green r01+r02) — rotated out
+#                         so the NEW model_ner_attn (r3 attention-layer
+#                         seam) gets driver evidence
 # All remain registered public queries; tools/check_queries.py verifies
 # the full registry (55+) against DuckDB locally every round.
 # ---------------------------------------------------------------------------
@@ -2432,7 +2530,7 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                   "events_hopping", "multimodal_resize", "sent_offsets",
                   "pricing_summary", "wordpiece_align",
                   "multimodal_frames", "ann_lsh_buckets",
-                  "dedup_simhash"]
+                  "dedup_simhash", "token_stats"]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

@@ -3,4 +3,6 @@ from fastie_spark.streaming.events import (  # noqa: F401
     tumbling_counts,
     run_stream_once,
     streaming_extract,
+    streaming_dedup_events,
+    streaming_sessionize,
 )
