@@ -1,0 +1,90 @@
+"""Text retrieval over the document corpus (engine addition).
+
+A training-data pipeline needs corpus search (find documents for a
+probe query: contamination checks, dedup forensics, targeted
+sampling).  The cluster shape is the classic inverted-index plan:
+
+* ``build_inverted_index`` — one explode + partial-aggregating
+  groupBy: (term, doc_id, tf).  At 100 TB this is THE search
+  artifact: hash-partitioned by term, so a query touches only its
+  terms' partitions, never the corpus;
+* ``search_tfidf`` — query terms are a plan-time literal (broadcast
+  by construction): filter the index to the query's terms (predicate
+  pushdown reaches the parquet scan when the index is stored), join
+  per-term document frequencies, score, and rank with a bounded
+  per-query top-k.
+
+Scoring is DETERMINISTIC INTEGER TF-IDF: ``score(d) = Σ_t tf(d, t) ·
+(N_docs div df(t))`` — integer division stands in for BM25's float
+idf so the ranking is bit-exact, order-independent, and replayable in
+SQL (float idf sums are non-associative folds; their ties are
+engine-dependent).  Rare terms dominate exactly as in BM25; swapping
+in a float idf changes one expression, not the plan.  Ties rank by
+smallest doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_inverted_index(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf) postings from whitespace terms — one explode
+    + one partial-aggregating shuffle keyed by (term, doc)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(text_col, " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def search_tfidf(docs: DataFrame, query_terms: list[str], k: int = 10,
+                 text_col: str = "text",
+                 id_col: str = "doc_id",
+                 index: DataFrame | None = None) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by integer TF-IDF.
+
+    ``index`` defaults to :func:`build_inverted_index` over ``docs``
+    (pass a stored index at scale).  The query-term filter is an
+    ``isin`` literal — pushed to the scan for a stored index; ``df``
+    counts come from the filtered postings only (the query's terms),
+    so nothing corpus-wide is aggregated beyond the one N_docs scalar.
+    Output: (doc_id, score, rank) with rank 1..k, ties → smallest
+    doc_id.
+    """
+    if index is None:
+        index = build_inverted_index(docs, text_col, id_col)
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    hits = index.where(F.col("term").isin(list(query_terms)))
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .withColumn("w", F.expr(f"tf * (cast({n_docs} as bigint) div df)"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    # two-level bounded top-k (same discipline as similarity._topk_per
+    # _probe): partial top-k per doc-hash shard, final top-k over the
+    # ≤ shards·k survivors — no single task ever ranks the full
+    # candidate set of a common term
+    n_salts = docs.sparkSession.sparkContext.defaultParallelism
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    w2 = Window.orderBy(*order)
+    return (
+        scored.withColumn("_salt", F.pmod("doc_id", F.lit(n_salts)))
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

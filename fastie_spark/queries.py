@@ -1676,6 +1676,40 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ("dup", "hash", "scan")  # one rare + two common terms
+SEARCH_K = 10
+
+@query("text_search", oracle=f"""
+WITH postings AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM postings
+  WHERE term IN {SEARCH_TERMS!r} GROUP BY term, doc_id),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT t.doc_id, sum(t.tf * (nd.n // d.df))::BIGINT AS score
+  FROM tf t JOIN dfq d ON d.term = t.term, nd
+  GROUP BY t.doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+SELECT doc_id::BIGINT AS doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {SEARCH_K}
+""")
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus search: inverted-index postings filtered to the query's
+    terms, integer TF-IDF (tf · (N div df) — rare terms dominate,
+    bit-exact ranking), two-level bounded top-k.  The retrieval shape
+    a training-data pipeline needs for contamination checks and
+    targeted sampling."""
+    from fastie_spark.operators.retrieval import search_tfidf
+    docs = _documents(spark, sf_dir)
+    return search_tfidf(docs, list(SEARCH_TERMS), k=SEARCH_K,
+                        text_col="text", id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # event-stream analytics (batch form of the streaming ops)
 # ---------------------------------------------------------------------------
@@ -2522,6 +2556,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         doc_fingerprint (green r01+r02) — rotated out
 #                         so the NEW model_ner_attn (r3 attention-layer
 #                         seam) gets driver evidence
+#   doc_fingerprint     — text-analysis sibling (green r01+r02) —
+#                         rotated out so the NEW text_search (r3
+#                         inverted-index retrieval) gets driver
+#                         evidence
 # All remain registered public queries; tools/check_queries.py verifies
 # the full registry (55+) against DuckDB locally every round.
 # ---------------------------------------------------------------------------
@@ -2530,7 +2568,7 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                   "events_hopping", "multimodal_resize", "sent_offsets",
                   "pricing_summary", "wordpiece_align",
                   "multimodal_frames", "ann_lsh_buckets",
-                  "dedup_simhash", "token_stats"]
+                  "dedup_simhash", "token_stats", "doc_fingerprint"]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

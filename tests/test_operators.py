@@ -194,3 +194,27 @@ def test_symmetric_closure_flat(spark):
     keys = {(r["s_start"], r["o_start"], r["pred"]) for r in out}
     assert (15, 13, "PER-SOC") in keys  # the mirror
     assert (1, 5, "ORG-AFF") not in keys  # non-symmetric not mirrored
+
+
+def test_search_tfidf_rare_term_dominates(spark):
+    """Integer TF-IDF retrieval: a doc matching the rare term outranks
+    docs stuffed with common terms (idf = N div df); ranking is
+    deterministic (ties -> smallest doc_id) and equals a hand-computed
+    score on a crafted corpus."""
+    from fastie_spark.operators.retrieval import search_tfidf
+
+    rows = [
+        (0, "rare common"),          # rare once
+        (1, "common common common"), # common thrice
+        (2, "common"),
+        (3, "common rare rare"),     # rare twice
+        (4, "other words only"),
+        (5, "common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in search_tfidf(docs, ["rare", "common"], k=4)
+           .orderBy("rank").collect()]
+    # N=6; df(rare)=2 -> idf 3; df(common)=5 -> idf 1
+    # d3: 2*3+1=7, d0: 3+1=4, d1: 3, d2=d5: 1 (tie -> doc 2)
+    assert got == [(3, 7, 1), (0, 4, 2), (1, 3, 3), (2, 1, 4)]
