@@ -127,3 +127,62 @@ def test_sliding_window_coverage_exhaustive(spark):
             assert ends[-1] == n  # last chunk reaches the end
             # union of [s, e) covers [0, n): each next start ≤ prev end
             assert all(s2 <= e1 for e1, s2 in zip(ends, starts[1:]))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1, max_size=25))
+def test_pagerank_matches_eager_on_random_graphs(spark, edge_list):
+    """Distributed integer PageRank equals the eager driver replay on
+    arbitrary small digraphs (self-loops, multi-edges, dangling nodes,
+    disconnected parts)."""
+    from fastie_spark.graph import pagerank_integer
+
+    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_integer(edges, n_iters=3,
+                                     scale=1000).collect()}
+    E = sorted(set(edge_list))  # operator dedups edges
+    nodes = sorted({u for e in E for u in e})
+    outd = {}
+    for u, _ in E:
+        outd[u] = outd.get(u, 0) + 1
+    r = {n: 1000 for n in nodes}
+    for _ in range(3):
+        s = {n: 0 for n in nodes}
+        for u, v in E:
+            s[v] += r[u] // outd[u]
+        r = {n: 150 + (85 * s[n]) // 100 for n in nodes}
+    assert got == r
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 4), st.integers(0, 4),
+              st.integers(0, 1)),
+    min_size=1, max_size=20),
+    st.lists(st.integers(0, 2), min_size=1, max_size=20))
+def test_kg_merge_equals_rebuild_on_random_splits(spark, raw, split):
+    """Incremental KG merge ≡ full rebuild for ARBITRARY triple tables
+    and ARBITRARY 3-way splits (docs span parts, duplicate triples,
+    label conflicts)."""
+    from fastie_spark.graph import finalize_kg, kg_stats, merge_kg_stats
+
+    rows = [(f"d{doc}", f"E{s}", ["CLASS", "FUNC"][lab], "calls",
+             f"E{o}", "LIB") for doc, s, o, lab in raw]
+    schema = ("doc_key: string, subj_text: string, subj_label: string, "
+              "pred: string, obj_text: string, obj_label: string")
+    full = spark.createDataFrame(rows, schema)
+    parts = [[r for r, g in zip(rows, split * len(rows)) if g == i]
+             for i in range(3)]
+
+    def snap(nodes, edges):
+        return (sorted(map(tuple, nodes.collect())),
+                sorted(map(tuple, edges.collect())))
+
+    want = snap(*finalize_kg(*kg_stats(full)))
+    stats = [kg_stats(spark.createDataFrame(p, schema) if p
+             else spark.createDataFrame([], schema)) for p in parts]
+    merged = merge_kg_stats(merge_kg_stats(stats[0], stats[1]), stats[2])
+    assert snap(*finalize_kg(*merged)) == want
