@@ -283,10 +283,15 @@ class AttnTokenClassifier:
     of nudging a float."""
 
     def __init__(self, labels: list[str] = DEFAULT_LABELS,
-                 dim: int = EMB_DIM, hid: int = HID_DIM):
+                 dim: int = EMB_DIM, hid: int = HID_DIM,
+                 score_budget: int = 1 << 24):
         self.labels = list(labels)
         self.dim = dim
         self.hid = hid
+        #: max int64 cells of one (B_sub, L, L) score tensor (2^24 ≈
+        #: 128 MB) — the transformer's quadratic memory term, bounded
+        #: per sub-batch exactly like torch micro-batching
+        self.score_budget = score_budget
         self.wq = frozen_weights_attn("wqh", hid, dim)
         self.wk = frozen_weights_attn("wkh", hid, dim)
         self.wv = frozen_weights_attn("wvh", hid, dim)
@@ -306,48 +311,65 @@ class AttnTokenClassifier:
             f"{f.name} {f.dataType.simpleString()}"
             for f in sentences.schema.fields) + f", {out_col} array<int>"
 
+        score_budget = self.score_budget
+
+        def tag_slice(toks_col, wq, wk, wv, wo):
+            vocab: dict[str, int] = {}
+            for toks in toks_col:
+                for t in toks:
+                    if t not in vocab:
+                        vocab[t] = len(vocab)
+            lens = np.array([len(t) for t in toks_col], dtype=np.int64)
+            n_rows = len(toks_col)
+            lmax = int(lens.max()) if n_rows else 0
+            if not vocab or not lmax:
+                return [[] for _ in range(n_rows)]
+            emb_vocab = np.array(
+                [embed_token_deep(t, dim) for t in vocab],
+                dtype=np.int64)                    # (V, dim)
+            idx = np.zeros((n_rows, lmax), dtype=np.int64)
+            for i, toks in enumerate(toks_col):
+                if len(toks):
+                    idx[i, :len(toks)] = [vocab[t] for t in toks]
+            emb = emb_vocab[idx]                   # (B, L, dim)
+            q = emb @ wq.T                         # (B, L, H)
+            k = emb @ wk.T
+            v = emb @ wv.T
+            s = q @ k.transpose(0, 2, 1)           # (B, L, L)
+            # pad-column mask: a padded KEY position must never win
+            # the argmax (its embedding is a real vocab row)
+            jj = np.arange(lmax)
+            pad = jj[None, None, :] >= lens[:, None, None]
+            s = np.where(pad, np.int64(-(1 << 62)), s)
+            jstar = np.argmax(s, axis=2)           # (B, L)
+            ctx = np.take_along_axis(
+                v, jstar[:, :, None], axis=1)      # (B, L, H)
+            h = np.clip(q + ctx, 0, clip)
+            sc = h @ wo.T                          # (B, L, C)
+            tags = np.argmax(sc, axis=2).astype(np.int32)
+            return [[int(x) for x in tags[i, :lens[i]]]
+                    for i in range(n_rows)]
+
         def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             wq, wk, wv, wo = bc.value
             for pdf in batches:
                 toks_col = list(pdf["tokens"])
-                vocab: dict[str, int] = {}
-                for toks in toks_col:
-                    for t in toks:
-                        if t not in vocab:
-                            vocab[t] = len(vocab)
-                lens = np.array([len(t) for t in toks_col], dtype=np.int64)
-                n_rows = len(toks_col)
-                lmax = int(lens.max()) if n_rows else 0
-                if vocab and lmax:
-                    emb_vocab = np.array(
-                        [embed_token_deep(t, dim) for t in vocab],
-                        dtype=np.int64)                    # (V, dim)
-                    idx = np.zeros((n_rows, lmax), dtype=np.int64)
-                    for i, toks in enumerate(toks_col):
-                        if len(toks):
-                            idx[i, :len(toks)] = [vocab[t] for t in toks]
-                    emb = emb_vocab[idx]                   # (B, L, dim)
-                    q = emb @ wq.T                         # (B, L, H)
-                    k = emb @ wk.T
-                    v = emb @ wv.T
-                    s = q @ k.transpose(0, 2, 1)           # (B, L, L)
-                    # pad-column mask: a padded KEY position must never
-                    # win the argmax (its embedding is a real vocab row)
-                    jj = np.arange(lmax)
-                    pad = jj[None, None, :] >= lens[:, None, None]
-                    s = np.where(pad, np.int64(-(1 << 62)), s)
-                    jstar = np.argmax(s, axis=2)           # (B, L)
-                    ctx = np.take_along_axis(
-                        v, jstar[:, :, None], axis=1)      # (B, L, H)
-                    h = np.clip(q + ctx, 0, clip)
-                    sc = h @ wo.T                          # (B, L, C)
-                    tags = np.argmax(sc, axis=2).astype(np.int32)
-                    preds = [
-                        [int(x) for x in tags[i, :lens[i]]]
-                        for i in range(n_rows)
-                    ]
-                else:
-                    preds = [[] for _ in range(n_rows)]
+                preds: list[list[int]] = []
+                lo = 0
+                while lo < len(toks_col):
+                    lmax2 = 0
+                    hi = lo
+                    # grow the slice while B_sub · L² stays in budget
+                    # (per-sequence attention is independent, so any
+                    # slicing is result-identical)
+                    while hi < len(toks_col):
+                        lmax2 = max(lmax2, len(toks_col[hi]) ** 2)
+                        if (hi - lo + 1) * lmax2 > score_budget and hi > lo:
+                            break
+                        hi += 1
+                    preds.extend(tag_slice(toks_col[lo:hi],
+                                           wq, wk, wv, wo))
+                    lo = hi
                 pdf = pdf.copy()
                 pdf[out_col] = preds
                 yield pdf[in_cols + [out_col]]

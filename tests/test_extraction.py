@@ -367,6 +367,12 @@ def test_attn_model_forward_seam_parity(spark):
     # could never do that) — 'Alpha' is tag 1 leading d0 but tag 2 in
     # the all-Alpha d4, verified against the eager twin above
     assert got["d0"][0] != got["d4"][0]
+    # quadratic-memory guard: a tiny score budget forces per-sequence
+    # sub-batching (every sequence alone) and must not change a tag
+    tiny = AttnTokenClassifier(score_budget=4)
+    got2 = {r["doc_key"]: list(r["tag_pred"])
+            for r in tiny.transform(df).collect()}
+    assert got2 == got
 
 
 def test_perceptron_trainer_learns_and_keeps_topk(spark):
