@@ -45,6 +45,36 @@ log = logging.getLogger(__name__)
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def dedup_delta(standing: DataFrame, delta: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Incremental EXACT dedup: which docs of a new ``delta`` batch are
+    genuinely new relative to the ``standing`` corpus?
+
+    The production ingest shape (one batch arrives, the corpus does
+    not get re-deduped): survivors are delta docs whose content sha is
+    (a) not present in standing and (b) first within delta (smallest
+    id per sha, deterministic).  Both sides reduce to sha keys before
+    the join — the shuffle moves 32-byte digests, never bodies, and
+    the standing side is ``distinct`` shas, so at 100 TB the anti-join
+    is digest-sized on both sides and Catalyst's runtime row-level
+    bloom filter applies to it like any selective shuffle join.
+    Output: (doc_id, sha) of the surviving new docs.
+    """
+    from pyspark.sql import Window
+
+    s_sha = (standing
+             .select(F.sha2(F.col(text_col), 256).alias("sha"))
+             .distinct())
+    d = delta.select(F.col(id_col).alias("doc_id"),
+                     F.sha2(F.col(text_col), 256).alias("sha"))
+    w = Window.partitionBy("sha").orderBy("doc_id")
+    first = (d.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1).drop("_rn"))
+    return (first.join(s_sha, "sha", "left_anti")
+            .select("doc_id", "sha"))
+
+
 def exact_dedup(docs: DataFrame, key_cols: list[str] | None = None,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical docs; keep the smallest id as the survivor.

@@ -344,3 +344,22 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     for p in range(6):
         assert e1[p] == p + 1000
         assert a1[p] == p + 1000  # same cell guaranteed for exact dups
+
+
+def test_dedup_delta_incremental_semantics(spark):
+    """dedup_delta: survivors are first-in-batch docs whose content is
+    absent from the standing corpus — in-batch dups collapse to the
+    smallest id, cross-corpus dups are suppressed entirely."""
+    from fastie_spark.operators.dedup import dedup_delta
+
+    standing = spark.createDataFrame(
+        [(0, "old one"), (1, "old two")], "doc_id: long, text: string")
+    delta = spark.createDataFrame(
+        [(10, "old one"),    # already in standing -> suppressed
+         (11, "new thing"),  # genuinely new
+         (12, "new thing"),  # in-batch dup -> 11 survives
+         (13, "other new")],
+        "doc_id: long, text: string")
+    got = sorted(r["doc_id"]
+                 for r in dedup_delta(standing, delta).collect())
+    assert got == [11, 13]
