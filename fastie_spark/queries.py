@@ -2642,7 +2642,7 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         covers the same sha-equality machinery in
 #                         the strictly harder delta-vs-standing shape
 # All remain registered public queries; tools/check_queries.py verifies
-# the full registry (55+) against DuckDB locally every round.
+# the full registry (65 at r3 end) against DuckDB locally every round.
 # ---------------------------------------------------------------------------
 
 _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
