@@ -101,16 +101,21 @@ def main() -> None:
     # best-of-2 per query: this host has documented multi-second stall
     # windows (a single Arrow task livelocks, or the whole box slows
     # ~2× for minutes — see BENCH.md); a single cold shot measures the
-    # window, not the engine.  Two runs, min taken, labeled in the
-    # output ("timing") so rounds compare like for like.
+    # window, not the engine.  Two runs; BOTH the first-run (cold) and
+    # min (best-of-2) series are reported (VERDICT r3 #3 / ADVICE r3:
+    # cross-round deltas must compare like for like — r1/r2 were
+    # single-shot, so "queries_cold" is the apples-to-apples series).
     per_query: dict[str, float] = {}
+    per_query_cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = None
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # materialize the full result
             dt = time.time() - t0
+            if i == 0:
+                per_query_cold[name] = round(dt, 3)
             best = dt if best is None or dt < best else best
             assert n >= 0
         per_query[name] = round(best, 3)
@@ -124,8 +129,10 @@ def main() -> None:
         "metric": "headline suite wall time",
         "value": total,
         "unit": "sec",
-        "timing": "best_of_2_per_query",
+        "timing": "best_of_2_per_query (queries_cold = first-run series)",
+        "value_cold": round(sum(per_query_cold.values()), 3),
         "queries": per_query,
+        "queries_cold": per_query_cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": round(fl["docs_per_sec"], 1),
         "docs_per_sec_e2e": round(fl["docs_per_sec_e2e"], 1),

@@ -69,11 +69,12 @@ class PairRelationModel:
                             F.col("obj").asc(), F.col("dist").asc())
                 .limit(cap + 1).collect())
         if len(rows) > cap:
-            n_total = agg.count()
+            # the limit(cap+1) proves the overflow without re-running
+            # the aggregation for an exact total (ADVICE r3)
             logging.getLogger(__name__).warning(
-                "PairRelationModel.fit: rule table %d exceeds "
+                "PairRelationModel.fit: rule table exceeds "
                 "max_rules=%d; keeping the %d most frequent rules "
-                "(%d dropped)", n_total, cap, cap, n_total - cap)
+                "(rest dropped)", cap, cap)
             rows = rows[:cap]
         return cls({(r["subj"], r["obj"], r["dist"]): r["label"] for r in rows})
 

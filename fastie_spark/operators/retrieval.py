@@ -45,7 +45,8 @@ def build_inverted_index(docs: DataFrame, text_col: str = "text",
 def search_tfidf(docs: DataFrame, query_terms: list[str], k: int = 10,
                  text_col: str = "text",
                  id_col: str = "doc_id",
-                 index: DataFrame | None = None) -> DataFrame:
+                 index: DataFrame | None = None,
+                 n_docs: int | None = None) -> DataFrame:
     """Top-k documents for a bag-of-terms query by integer TF-IDF.
 
     ``index`` defaults to :func:`build_inverted_index` over ``docs``
@@ -58,7 +59,13 @@ def search_tfidf(docs: DataFrame, query_terms: list[str], k: int = 10,
     """
     if index is None:
         index = build_inverted_index(docs, text_col, id_col)
-    n_docs = docs.select(F.col(id_col)).distinct().count()
+        if n_docs is None:
+            n_docs = docs.select(F.col(id_col)).distinct().count()
+    elif n_docs is None:
+        # a stored index may cover a different corpus than ``docs`` —
+        # score with the INDEX's own N (and skip the docs-side count
+        # job entirely) unless the caller supplies n_docs explicitly
+        n_docs = index.select("doc_id").distinct().count()
     hits = index.where(F.col("term").isin(list(query_terms)))
     dfreq = hits.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"))
@@ -72,7 +79,7 @@ def search_tfidf(docs: DataFrame, query_terms: list[str], k: int = 10,
     # _probe): partial top-k per doc-hash shard, final top-k over the
     # ≤ shards·k survivors — no single task ever ranks the full
     # candidate set of a common term
-    n_salts = docs.sparkSession.sparkContext.defaultParallelism
+    n_salts = index.sparkSession.sparkContext.defaultParallelism
     order = [F.col("score").desc(), F.col("doc_id").asc()]
     w1 = Window.partitionBy("_salt").orderBy(*order)
     w2 = Window.orderBy(*order)

@@ -431,9 +431,12 @@ def quantize_unit_expr(vec_col: str, levels: int = 127) -> str:
     float64 (the quantized column is what a 100 TB ANN index stores);
     the let-binding idiom keeps the norm evaluated once per row."""
     norm = f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v))"
-    return (f"element_at(transform(array({norm}), nrm -> "
-            f"transform({vec_col}, x -> cast(round(x / nrm * {levels}) "
-            f"as bigint))), 1)")
+    # nullif guards the all-zero embedding: x/0.0 would be NaN/Inf and
+    # the bigint cast would poison the codes — a zero vector instead
+    # maps to the all-zero code (dot = 0 with everything, deterministic)
+    return (f"element_at(transform(array(nullif({norm}, 0.0d)), nrm -> "
+            f"transform({vec_col}, x -> coalesce(cast(round(x / nrm * "
+            f"{levels}) as bigint), 0L))), 1)")
 
 
 def quantized_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,

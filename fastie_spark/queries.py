@@ -2555,10 +2555,12 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_quantized_topk", oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, v
+             nullif(sqrt(list_sum(list_transform(v, x -> x * x))), 0.0)
+               AS nrm, v
       FROM e),
 q AS (SELECT vec_id,
-             list_transform(v, x -> round(x / nrm * 127)::BIGINT) AS qv
+             list_transform(v, x -> coalesce(round(x / nrm * 127)::BIGINT,
+                                             0)) AS qv
       FROM n),
 p AS (SELECT vec_id AS probe_id, qv AS pq FROM q
       WHERE vec_id < {ANN_PROBES}),
