@@ -1,0 +1,271 @@
+"""PURE packed forward: masked attention OVER the levitated layout.
+
+The reference's headline inference optimization is not the packing
+itself but the forward that CONSUMES it: one encoder pass scores many
+span pairs through a block attention mask, then each pair is
+classified from its marker states (``/root/reference/fastie/tasks/re/
+pure/pure_model.py:334-372`` — encoder called with the packed
+``input_ids`` / ``position_ids`` / block ``attention_mask`` built at
+``pure_pipe.py:138-151``, marker hidden states gathered at
+``sub_idx``/``obj_idx`` = our ``subject_index``/``object_index``,
+concatenated and fed to the relation classifier).
+
+This module runs that forward over :func:`pure_pack.pack_pairs`
+output with the engine's integer hard-attention encoder (the
+``model_ner.AttnTokenClassifier`` machinery, re-shaped for packed
+sequences):
+
+* token state  ``x_i = emb(input_tokens[i]) + posemb(position_ids[i])``
+  — levitated markers take the POSITION EMBEDDING of the original
+  wordpiece they point at (pure_pipe.py:494-499), exactly the
+  reference's position-id trick;
+* Q/K/V projections from the broadcast ``wqh``/``wkh``/``wvh``
+  weight families (model_ner.frozen_weights_attn);
+* attention scores masked by the BLOCK MASK derived from
+  ``tokens_type`` (pure_pack.attention_mask_from_types — text visible
+  to all, each pair's markers only to text + themselves); softmax →
+  hard argmax (tie → smallest sequence position) so the layer is
+  bit-exact and the mask is TESTABLE: a mask leak flips a discrete
+  prediction;
+* ``h_i = clip(q_i + v_{j*}, 0, CLIP)``;
+* per pair: gather ``h`` at the SUBJ_START and OBJ_START marker
+  positions, concatenate, classify with the ``wrc`` weight family —
+  ``score_c = Wr[c, :H]·h_subj + Wr[c, H:]·h_obj``, argmax (tie →
+  smallest class id).
+
+The LEVITATION PROPERTY — a pair's prediction depends only on the
+text and its own 4 markers, never on which other pairs share the
+pack — holds exactly: marker states are slot-independent because
+(a) their input embedding uses the pointed-at position id, not the
+sequence slot, and (b) argmax ties order text positions before any
+marker and own-markers in a fixed relative order.  The pytest packs
+the same pair with different companions and asserts identical
+predictions; the DuckDB oracle (query ``pure_pack_forward``) replays
+the masked forward per pair without ever materializing packs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+from fastie_spark.extraction.model_ner import (
+    CLIP,
+    EMB_DIM,
+    HID_DIM,
+    _coef,
+    frozen_weights_attn,
+)
+
+#: relation classes scored per pair (ids 0..N_REL-1; the query maps
+#: gold strings separately — the forward itself is label-set-agnostic)
+N_REL = 3
+
+OUT_SCHEMA = (
+    "doc_key string, sent_id int, pack_id int, "
+    "s_start int, s_end int, o_start int, o_end int, "
+    "gold string, pred int"
+)
+
+
+def _embed_strings(strings, dim: int):
+    """(n, dim) int64 hashed embeddings for arbitrary token strings
+    (wordpieces, [CLS]/[SEP], marker tokens alike)."""
+    import numpy as np
+
+    return np.array(
+        [[_coef(f"e{d}#{s}") for d in range(dim)] for s in strings],
+        dtype=np.int64)
+
+
+def _embed_positions(max_pos: int, dim: int):
+    """(max_pos + 1, dim) int64 position embeddings
+    posemb(p)[d] = coef('p<d>#<p>')."""
+    import numpy as np
+
+    return np.array(
+        [[_coef(f"p{d}#{p}") for d in range(dim)]
+         for p in range(max_pos + 1)],
+        dtype=np.int64)
+
+
+def eager_pair_classify(input_tokens: list[str], position_ids: list[int],
+                        tokens_type: list[int],
+                        subject_index: list[list[int]],
+                        object_index: list[list[int]],
+                        dim: int = EMB_DIM, hid: int = HID_DIM,
+                        n_rel: int = N_REL,
+                        with_states: bool = False):
+    """Single-process eager twin of the packed forward (pure Python,
+    one position at a time) — the parity anchor for the batched path.
+    ``with_states`` additionally returns each pair's (h_subj, h_obj)
+    marker states so tests can observe mask effects below the class
+    argmax."""
+    L = len(input_tokens)
+    x = [[_coef(f"e{d}#{input_tokens[i]}")
+          + _coef(f"p{d}#{position_ids[i]}")
+          for d in range(dim)] for i in range(L)]
+    q = [[sum(_coef(f"wqh{h}d{d}") * x[i][d] for d in range(dim))
+          for h in range(hid)] for i in range(L)]
+    k = [[sum(_coef(f"wkh{h}d{d}") * x[i][d] for d in range(dim))
+          for h in range(hid)] for i in range(L)]
+    v = [[sum(_coef(f"wvh{h}d{d}") * x[i][d] for d in range(dim))
+          for h in range(hid)] for i in range(L)]
+
+    def hstate(i: int) -> list[int]:
+        cand = [j for j in range(L)
+                if tokens_type[j] <= 1 or tokens_type[i] == tokens_type[j]]
+        jstar = max(cand,
+                    key=lambda j: (sum(q[i][h] * k[j][h]
+                                       for h in range(hid)), -j))
+        return [min(max(q[i][h] + v[jstar][h], 0), CLIP)
+                for h in range(hid)]
+
+    preds, states = [], []
+    for si, oi in zip(subject_index, object_index):
+        if not si:
+            continue
+        hs, ho = hstate(si[0]), hstate(oi[0])
+        scores = [
+            sum(_coef(f"wrc{c}d{h}") * hs[h] for h in range(hid))
+            + sum(_coef(f"wrc{c}d{hid + h}") * ho[h] for h in range(hid))
+            for c in range(n_rel)
+        ]
+        preds.append(max(range(n_rel), key=lambda c: (scores[c], -c)))
+        states.append((hs, ho))
+    return (preds, states) if with_states else preds
+
+
+class PackedPairClassifier:
+    """Masked-attention pair scorer over the PURE packed layout.
+
+    ``transform`` takes :func:`pure_pack.pack_pairs` output and emits
+    one row per packed pair with its predicted relation class — the
+    whole pack's pairs are scored by ONE attention pass over the
+    shared text, which is the reference's ~10× amortization
+    (pure_model.py:334-372).  Runs as ``mapInPandas`` with padded
+    (B, L, L) score tensors and the block mask applied as a key-side
+    ``np.where`` — the same discipline as ``AttnTokenClassifier``,
+    plus the mask dimension.
+    """
+
+    def __init__(self, dim: int = EMB_DIM, hid: int = HID_DIM,
+                 n_rel: int = N_REL, score_budget: int = 1 << 24):
+        self.dim = dim
+        self.hid = hid
+        self.n_rel = n_rel
+        self.score_budget = score_budget
+        self.wq = frozen_weights_attn("wqh", hid, dim)
+        self.wk = frozen_weights_attn("wkh", hid, dim)
+        self.wv = frozen_weights_attn("wvh", hid, dim)
+        self.wr = frozen_weights_attn("wrc", n_rel, 2 * hid)
+
+    def transform(self, packed: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        spark = packed.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.wq, self.wk, self.wv, self.wr))
+        dim, hid, clip = self.dim, self.hid, CLIP
+        score_budget = self.score_budget
+        #: pad sentinel for tokens_type — must NOT satisfy ``type <= 1``
+        #: so a pad key can never enter any query's candidate set
+        pad_type = 1 << 30
+
+        def fwd_slice(rows, wq, wk, wv, wr, out):
+            # rows: list of (doc_key, sent_id, pack_id, toks, pids,
+            #                types, sidx, oidx, osubj, oobj, golds)
+            tok_vocab: dict[str, int] = {}
+            max_pos = 0
+            for r in rows:
+                for t in r[3]:
+                    if t not in tok_vocab:
+                        tok_vocab[t] = len(tok_vocab)
+                if len(r[4]):
+                    max_pos = max(max_pos, int(max(r[4])))
+            emb_tok = _embed_strings(list(tok_vocab), dim)
+            emb_pos = _embed_positions(max_pos, dim)
+            lens = np.array([len(r[3]) for r in rows], dtype=np.int64)
+            B, lmax = len(rows), int(lens.max())
+            tidx = np.zeros((B, lmax), dtype=np.int64)
+            pidx = np.zeros((B, lmax), dtype=np.int64)
+            typ = np.full((B, lmax), pad_type, dtype=np.int64)
+            for i, r in enumerate(rows):
+                n = len(r[3])
+                tidx[i, :n] = [tok_vocab[t] for t in r[3]]
+                pidx[i, :n] = r[4]
+                typ[i, :n] = r[5]
+            x = emb_tok[tidx] + emb_pos[pidx]          # (B, L, dim)
+            q = x @ wq.T                               # (B, L, H)
+            k = x @ wk.T
+            v = x @ wv.T
+            s = q @ k.transpose(0, 2, 1)               # (B, L, L)
+            # block mask (attention_mask_from_types): key visible iff
+            # text (type <= 1) or same block; pad keys excluded by the
+            # pad_type sentinel on both conditions
+            allowed = (typ[:, None, :] <= 1) | \
+                (typ[:, :, None] == typ[:, None, :])
+            s = np.where(allowed, s, np.int64(-(1 << 62)))
+            jstar = np.argmax(s, axis=2)               # (B, L)
+            ctx = np.take_along_axis(v, jstar[:, :, None], axis=1)
+            hmat = np.clip(q + ctx, 0, clip)           # (B, L, H)
+            # flatten (row, pair) gathers across the slice
+            ri, sp, op = [], [], []
+            for i, r in enumerate(rows):
+                for si, oi in zip(r[6], r[7]):
+                    if not len(si):
+                        continue
+                    ri.append(i)
+                    sp.append(int(si[0]))
+                    op.append(int(oi[0]))
+            if ri:
+                ri_a = np.array(ri)
+                hs = hmat[ri_a, np.array(sp)]          # (P, H)
+                ho = hmat[ri_a, np.array(op)]
+                scores = hs @ wr[:, :hid].T + ho @ wr[:, hid:].T
+                preds = np.argmax(scores, axis=1)
+            p = 0
+            for i, r in enumerate(rows):
+                for pi, (osub, oobj) in enumerate(zip(r[8], r[9])):
+                    if not len(r[6][pi]):
+                        continue
+                    out["doc_key"].append(r[0])
+                    out["sent_id"].append(int(r[1]))
+                    out["pack_id"].append(int(r[2]))
+                    out["s_start"].append(int(osub[0]))
+                    out["s_end"].append(int(osub[1]))
+                    out["o_start"].append(int(oobj[0]))
+                    out["o_end"].append(int(oobj[1]))
+                    out["gold"].append(r[10][pi])
+                    out["pred"].append(int(preds[p]))
+                    p += 1
+
+        def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wq, wk, wv, wr = bc.value
+            cols = ["doc_key", "sent_id", "pack_id", "input_tokens",
+                    "position_ids", "tokens_type", "subject_index",
+                    "object_index", "origin_subject_index",
+                    "origin_object_index", "labels"]
+            for pdf in batches:
+                rows = list(zip(*(pdf[c] for c in cols)))
+                out = {k: [] for k in ("doc_key", "sent_id", "pack_id",
+                                       "s_start", "s_end", "o_start",
+                                       "o_end", "gold", "pred")}
+                lo = 0
+                while lo < len(rows):
+                    lmax2, hi = 0, lo
+                    # grow while B_sub·L² stays under the score budget
+                    while hi < len(rows):
+                        lmax2 = max(lmax2, len(rows[hi][3]) ** 2)
+                        if (hi - lo + 1) * lmax2 > score_budget and hi > lo:
+                            break
+                        hi += 1
+                    fwd_slice(rows[lo:hi], wq, wk, wv, wr, out)
+                    lo = hi
+                # empty batches must yield nothing (see pure_pack.pack)
+                if out["doc_key"]:
+                    yield pd.DataFrame(out)
+
+        return packed.mapInPandas(forward, schema=OUT_SCHEMA)

@@ -152,7 +152,11 @@ def pack_pairs(sentences: DataFrame, max_sequence_len: int = 512,
                         ]
                         tokens_type += [tokens_type[-1] + 1] * 4
                 emit()
-            yield pd.DataFrame(out)
+            # an all-dropped batch must yield NOTHING: pd.DataFrame of
+            # empty lists infers float64 columns, which Arrow refuses
+            # to cast to the array<string> output schema
+            if out["doc_key"]:
+                yield pd.DataFrame(out)
 
     cols = [c for c in ("doc_key", "sent_id", "tokens", mentions_col,
                         relations_col) if c in sentences.columns]

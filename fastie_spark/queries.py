@@ -2159,6 +2159,10 @@ def q_column_ner_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PACK_MAX = 80  # packed-sequence budget: small enough that real packs split
+PURE_N_REL = 3  # = pure_forward.N_REL (relation classes per pair)
+PURE_FWD_DOCS = 100  # doc cap for the packed-forward contract query
+                     # (attention cost is quadratic in sequence length;
+                     #  the cap keeps the sf0.01 oracle tractable)
 
 @query("pure_pack", oracle=f"""
 WITH {TOKS_CTE},
@@ -2589,6 +2593,200 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = vecs.where(F.col("vec_id") < ANN_PROBES)
     return quantized_topk(vecs, probes, k=ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# F3/F4/F5 — PURE packed FORWARD: masked attention over the levitated
+# layout (pure_model.py:334-372 consuming the pure_pipe.py:138-151 mask)
+# ---------------------------------------------------------------------------
+
+@query("pure_pack_forward", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "ments", chunked=True)},
+tk AS (
+  SELECT doc_id, (pos // {SENT_LEN}) AS sent_id, (pos % {SENT_LEN}) AS lpos,
+         token, greatest((length(token) + {WP_LEN - 1}) // {WP_LEN}, 1)
+           AS pieces
+  FROM toks WHERE doc_id < {PURE_FWD_DOCS}),
+chunk AS (
+  SELECT doc_id, sent_id, (2 + sum(pieces))::BIGINT AS origin_len
+  FROM tk GROUP BY doc_id, sent_id),
+keep AS (SELECT * FROM chunk
+         WHERE ({PACK_MAX} - origin_len) // 4 >= 1),
+pref AS (
+  SELECT doc_id, sent_id, lpos, token, pieces,
+         (sum(pieces) OVER (PARTITION BY doc_id, sent_id ORDER BY lpos
+                            ROWS UNBOUNDED PRECEDING) - pieces) AS pfx
+  FROM tk),
+pcs AS (
+  SELECT doc_id, sent_id, lpos, pfx, pieces, token,
+         unnest(generate_series(1, pieces)) AS p
+  FROM pref),
+tpos AS (
+  SELECT t.doc_id, t.sent_id, t.j, t.piece
+  FROM (
+    SELECT doc_id, sent_id, (pfx + p)::BIGINT AS j,
+           CASE WHEN p = 1 THEN substr(token, 1, {WP_LEN})
+                ELSE '##' || substr(token, (p - 1) * {WP_LEN} + 1,
+                                    {WP_LEN}) END AS piece
+    FROM pcs
+    UNION ALL
+    SELECT doc_id, sent_id, 0, '[CLS]' FROM keep
+    UNION ALL
+    SELECT doc_id, sent_id, origin_len - 1, '[SEP]' FROM keep
+  ) t JOIN keep k ON k.doc_id = t.doc_id AND k.sent_id = t.sent_id),
+xt AS (
+  SELECT doc_id, sent_id, j, d.d AS d,
+         (({duck_hash64_sql("'e' || d.d || '#' || piece")} % 2001) - 1000)
+         + (({duck_hash64_sql("'p' || d.d || '#' || j")} % 2001) - 1000)
+             AS x
+  FROM tpos, generate_series(0, {MODEL_DIM - 1}) d(d)),
+kt AS (
+  SELECT doc_id, sent_id, j, h.h AS h,
+         sum((({duck_hash64_sql("'wkh' || h.h || 'd' || d")} % 2001)
+              - 1000) * x) AS val
+  FROM xt, generate_series(0, {MODEL_HID - 1}) h(h)
+  GROUP BY doc_id, sent_id, j, h.h),
+vt AS (
+  SELECT doc_id, sent_id, j, h.h AS h,
+         sum((({duck_hash64_sql("'wvh' || h.h || 'd' || d")} % 2001)
+              - 1000) * x) AS val
+  FROM xt, generate_series(0, {MODEL_HID - 1}) h(h)
+  GROUP BY doc_id, sent_id, j, h.h),
+pairs AS (
+  SELECT a.doc_id, a.sent_id,
+         a.doc_id || '|' || a.sent_id || '|' || a.start || '|' || a."end"
+           || '|' || b.start || '|' || b."end" AS pk,
+         a.start AS s_start, a."end" AS s_end, a.label AS s_label,
+         b.start AS o_start, b."end" AS o_end, b.label AS o_label,
+         CASE WHEN b.start >= a."end"
+               AND b.start - a."end" <= {PAIR_GAP}
+              THEN 'precedes' ELSE 'None' END AS gold
+  FROM ments a
+  JOIN ments b ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+   AND (a.start, a."end", a.label) != (b.start, b."end", b.label)
+  JOIN keep k ON k.doc_id = a.doc_id AND k.sent_id = a.sent_id),
+mk AS (
+  SELECT p.doc_id, p.sent_id, p.pk, m.m,
+         CASE m.m WHEN 0 THEN '<SUBJ_START=' || p.s_label || '>'
+                  WHEN 1 THEN '<SUBJ_END=' || p.s_label || '>'
+                  WHEN 2 THEN '<OBJ_START=' || p.o_label || '>'
+                  ELSE '<OBJ_END=' || p.o_label || '>' END AS mtok,
+         CASE m.m WHEN 0 THEN 1 + ps.pfx
+                  WHEN 1 THEN pe.pfx + pe.pieces
+                  WHEN 2 THEN 1 + po.pfx
+                  ELSE pf.pfx + pf.pieces END AS pid
+  FROM pairs p
+  JOIN pref ps ON ps.doc_id = p.doc_id AND ps.sent_id = p.sent_id
+              AND ps.lpos = p.s_start
+  JOIN pref pe ON pe.doc_id = p.doc_id AND pe.sent_id = p.sent_id
+              AND pe.lpos = p.s_end - 1
+  JOIN pref po ON po.doc_id = p.doc_id AND po.sent_id = p.sent_id
+              AND po.lpos = p.o_start
+  JOIN pref pf ON pf.doc_id = p.doc_id AND pf.sent_id = p.sent_id
+              AND pf.lpos = p.o_end - 1,
+  generate_series(0, 3) m(m)),
+xm AS (
+  SELECT doc_id, sent_id, pk, m, d.d AS d,
+         (({duck_hash64_sql("'e' || d.d || '#' || mtok")} % 2001) - 1000)
+         + (({duck_hash64_sql("'p' || d.d || '#' || pid")} % 2001) - 1000)
+             AS x
+  FROM mk, generate_series(0, {MODEL_DIM - 1}) d(d)),
+qm AS (
+  SELECT doc_id, sent_id, pk, m, h.h AS h,
+         sum((({duck_hash64_sql("'wqh' || h.h || 'd' || d")} % 2001)
+              - 1000) * x) AS val
+  FROM xm, generate_series(0, {MODEL_HID - 1}) h(h)
+  WHERE m IN (0, 2)
+  GROUP BY doc_id, sent_id, pk, m, h.h),
+km AS (
+  SELECT pk, m, h.h AS h,
+         sum((({duck_hash64_sql("'wkh' || h.h || 'd' || d")} % 2001)
+              - 1000) * x) AS val
+  FROM xm, generate_series(0, {MODEL_HID - 1}) h(h)
+  GROUP BY pk, m, h.h),
+vm AS (
+  SELECT pk, m, h.h AS h,
+         sum((({duck_hash64_sql("'wvh' || h.h || 'd' || d")} % 2001)
+              - 1000) * x) AS val
+  FROM xm, generate_series(0, {MODEL_HID - 1}) h(h)
+  GROUP BY pk, m, h.h),
+att AS (
+  SELECT q.pk, q.m AS qm, 0 AS ismk, t.j AS j, sum(q.val * t.val) AS s
+  FROM qm q JOIN kt t ON t.doc_id = q.doc_id AND t.sent_id = q.sent_id
+                     AND t.h = q.h
+  GROUP BY q.pk, q.m, t.j
+  UNION ALL
+  SELECT q.pk, q.m AS qm, 1 AS ismk, k.m AS j, sum(q.val * k.val) AS s
+  FROM qm q JOIN km k ON k.pk = q.pk AND k.h = q.h
+  GROUP BY q.pk, q.m, k.m),
+js AS (
+  SELECT pk, qm, ismk, j FROM (
+    SELECT pk, qm, ismk, j,
+           row_number() OVER (PARTITION BY pk, qm
+                              ORDER BY s DESC, ismk, j) AS rn
+    FROM att) WHERE rn = 1),
+hv AS (
+  SELECT q.pk, q.m AS qm, q.h,
+         least(greatest(q.val + v.val, 0), {MODEL_CLIP}) AS hval
+  FROM qm q
+  JOIN js ON js.pk = q.pk AND js.qm = q.m AND js.ismk = 0
+  JOIN vt v ON v.doc_id = q.doc_id AND v.sent_id = q.sent_id
+           AND v.j = js.j AND v.h = q.h
+  UNION ALL
+  SELECT q.pk, q.m AS qm, q.h,
+         least(greatest(q.val + v.val, 0), {MODEL_CLIP}) AS hval
+  FROM qm q
+  JOIN js ON js.pk = q.pk AND js.qm = q.m AND js.ismk = 1
+  JOIN vm v ON v.pk = q.pk AND v.m = js.j AND v.h = q.h),
+sc AS (
+  SELECT pk, c.c AS c,
+         sum((({duck_hash64_sql(
+                  "'wrc' || c.c || 'd' || "
+                  "(CASE WHEN qm = 0 THEN h ELSE h + " +
+                  str(MODEL_HID) + " END)")} % 2001) - 1000)
+             * hval) AS score
+  FROM hv, generate_series(0, {PURE_N_REL - 1}) c(c)
+  GROUP BY pk, c.c),
+pred AS (
+  SELECT pk, c AS pred FROM (
+    SELECT pk, c, row_number() OVER (PARTITION BY pk
+                                     ORDER BY score DESC, c) AS rn
+    FROM sc) WHERE rn = 1)
+SELECT p.doc_id, p.sent_id::BIGINT AS sent_id,
+       p.s_start::BIGINT AS s_start, p.s_end::BIGINT AS s_end,
+       p.o_start::BIGINT AS o_start, p.o_end::BIGINT AS o_end,
+       p.gold AS gold, r.pred::BIGINT AS pred
+FROM pairs p JOIN pred r ON r.pk = p.pk
+""")
+def q_pure_pack_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE packed forward (pure_model.py:334-372): ONE masked
+    hard-attention pass per pack scores every levitated pair — marker
+    states gathered at subject_index/object_index, concatenated,
+    argmax-classified.  The block mask (pure_pipe.py:138-151) binds:
+    the oracle replays the forward PER PAIR (text + own 4 markers
+    only) with no pack structure at all, so any leak of one pair's
+    markers into another's attention, any marker-position misgather,
+    or any mask/pad bug breaks the hash match.  The levitation
+    property (a pair's prediction is invariant to its pack
+    companions) is additionally pinned by a pack-size sweep pytest."""
+    from fastie_spark.extraction.pure_forward import PackedPairClassifier
+    from fastie_spark.extraction.pure_pack import pack_pairs
+    ann = _annotated_chunks(spark, sf_dir).where(
+        F.col("doc_key").cast("bigint") < PURE_FWD_DOCS)
+    packed = pack_pairs(ann, max_sequence_len=PACK_MAX, piece_len=WP_LEN,
+                        mentions_col="entity_mentions")
+    out = PackedPairClassifier().transform(packed)
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.col("s_start").cast("bigint").alias("s_start"),
+        F.col("s_end").cast("bigint").alias("s_end"),
+        F.col("o_start").cast("bigint").alias("o_start"),
+        F.col("o_end").cast("bigint").alias("o_end"),
+        "gold",
+        F.col("pred").cast("bigint").alias("pred"),
+    )
 
 
 # ---------------------------------------------------------------------------

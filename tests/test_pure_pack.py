@@ -1,5 +1,10 @@
-"""Golden test for the PURE approx packing (pure_pipe.py:307-537)."""
+"""Golden tests for the PURE approx packing (pure_pipe.py:307-537)
+and the packed FORWARD that consumes it (pure_model.py:334-372)."""
 
+from fastie_spark.extraction.pure_forward import (
+    PackedPairClassifier,
+    eager_pair_classify,
+)
 from fastie_spark.extraction.pure_pack import (
     attention_mask_from_types,
     pack_pairs,
@@ -51,6 +56,99 @@ def test_block_attention_mask():
     assert m[0] == [1, 1, 0, 0, 0, 0]
     assert m[2] == [1, 1, 1, 1, 0, 0]
     assert m[4] == [1, 1, 0, 0, 1, 1]
+
+
+def _multi_pair_df(spark, max_len):
+    """One sentence, 3 mentions -> 6 ordered pairs; max_len controls
+    how many pairs share a pack."""
+    rows = [("d", 0,
+             ["Alpha", "met", "Beta", "near", "Gamma", "yesterday"],
+             [(0, 1, "PER"), (2, 3, "PER"), (4, 5, "LOC")],
+             [(0, 1, 2, 3, "MET"), (0, 1, 4, 5, "AT")])]
+    df = spark.createDataFrame(
+        rows, "doc_key string, sent_id int, tokens array<string>, "
+        "ent_pred array<struct<start:int,end:int,label:string>>, "
+        "relation_mentions array<struct<s_start:int,s_end:int,"
+        "o_start:int,o_end:int,label:string>>")
+    return pack_pairs(df, max_sequence_len=max_len)
+
+
+def _preds_by_pair(packed):
+    out = PackedPairClassifier().transform(packed).collect()
+    return {(r["s_start"], r["s_end"], r["o_start"], r["o_end"]): r["pred"]
+            for r in out}
+
+
+def test_levitation_property(spark):
+    """The reference's block mask guarantee (pure_pipe.py:138-151): a
+    pair's prediction depends only on the text and its OWN 4 markers.
+    Sweep the pack budget so the same 6 pairs ride in 1 pack, 2 packs,
+    and 6 singleton packs — predictions must be identical."""
+    together = _preds_by_pair(_multi_pair_df(spark, max_len=512))
+    assert len(together) == 6
+    # budget forces splits: bare text = [CLS] + 10 pieces + [SEP] = 12
+    halves = _preds_by_pair(_multi_pair_df(spark, max_len=12 + 8))
+    singles = _preds_by_pair(_multi_pair_df(spark, max_len=12 + 4))
+    assert len(singles) == 6
+    assert together == halves == singles
+
+
+def test_packed_forward_eager_parity(spark):
+    """Batched (B,L,L) masked forward == position-at-a-time eager twin
+    on every pack, including a padded mixed-length batch."""
+    packs = _multi_pair_df(spark, max_len=512).collect() + \
+        _multi_pair_df(spark, max_len=12 + 4).collect()
+    golds, want = [], []
+    for p in packs:
+        want += eager_pair_classify(
+            list(p["input_tokens"]), list(p["position_ids"]),
+            list(p["tokens_type"]),
+            [list(x) for x in p["subject_index"]],
+            [list(x) for x in p["object_index"]])
+        golds += list(p["labels"])
+    got = PackedPairClassifier().transform(
+        _multi_pair_df(spark, max_len=512).unionAll(
+            _multi_pair_df(spark, max_len=12 + 4)).coalesce(1))
+    rows = got.collect()
+    assert [r["pred"] for r in rows] == want
+    assert [r["gold"] for r in rows] == golds
+
+
+def test_block_mask_binds():
+    """Negative control: scoring the packed sequence WITHOUT the block
+    structure (all markers in one block, so every pair sees every other
+    pair's markers) changes at least one pair's marker h-state — i.e.
+    cross-pair attention really happens when unmasked, so the
+    levitation test above is not vacuous."""
+    from fastie_spark.extraction.pure_pack import _split_pieces
+
+    toks = ["[CLS]"]
+    for t in ["Alpha", "met", "Beta", "near", "Gamma", "yesterday"]:
+        toks += _split_pieces(t)
+    toks.append("[SEP]")
+    L = len(toks)
+    sidx, oidx, mtoks, mpids, mtypes = [], [], [], [], []
+    pairs = [((1, 2), (5, 5), "PER", "PER"),
+             ((5, 5), (1, 2), "PER", "PER"),
+             ((1, 2), (7, 8), "PER", "LOC"),
+             ((7, 8), (1, 2), "LOC", "PER")]
+    for pi, ((ss, se), (os_, oe), sl, ol) in enumerate(pairs):
+        base = L + 4 * pi
+        sidx.append([base, base + 1])
+        oidx.append([base + 2, base + 3])
+        mtoks += [f"<SUBJ_START={sl}>", f"<SUBJ_END={sl}>",
+                  f"<OBJ_START={ol}>", f"<OBJ_END={ol}>"]
+        mpids += [ss, se, os_, oe]
+        mtypes += [pi + 2] * 4
+    tokens = toks + mtoks
+    pids = list(range(L)) + mpids
+    m_preds, m_states = eager_pair_classify(
+        tokens, pids, [1] * L + mtypes, sidx, oidx, with_states=True)
+    u_preds, u_states = eager_pair_classify(
+        tokens, pids, [1] * L + [2] * len(mtypes), sidx, oidx,
+        with_states=True)
+    assert len(m_preds) == len(u_preds) == 4
+    assert m_states != u_states
 
 
 def test_pack_splitting(spark):
