@@ -10,10 +10,16 @@ DataFrame joins, no GraphFrames.  Each iteration does
 Neighbor-min alone converges in O(diameter) rounds; the jump step
 compresses chains so convergence is O(log n) like the large-star /
 small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond" — see PAPERS.md).  Every iteration is
-``localCheckpoint``-ed: truncates the lineage (else the plan doubles
-per round) and makes any round a resume point — at cluster scale the
-checkpoint would be an Iceberg snapshot (see plans/checkpoint.py).
+MapReduce and Beyond" — see PAPERS.md).  Every iteration truncates
+its lineage (else the plan doubles per round): by default with
+``localCheckpoint`` (fast, executor-memory resident — fine on a
+single box), or, when ``checkpoint_dir`` is given, with a RELIABLE
+parquet snapshot per round.  The reliable form is what a 1000-executor
+run needs — ``localCheckpoint`` blocks die with their executor and
+have no lineage to recompute, killing the job mid-loop — and it makes
+every round a durable resume point: ``resume=True`` re-reads the
+latest round snapshot (and the materialized edge list) and continues,
+without re-running the possibly-expensive upstream edge computation.
 
 Convergence test is an exact per-node comparison (count of changed
 rows), not a sum heuristic.
@@ -24,14 +30,71 @@ node / edge tables, written partitioned by (repo, lang) per north_rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class _Snapshots:
+    """Lineage truncation for iterative loops: ``localCheckpoint`` when
+    no directory is given (single-box fast path), reliable parquet
+    snapshots under ``root`` otherwise (cluster-durable: survives
+    executor loss, resumable).  Uses the Hadoop FileSystem API so the
+    same code serves ``file://``, HDFS, and object stores."""
+
+    def __init__(self, spark: SparkSession, root: str | None):
+        self.spark = spark
+        self.root = root.rstrip("/") if root else None
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        return path.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()), jvm
+
+    def save(self, df: DataFrame, name: str) -> DataFrame:
+        if self.root is None:
+            return df.localCheckpoint()
+        path = f"{self.root}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def load(self, name: str) -> DataFrame | None:
+        """The snapshot, iff it committed (``_SUCCESS`` present) —
+        a kill mid-write leaves no marker and reads as absent."""
+        if self.root is None:
+            return None
+        fs, jvm = self._fs()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{self.root}/{name}/_SUCCESS")
+        if not fs.exists(marker):
+            return None
+        return self.spark.read.parquet(f"{self.root}/{name}")
+
+    def latest_round(self, prefix: str) -> int | None:
+        """Highest committed ``<prefix>_NNNN`` round number, if any."""
+        if self.root is None:
+            return None
+        fs, jvm = self._fs()
+        base = jvm.org.apache.hadoop.fs.Path(self.root)
+        if not fs.exists(base):
+            return None
+        best = None
+        for st in fs.listStatus(base):
+            n = st.getPath().getName()
+            if n.startswith(prefix + "_") and n[len(prefix) + 1:].isdigit():
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                        st.getPath(), "_SUCCESS")):
+                    r = int(n[len(prefix) + 1:])
+                    best = r if best is None else max(best, r)
+        return best
 
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25,
                          n_partitions: int | None = None,
-                         iters_per_check: int = 2) -> DataFrame:
+                         iters_per_check: int = 2,
+                         checkpoint_dir: str | None = None,
+                         resume: bool = False) -> DataFrame:
     """Edge list → (node, component); component = min node id reachable.
 
     Nodes are whatever appears in the edge list; isolated nodes should be
@@ -49,30 +112,46 @@ def connected_components(edges: DataFrame, src: str = "src",
     2-iteration batch still ⟺ fixpoint.  ``n_partitions`` sizes the
     loop's shuffles — at cluster scale set it ~2× cores; the working
     set (node, comp) is two longs per node regardless of input width.
+
+    ``checkpoint_dir`` switches every materialization to reliable
+    parquet snapshots (``sym``, ``round_NNNN``) — the cluster-durable
+    form; ``resume=True`` then restarts from the latest committed round
+    (monotone propagation converges to the same fixpoint from any
+    round's frontier), re-reading the edge snapshot so the ``edges``
+    argument is never recomputed.
     """
     spark = edges.sparkSession
     if n_partitions is None:
         n_partitions = max(
             8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    snaps = _Snapshots(spark, checkpoint_dir)
 
-    # materialize the (possibly expensive) edge computation exactly once
-    # — the symmetric union below consumes it twice
-    edges = edges.localCheckpoint()
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .repartition(n_partitions, "v")
-        # materialize once — the edge list may be the product of an
-        # expensive similarity join and is re-joined every iteration
-        .localCheckpoint()
-    )
-    cc = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
-    )
+    sym = snaps.load("sym") if resume else None
+    if sym is None:
+        # materialize the (possibly expensive) edge computation exactly
+        # once — the symmetric union below consumes it twice
+        edges = edges.localCheckpoint()
+        sym = snaps.save(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"),
+                                F.col(src).alias("v")))
+            .distinct()
+            .repartition(n_partitions, "v"),
+            # materialized once — the edge list may be the product of an
+            # expensive similarity join and is re-joined every iteration
+            "sym")
+    start = 0
+    done = snaps.latest_round("round") if resume else None
+    if done is not None:
+        cc = snaps.load(f"round_{done:04d}")
+        start = done + 1
+    else:
+        cc = snaps.save(
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node")),
+            "round_0000" if checkpoint_dir else "init")
+        start = 1
     prev_sum = None
 
     def propagate(cur: DataFrame) -> DataFrame:
@@ -97,11 +176,12 @@ def connected_components(edges: DataFrame, src: str = "src",
             )
         )
 
-    for _ in range(max_iter):
+    for rnd in range(start, start + max_iter):
         new = cc
         for _ in range(iters_per_check):
             new = propagate(new)
-        new = new.repartition(n_partitions, "node").localCheckpoint()
+        new = snaps.save(new.repartition(n_partitions, "node"),
+                         f"round_{rnd:04d}")
         cur_sum = new.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         cc = new
@@ -114,7 +194,10 @@ def connected_components(edges: DataFrame, src: str = "src",
 def pagerank_integer(edges: DataFrame, n_iters: int = 3,
                      scale: int = 1_000_000, damp_num: int = 85,
                      src: str = "src", dst: str = "dst",
-                     n_partitions: int | None = None) -> DataFrame:
+                     n_partitions: int | None = None,
+                     checkpoint_dir: str | None = None,
+                     resume: bool = False,
+                     checkpoint_every: int = 8) -> DataFrame:
     """Deterministic integer PageRank over an edge list — KG entity
     salience via the same iterative-join machinery as
     :func:`connected_components` (GraphFrames-style rounds, no library).
@@ -140,29 +223,43 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
     whole recurrence executes as a single job; lineage is truncated
     only every ``checkpoint_every`` rounds (deep fixed plans cost
     optimizer time, unbounded ones are the CC loop's problem, not
-    this one's).  Output: (node, rank).
+    this one's).  As in :func:`connected_components`,
+    ``checkpoint_dir`` makes those truncations reliable parquet
+    snapshots (``e_od``, ``nodes``, ``ranks_NNNN``) and ``resume=True``
+    restarts from the latest committed rank vector.  Output:
+    (node, rank).
     """
     spark = edges.sparkSession
     if n_partitions is None:
         n_partitions = max(
             8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
     base = (100 - damp_num) * scale // 100
-    checkpoint_every = 8
+    snaps = _Snapshots(spark, checkpoint_dir)
 
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .distinct()
-         .repartition(n_partitions, "u")
-         # edge list + outdegree materialized ONCE (the expensive
-         # upstream — e.g. a triple pipeline — must not re-run per round)
-         .localCheckpoint())
-    outd = e.groupBy("u").agg(F.count("*").alias("od"))
-    e_od = e.join(outd, "u").localCheckpoint()
-    nodes = (e.select(F.col("u").alias("node"))
-             .union(e.select("v")).distinct()
-             .repartition(n_partitions, "node")
+    e_od = snaps.load("e_od") if resume else None
+    nodes = snaps.load("nodes") if resume else None
+    if e_od is None or nodes is None:
+        e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .distinct()
+             .repartition(n_partitions, "u")
+             # edge list + outdegree materialized ONCE (the expensive
+             # upstream — e.g. a triple pipeline — must not re-run per
+             # round)
              .localCheckpoint())
-    ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
-    for i in range(n_iters):
+        outd = e.groupBy("u").agg(F.count("*").alias("od"))
+        e_od = snaps.save(e.join(outd, "u"), "e_od")
+        nodes = snaps.save(
+            e.select(F.col("u").alias("node"))
+            .union(e.select("v")).distinct()
+            .repartition(n_partitions, "node"), "nodes")
+    start = 0
+    done = snaps.latest_round("ranks") if resume else None
+    if done is not None and done < n_iters:
+        ranks = snaps.load(f"ranks_{done:04d}")
+        start = done
+    else:
+        ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
+    for i in range(start, n_iters):
         contrib = (
             e_od.join(ranks.withColumnRenamed("node", "u"), "u")
             .select("v", F.expr("r div od").alias("c"))
@@ -179,7 +276,9 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
-            ranks = ranks.localCheckpoint()
+            # snapshot name carries the completed-iteration count so a
+            # resume knows how many rounds remain
+            ranks = snaps.save(ranks, f"ranks_{i + 1:04d}")
     return ranks.select("node", F.col("r").alias("rank"))
 
 

@@ -175,3 +175,65 @@ def test_full_pipeline_kill_resume_hash_equal(spark, tmp_path):
     man = PipelineRunner(spark, iroot).manifest()
     n_sents = {r["stage"]: r["n_rows"] for r in man.collect()}
     assert n_sents["ingest"] < N_DOCS  # most docs deduped away
+
+
+def test_cc_mid_loop_kill_resume(spark, tmp_path):
+    """r3 VERDICT #2: a 1000-executor CC run dies mid-loop if lineage
+    was cut with executor-resident localCheckpoints.  With a
+    checkpoint_dir every round is a durable parquet snapshot: kill the
+    loop after round 1 (max_iter=1), then resume WITHOUT the upstream
+    edge computation at all (a bogus empty edge frame) — the resumed
+    run must read sym + the latest round snapshot and converge to the
+    same components as an uninterrupted run."""
+    import os
+
+    from fastie_spark.graph import connected_components
+
+    # two chains; long enough that one checkpoint round (2 propagation
+    # iterations) cannot finish
+    chain = [(i, i + 1) for i in range(0, 30)] + \
+            [(i, i + 1) for i in range(100, 110)]
+    edges = spark.createDataFrame(chain, "src bigint, dst bigint")
+    want = sorted(
+        (r["node"], r["comp"])
+        for r in connected_components(edges, iters_per_check=1).collect())
+
+    root = str(tmp_path / "cc_rounds")
+    # "killed" run: one checkpointed round only, frontier not converged
+    partial = connected_components(edges, max_iter=1, iters_per_check=1,
+                                   checkpoint_dir=root)
+    assert sorted((r["node"], r["comp"]) for r in partial.collect()) != want
+    rounds = sorted(d for d in os.listdir(root) if d.startswith("round_"))
+    assert rounds == ["round_0000", "round_0001"]
+
+    # resume: upstream edges are GONE (empty frame) — everything must
+    # come from the durable snapshots
+    bogus = spark.createDataFrame([], "src bigint, dst bigint")
+    got = connected_components(bogus, iters_per_check=1,
+                               checkpoint_dir=root, resume=True)
+    assert sorted((r["node"], r["comp"]) for r in got.collect()) == want
+    assert len([d for d in os.listdir(root)
+                if d.startswith("round_")]) > 2
+
+
+def test_pagerank_checkpoint_resume(spark, tmp_path):
+    """Same durability contract for the PageRank loop: snapshot every
+    ``checkpoint_every`` rounds, resume from the last committed rank
+    vector with no upstream edges, bit-equal to the uninterrupted run."""
+    from fastie_spark.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3)],
+        "src bigint, dst bigint")
+    want = sorted(
+        (r["node"], r["rank"])
+        for r in pagerank_integer(edges, n_iters=4).collect())
+
+    root = str(tmp_path / "pr_rounds")
+    # "killed" run: snapshots e_od/nodes/ranks_0002, dies before round 4
+    pagerank_integer(edges, n_iters=3, checkpoint_dir=root,
+                     checkpoint_every=2).collect()
+    bogus = spark.createDataFrame([], "src bigint, dst bigint")
+    got = pagerank_integer(bogus, n_iters=4, checkpoint_dir=root,
+                           resume=True, checkpoint_every=2)
+    assert sorted((r["node"], r["rank"]) for r in got.collect()) == want
