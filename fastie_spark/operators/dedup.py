@@ -119,6 +119,111 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# substring-level exact dedup (cross-document repeated runs)
+# ---------------------------------------------------------------------------
+
+def repeated_substring_spans(docs: DataFrame, anchor: int = 4,
+                             min_len: int = 16,
+                             max_df: int | None = None,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated token runs — the "exact substring dedup"
+    of training-data practice (license blocks, boilerplate headers;
+    Lee et al., *Deduplicating Training Data Makes Language Models
+    Better* — the suffix-array ExactSubstr operator, re-expressed as
+    joins).  Output: (doc_id, t_start, t_end, n_tokens) — maximal
+    merged 1-based token spans [t_start, t_end) of length ≥ ``min_len``
+    that appear verbatim in at least one OTHER document.
+
+    The relational form of suffix-array matching:
+
+    1. **anchor** — every position p emits the hash of its ``anchor``-
+       token shingle; matching positions across docs come from an
+       equi-join on that hash (shuffles 8-byte hashes, never text);
+    2. **extend** — a shared run of L tokens is L−anchor+1 consecutive
+       anchor matches on one (a, b, pa−pb) DIAGONAL; islands of
+       consecutive pa per diagonal (the gaps-and-islands window) turn
+       matches into maximal runs without any per-row iteration;
+    3. **emit + merge** — runs ≥ ``min_len`` become spans on both docs,
+       and overlapping spans per doc (different partners) merge via a
+       running-max interval window.
+
+    ``max_df`` is the hot-anchor guard: an anchor shingle present in
+    more than ``max_df`` docs (the very boilerplate this operator
+    hunts) would quadratically explode the match join; such anchors
+    are dropped from matching (logged, never silent) — runs they
+    anchor still surface as long as ONE of their constituent shingles
+    is below the cap, so the guard trims pair multiplicity, not span
+    recall, until every shingle of a run is hot.  Every step is a
+    bounded equi-join / window — no grouped-map stage to skew.
+    """
+    # let-binding idiom: bind the tokenized text ONCE (CollapseProject
+    # would otherwise inline split() into every lambda call — O(n²)
+    # re-splitting inside the interpreted HOF)
+    sh_expr = (
+        f"element_at(transform(array(split({text_col}, ' ')), toks -> "
+        f"transform(sequence(1, greatest(size(toks) - {anchor - 1}, 0)), "
+        f"s -> {spark_hash64_sql(f'array_join(slice(toks, s, {anchor}), chr(32))')})"
+        f"), 1)"
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.expr(sh_expr)).alias("p0", "h"),
+    ).select("doc", (F.col("p0") + 1).alias("p"), "h")
+    if max_df is not None:
+        from pyspark import StorageLevel
+        hot = (sh.groupBy("h")
+               .agg(F.count_distinct("doc").alias("nd"))
+               .where(F.col("nd") > max_df)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        log.info("repeated_substring_spans: max_df=%d drops %d hot anchors",
+                 max_df, hot.count())
+        sh = sh.join(F.broadcast(hot.select("h")), "h", "left_anti")
+
+    a = sh.select(F.col("doc").alias("a"), F.col("p").alias("pa"), "h")
+    b = sh.select(F.col("doc").alias("b"), F.col("p").alias("pb"), "h")
+    m = (a.join(b, "h")
+         .where(F.col("a") < F.col("b"))
+         .select("a", "b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("d")))
+    wd = Window.partitionBy("a", "b", "d").orderBy("pa")
+    runs = (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(wd))
+        .groupBy("a", "b", "d", "isl")
+        .agg(F.min("pa").alias("sa"), F.min("pb").alias("sb"),
+             (F.count("*") + (anchor - 1)).alias("len"))
+        .where(F.col("len") >= min_len)
+    )
+    spans = (
+        runs.select(F.col("a").alias("doc"), F.col("sa").alias("st"),
+                    (F.col("sa") + F.col("len")).alias("en"))
+        .unionAll(
+            runs.select(F.col("b"), F.col("sb"),
+                        F.col("sb") + F.col("len")))
+        .distinct()
+    )
+    ws = Window.partitionBy("doc").orderBy("st", "en")
+    merged = (
+        spans.withColumn(
+            "pmax",
+            F.max("en").over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("pmax").isNull() | (F.col("st") > F.col("pmax")),
+                   1).otherwise(0))
+        .withColumn("grp", F.sum("new_isl").over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc", "grp")
+        .agg(F.min("st").alias("t_start"), F.max("en").alias("t_end"))
+    )
+    return merged.select(
+        F.col("doc").cast("bigint").alias("doc_id"),
+        F.col("t_start").cast("bigint"),
+        F.col("t_end").cast("bigint"),
+        (F.col("t_end") - F.col("t_start")).cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 

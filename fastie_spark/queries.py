@@ -2790,6 +2790,71 @@ def q_pure_pack_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# substring-level exact dedup (cross-document repeated runs)
+# ---------------------------------------------------------------------------
+
+SUB_ANCHOR, SUB_MIN_LEN, SUB_MAX_DF = 4, 16, 3
+
+@query("dedup_substring", oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id AS doc,
+               unnest(generate_series(1,
+                   greatest(len(l) - {SUB_ANCHOR - 1}, 0))) AS p, l
+        FROM sp),
+sh0 AS (SELECT doc, p,
+            {duck_hash64_sql(
+                f"array_to_string(l[p:p+{SUB_ANCHOR - 1}], ' ')")} AS h
+        FROM pos),
+hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc) AS nd
+                       FROM sh0 GROUP BY h) WHERE nd > {SUB_MAX_DF}),
+sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot)),
+m AS (SELECT a.doc AS a, b.doc AS b, a.p AS pa, b.p AS pb,
+             a.p - b.p AS d
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc),
+runs AS (
+  SELECT a, b, d, pa, pb,
+         pa - row_number() OVER (PARTITION BY a, b, d ORDER BY pa) AS isl
+  FROM m),
+agg AS (
+  SELECT a, b, min(pa) AS sa, min(pb) AS sb,
+         (count(*) + {SUB_ANCHOR - 1}) AS len
+  FROM runs GROUP BY a, b, d, isl
+  HAVING count(*) + {SUB_ANCHOR - 1} >= {SUB_MIN_LEN}),
+spans AS (
+  SELECT DISTINCT doc, st, en FROM (
+    SELECT a AS doc, sa AS st, sa + len AS en FROM agg
+    UNION ALL
+    SELECT b, sb, sb + len FROM agg)),
+mrk AS (
+  SELECT doc, st, en,
+         max(en) OVER (PARTITION BY doc ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+  FROM spans),
+grps AS (
+  SELECT doc, st, en,
+         sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS grp
+  FROM mrk)
+SELECT doc::BIGINT AS doc_id, min(st)::BIGINT AS t_start,
+       max(en)::BIGINT AS t_end,
+       (max(en) - min(st))::BIGINT AS n_tokens
+FROM grps GROUP BY doc, grp
+""")
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (ExactSubstr dedup):
+    anchor on positioned 4-gram hashes, extend via diagonal
+    gaps-and-islands, merge overlaps per doc; hot anchors (> max_df
+    docs) dropped from matching on BOTH engines."""
+    from fastie_spark.operators.dedup import repeated_substring_spans
+    return repeated_substring_spans(
+        _documents(spark, sf_dir), anchor=SUB_ANCHOR,
+        min_len=SUB_MIN_LEN, max_df=SUB_MAX_DF)
+
+
+# ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).
 # Every operator must keep fresh driver evidence, so the entries moved

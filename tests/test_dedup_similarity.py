@@ -363,3 +363,64 @@ def test_dedup_delta_incremental_semantics(spark):
     got = sorted(r["doc_id"]
                  for r in dedup_delta(standing, delta).collect())
     assert got == [11, 13]
+
+
+def test_repeated_substring_spans_planted_header(spark):
+    """ExactSubstr dedup: a 20-token license header planted across 3
+    docs (at different offsets) surfaces as one merged span per doc;
+    unique text yields nothing; two overlapping shared runs merge."""
+    from fastie_spark.operators.dedup import repeated_substring_spans
+
+    header = " ".join(f"lic{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            # header at position 1
+            (0, header + " " + " ".join(f"a{i}" for i in range(30))),
+            # header at position 11
+            (1, " ".join(f"b{i}" for i in range(10)) + " " + header
+             + " " + " ".join(f"c{i}" for i in range(10))),
+            # header at position 6
+            (2, " ".join(f"d{i}" for i in range(5)) + " " + header),
+            # no shared runs
+            (3, " ".join(f"e{i}" for i in range(40))),
+        ],
+        "doc_id bigint, text string")
+    got = {(r["doc_id"], r["t_start"], r["t_end"]): r["n_tokens"]
+           for r in repeated_substring_spans(
+               docs, anchor=4, min_len=16).collect()}
+    assert got == {(0, 1, 21): 20, (1, 11, 31): 20, (2, 6, 26): 20}
+
+    # overlap merge: doc 10 shares tokens 1..24 with doc 11 and tokens
+    # 17..40 with doc 12 -> one merged [1, 41) span on doc 10
+    run = [f"r{i}" for i in range(40)]
+    docs2 = spark.createDataFrame(
+        [(10, " ".join(run)),
+         (11, " ".join(run[:24]) + " " + " ".join(f"x{i}" for i in range(8))),
+         (12, " ".join(f"y{i}" for i in range(8)) + " " + " ".join(run[16:]))],
+        "doc_id bigint, text string")
+    got2 = {(r["doc_id"], r["t_start"], r["t_end"])
+            for r in repeated_substring_spans(
+                docs2, anchor=4, min_len=16).collect()}
+    assert (10, 1, 41) in got2
+
+
+def test_repeated_substring_max_df_guard_logs(spark, caplog):
+    """The hot-anchor guard drops anchors above max_df (logged, not
+    silent) while runs anchored by any sub-cap shingle still surface."""
+    import logging
+
+    from fastie_spark.operators.dedup import repeated_substring_spans
+
+    # the same 20-token block in ALL 6 docs -> every anchor has df=6
+    block = " ".join(f"w{i}" for i in range(20))
+    rows = [(i, f"u{i}a u{i}b " + block) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with caplog.at_level(logging.INFO,
+                         logger="fastie_spark.operators.dedup"):
+        none_left = repeated_substring_spans(
+            docs, anchor=4, min_len=16, max_df=3).collect()
+    assert none_left == []  # every anchor hot -> nothing to match
+    assert any("hot anchors" in r.message for r in caplog.records)
+    # without the guard the block is found in all docs
+    full = repeated_substring_spans(docs, anchor=4, min_len=16)
+    assert full.count() == 6
