@@ -239,27 +239,42 @@ def frozen_weights_attn(prefix: str, rows: int, cols: int):
 
 
 def eager_tag_attn(tokens: list[str],
-                   labels: list[str] = DEFAULT_LABELS) -> list[int]:
+                   labels: list[str] = DEFAULT_LABELS,
+                   n_blocks: int = 1) -> list[int]:
     """Single-process eager HARD-ATTENTION forward — parity twin of the
-    batched distributed path (pure Python, one pair at a time)."""
+    batched distributed path (pure Python, one pair at a time).
+    ``n_blocks`` stacks further hid→hid attention blocks with integer
+    residual adds (block b uses the 'wq{b}h'/'wk{b}h'/'wv{b}h' weight
+    families; see :class:`AttnTokenClassifier`)."""
     n, hid = len(tokens), HID_DIM
     if n == 0:
         return []
-    emb = [embed_token_deep(t) for t in tokens]
-    q = [[sum(_coef(f"wqh{h}d{d}") * e[d] for d in range(EMB_DIM))
-          for h in range(hid)] for e in emb]
-    k = [[sum(_coef(f"wkh{h}d{d}") * e[d] for d in range(EMB_DIM))
-          for h in range(hid)] for e in emb]
-    v = [[sum(_coef(f"wvh{h}d{d}") * e[d] for d in range(EMB_DIM))
-          for h in range(hid)] for e in emb]
+    x = [list(embed_token_deep(t)) for t in tokens]
+
+    def block(x, pre, in_dim, residual):
+        q = [[sum(_coef(f"{pre[0]}{h}d{d}") * e[d] for d in range(in_dim))
+              for h in range(hid)] for e in x]
+        k = [[sum(_coef(f"{pre[1]}{h}d{d}") * e[d] for d in range(in_dim))
+              for h in range(hid)] for e in x]
+        v = [[sum(_coef(f"{pre[2]}{h}d{d}") * e[d] for d in range(in_dim))
+              for h in range(hid)] for e in x]
+        out = []
+        for i in range(n):
+            scores = [sum(q[i][h] * k[j][h] for h in range(hid))
+                      for j in range(n)]
+            jstar = max(range(n), key=lambda j: (scores[j], -j))
+            res = x[i] if residual else [0] * hid
+            out.append([min(max(res[h] + q[i][h] + v[jstar][h], 0), CLIP)
+                        for h in range(hid)])
+        return out
+
+    h1 = block(x, ("wqh", "wkh", "wvh"), EMB_DIM, residual=False)
+    for b in range(2, n_blocks + 1):
+        h1 = block(h1, (f"wq{b}h", f"wk{b}h", f"wv{b}h"), hid,
+                   residual=True)
     out = []
     for i in range(n):
-        scores = [sum(q[i][h] * k[j][h] for h in range(hid))
-                  for j in range(n)]
-        jstar = max(range(n), key=lambda j: (scores[j], -j))
-        hvec = [min(max(q[i][h] + v[jstar][h], 0), CLIP)
-                for h in range(hid)]
-        cls = [sum(_coef(f"woc{c}d{h}") * hvec[h] for h in range(hid))
+        cls = [sum(_coef(f"woc{c}d{h}") * h1[i][h] for h in range(hid))
                for c in range(len(labels))]
         out.append(max(range(len(labels)), key=lambda c: (cls[c], -c)))
     return out
@@ -284,7 +299,7 @@ class AttnTokenClassifier:
 
     def __init__(self, labels: list[str] = DEFAULT_LABELS,
                  dim: int = EMB_DIM, hid: int = HID_DIM,
-                 score_budget: int = 1 << 24):
+                 score_budget: int = 1 << 24, n_blocks: int = 1):
         self.labels = list(labels)
         self.dim = dim
         self.hid = hid
@@ -292,9 +307,20 @@ class AttnTokenClassifier:
         #: 128 MB) — the transformer's quadratic memory term, bounded
         #: per sub-batch exactly like torch micro-batching
         self.score_budget = score_budget
+        #: stacked blocks (bert.py:97-120 depth dimension): block 1
+        #: projects dim→hid; each further block b is hid→hid with an
+        #: integer residual add of its input, weight families
+        #: 'wq{b}h'/'wk{b}h'/'wv{b}h'
+        self.n_blocks = n_blocks
         self.wq = frozen_weights_attn("wqh", hid, dim)
         self.wk = frozen_weights_attn("wkh", hid, dim)
         self.wv = frozen_weights_attn("wvh", hid, dim)
+        self.deep_blocks = [
+            (frozen_weights_attn(f"wq{b}h", hid, hid),
+             frozen_weights_attn(f"wk{b}h", hid, hid),
+             frozen_weights_attn(f"wv{b}h", hid, hid))
+            for b in range(2, n_blocks + 1)
+        ]
         self.wo = frozen_weights_attn("woc", len(self.labels), hid)
 
     def transform(self, sentences: DataFrame,
@@ -304,7 +330,7 @@ class AttnTokenClassifier:
 
         spark = sentences.sparkSession
         bc = spark.sparkContext.broadcast(
-            (self.wq, self.wk, self.wv, self.wo))
+            (self.wq, self.wk, self.wv, self.deep_blocks, self.wo))
         dim, clip = self.dim, CLIP
         in_cols = sentences.columns
         out_schema = ", ".join(
@@ -313,7 +339,7 @@ class AttnTokenClassifier:
 
         score_budget = self.score_budget
 
-        def tag_slice(toks_col, wq, wk, wv, wo):
+        def tag_slice(toks_col, wq, wk, wv, deep, wo):
             vocab: dict[str, int] = {}
             for toks in toks_col:
                 for t in toks:
@@ -332,26 +358,33 @@ class AttnTokenClassifier:
                 if len(toks):
                     idx[i, :len(toks)] = [vocab[t] for t in toks]
             emb = emb_vocab[idx]                   # (B, L, dim)
-            q = emb @ wq.T                         # (B, L, H)
-            k = emb @ wk.T
-            v = emb @ wv.T
-            s = q @ k.transpose(0, 2, 1)           # (B, L, L)
             # pad-column mask: a padded KEY position must never win
             # the argmax (its embedding is a real vocab row)
             jj = np.arange(lmax)
             pad = jj[None, None, :] >= lens[:, None, None]
-            s = np.where(pad, np.int64(-(1 << 62)), s)
-            jstar = np.argmax(s, axis=2)           # (B, L)
-            ctx = np.take_along_axis(
-                v, jstar[:, :, None], axis=1)      # (B, L, H)
-            h = np.clip(q + ctx, 0, clip)
+
+            def attend(x, bw, residual):
+                q = x @ bw[0].T                    # (B, L, H)
+                k = x @ bw[1].T
+                v = x @ bw[2].T
+                s = q @ k.transpose(0, 2, 1)       # (B, L, L)
+                s = np.where(pad, np.int64(-(1 << 62)), s)
+                jstar = np.argmax(s, axis=2)       # (B, L)
+                ctx = np.take_along_axis(
+                    v, jstar[:, :, None], axis=1)  # (B, L, H)
+                res = x if residual else 0
+                return np.clip(res + q + ctx, 0, clip)
+
+            h = attend(emb, (wq, wk, wv), residual=False)
+            for bw in deep:                        # stacked hid→hid
+                h = attend(h, bw, residual=True)   # blocks, residual
             sc = h @ wo.T                          # (B, L, C)
             tags = np.argmax(sc, axis=2).astype(np.int32)
             return [[int(x) for x in tags[i, :lens[i]]]
                     for i in range(n_rows)]
 
         def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            wq, wk, wv, wo = bc.value
+            wq, wk, wv, deep, wo = bc.value
             for pdf in batches:
                 toks_col = list(pdf["tokens"])
                 preds: list[list[int]] = []
@@ -368,7 +401,7 @@ class AttnTokenClassifier:
                             break
                         hi += 1
                     preds.extend(tag_slice(toks_col[lo:hi],
-                                           wq, wk, wv, wo))
+                                           wq, wk, wv, deep, wo))
                     lo = hi
                 pdf = pdf.copy()
                 pdf[out_col] = preds

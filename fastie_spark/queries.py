@@ -2407,6 +2407,97 @@ def q_model_ner_attn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _proj2_cte(name: str, prefix: str) -> str:
+    """Second-block (hid→hid) projection CTE over the block-1 states:
+    val = Σ_h M[h2,h]·hval[h] with M from family '<prefix><h2>d<h>'."""
+    return f"""
+{name} AS (
+  SELECT doc_id, pos, hh.h2 AS h,
+         sum((({duck_hash64_sql(f"'{prefix}' || hh.h2 || 'd' || h")}
+               % 2001) - 1000) * hval) AS val
+  FROM hv, generate_series(0, {MODEL_HID - 1}) hh(h2)
+  GROUP BY doc_id, pos, hh.h2)"""
+
+
+@query("model_ner_attn2", oracle=f"""
+WITH {TOKS_CTE},
+{_WP_EMB_CTE},
+{_proj_cte("qh", "wqh", MODEL_HID)},
+{_proj_cte("kh", "wkh", MODEL_HID)},
+{_proj_cte("vh", "wvh", MODEL_HID)},
+att AS (
+  SELECT a.doc_id, a.pos AS i, b.pos AS j, sum(a.val * b.val) AS s
+  FROM qh a JOIN kh b ON b.doc_id = a.doc_id AND b.h = a.h
+  GROUP BY a.doc_id, a.pos, b.pos),
+js AS (
+  SELECT doc_id, i, j FROM (
+    SELECT doc_id, i, j,
+           row_number() OVER (PARTITION BY doc_id, i
+                              ORDER BY s DESC, j) AS rn
+    FROM att) WHERE rn = 1),
+hv AS (
+  SELECT q.doc_id, q.pos, q.h,
+         least(greatest(q.val + v.val, 0), {MODEL_CLIP}) AS hval
+  FROM qh q
+  JOIN js ON js.doc_id = q.doc_id AND js.i = q.pos
+  JOIN vh v ON v.doc_id = q.doc_id AND v.pos = js.j AND v.h = q.h),
+{_proj2_cte("q2", "wq2h")},
+{_proj2_cte("k2", "wk2h")},
+{_proj2_cte("v2", "wv2h")},
+att2 AS (
+  SELECT a.doc_id, a.pos AS i, b.pos AS j, sum(a.val * b.val) AS s
+  FROM q2 a JOIN k2 b ON b.doc_id = a.doc_id AND b.h = a.h
+  GROUP BY a.doc_id, a.pos, b.pos),
+js2 AS (
+  SELECT doc_id, i, j FROM (
+    SELECT doc_id, i, j,
+           row_number() OVER (PARTITION BY doc_id, i
+                              ORDER BY s DESC, j) AS rn
+    FROM att2) WHERE rn = 1),
+hv2 AS (
+  SELECT q.doc_id, q.pos, q.h,
+         least(greatest(h1.hval + q.val + v.val, 0), {MODEL_CLIP})
+             AS hval
+  FROM q2 q
+  JOIN js2 ON js2.doc_id = q.doc_id AND js2.i = q.pos
+  JOIN v2 v ON v.doc_id = q.doc_id AND v.pos = js2.j AND v.h = q.h
+  JOIN hv h1 ON h1.doc_id = q.doc_id AND h1.pos = q.pos
+            AND h1.h = q.h),
+sc AS (
+  SELECT doc_id, pos, c.c AS c,
+         sum((({duck_hash64_sql("'woc' || c.c || 'd' || h")} % 2001) - 1000)
+             * hval) AS score
+  FROM hv2, generate_series(0, {MODEL_NL - 1}) c(c)
+  GROUP BY doc_id, pos, c.c),
+ranked AS (
+  SELECT doc_id, pos, c,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY score DESC, c) AS rn
+  FROM sc)
+SELECT doc_id, pos::BIGINT AS pos, c::BIGINT AS tag
+FROM ranked WHERE rn = 1
+""")
+def q_model_ner_attn2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stacked hard-attention blocks with an integer residual add —
+    the depth dimension of the reference encoder (bert.py:97-120) that
+    a single block can't exercise: block 2's attention argmax is a
+    function of block 1's gathered states, so a gather or mask bug
+    that composes across layers (invisible at depth 1) breaks the
+    hash match.  Oracle replays both blocks CTE-by-CTE."""
+    from fastie_spark.extraction.model_ner import AttnTokenClassifier
+    s = _doc_sentences(spark, sf_dir)
+    tagged = AttnTokenClassifier(n_blocks=2).transform(
+        s, out_col="tag_pred")
+    return tagged.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.posexplode("tag_pred").alias("pos", "tag"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("tag").cast("bigint").alias("tag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TRAINING LOOP — distributed batch perceptron (trainer.py:78-97 shape):
 # per-epoch broadcast forward through the mapInPandas seam + RELATIONAL

@@ -410,3 +410,33 @@ def test_perceptron_trainer_learns_and_keeps_topk(spark):
     kept = [(m, e) for m, e, _ in t1.checkpoints]
     assert kept == sorted(kept)
     assert kept[0][0] == min(mists)
+
+
+def test_attn_two_block_stack_parity(spark):
+    """n_blocks=2 (r3 VERDICT #4): the stacked hid-to-hid block with an
+    integer residual add equals the eager twin on ragged batches, and
+    depth matters -- at least one tag differs from the 1-block model
+    (a block-2 gather bug that composes across layers is invisible at
+    depth 1)."""
+    from fastie_spark.extraction.model_ner import (
+        AttnTokenClassifier,
+        eager_tag_attn,
+    )
+
+    sents = [
+        ("d0", 0, "Alpha calls Beta quickly".split()),
+        ("d1", 0, []),
+        ("d2", 0, ["solo"]),
+        ("d3", 0, "a b c d e f g h i".split()),
+        ("d5", 0, "supercalifragilistic expialidocious mix".split()),
+    ]
+    df = spark.createDataFrame(
+        sents, "doc_key string, sent_id int, tokens array<string>")
+    got = {r["doc_key"]: list(r["tag_pred"])
+           for r in AttnTokenClassifier(n_blocks=2).transform(df)
+           .collect()}
+    for key, _, toks in sents:
+        assert got[key] == eager_tag_attn(toks, n_blocks=2), key
+    one = {r["doc_key"]: list(r["tag_pred"])
+           for r in AttnTokenClassifier().transform(df).collect()}
+    assert got != one
