@@ -39,6 +39,31 @@ def _load_model(path: str):
     return ner, rel
 
 
+def _save_weights(path: str, weights_df) -> None:
+    """Hub save for a TRAINED weight table (hub.py:16-30 analogue):
+    the (c, d, w) rows from ``PerceptronTrainer.weights_df`` persist
+    as parquet next to the rule blob — the natural cluster format (a
+    100 TB-scale model registry stores tables, not pickles)."""
+    os.makedirs(path, exist_ok=True)
+    weights_df.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "weights.parquet"))
+
+
+def _load_weights(spark, path: str):
+    """Reload a trained weight matrix from the hub as (n_labels, dim)
+    int64 — ready for ``NumpyTokenClassifier(weights=...)``."""
+    import numpy as np
+
+    rows = spark.read.parquet(
+        os.path.join(path, "weights.parquet")).collect()
+    n_labels = max(r["c"] for r in rows) + 1
+    dim = max(r["d"] for r in rows) + 1
+    w = np.zeros((n_labels, dim), dtype=np.int64)
+    for r in rows:
+        w[r["c"], r["d"]] = r["w"]
+    return w
+
+
 def _save_model(path: str, ner, rel) -> None:
     os.makedirs(path, exist_ok=True)
     blob = {

@@ -411,13 +411,18 @@ class AttnTokenClassifier:
 
 
 class NumpyTokenClassifier:
-    """Broadcast-weights token tagger through the mapInPandas seam."""
+    """Broadcast-weights token tagger through the mapInPandas seam.
+
+    ``weights`` (n_labels × dim int64) overrides the frozen family —
+    the inference path for TRAINED weights (e.g. a
+    ``PerceptronTrainer`` matrix reloaded through the CLI hub)."""
 
     def __init__(self, labels: list[str] = DEFAULT_LABELS,
-                 dim: int = EMB_DIM):
+                 dim: int = EMB_DIM, weights=None):
         self.labels = list(labels)
         self.dim = dim
-        self.weights = frozen_weights(len(self.labels), dim)
+        self.weights = (frozen_weights(len(self.labels), dim)
+                        if weights is None else weights)
 
     def transform(self, sentences: DataFrame,
                   out_col: str = "tag_pred") -> DataFrame:

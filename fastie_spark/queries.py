@@ -2505,8 +2505,10 @@ def q_model_ner_attn2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the training loop SQL-replayable: the oracle unrolls both epochs.
 # ---------------------------------------------------------------------------
 
-@query("train_perceptron", oracle=f"""
-WITH {TOKS_CTE},
+#: two unrolled batch-perceptron epochs over the corpus vocabulary —
+#: shared by the train_perceptron and train_infer_roundtrip oracles
+#: (expects a preceding ``toks`` CTE; final weights = w1 + g2)
+_TRAIN_CHAIN = f"""
 tcnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
 tg AS (SELECT token, cnt,
               ({duck_hash64_sql("'g#' || token")} % {MODEL_NL}) AS gold
@@ -2545,7 +2547,12 @@ g2 AS (
     UNION ALL
     SELECT m.pred AS c, e.d, -m.cnt * e.v AS v
     FROM m2 m JOIN emb e ON e.token = m.token)
-  GROUP BY c, d)
+  GROUP BY c, d)"""
+
+
+@query("train_perceptron", oracle=f"""
+WITH {TOKS_CTE},
+{_TRAIN_CHAIN}
 SELECT grid.c::BIGINT AS c, grid.d::BIGINT AS d,
        (w1.w + coalesce(g2.g, 0))::BIGINT AS w
 FROM grid JOIN w1 ON w1.c = grid.c AND w1.d = grid.d
@@ -2571,6 +2578,53 @@ def q_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("c"),
         F.col("d").cast("bigint").alias("d"),
         F.col("w").cast("bigint").alias("w"),
+    )
+
+
+@query("train_infer_roundtrip", oracle=f"""
+WITH {TOKS_CTE},
+{_TRAIN_CHAIN},
+wf AS (SELECT grid.c, grid.d, (w1.w + coalesce(g2.g, 0)) AS w
+       FROM grid JOIN w1 ON w1.c = grid.c AND w1.d = grid.d
+       LEFT JOIN g2 ON g2.c = grid.c AND g2.d = grid.d),
+s3 AS (SELECT e.token, wf.c, sum(wf.w * e.v) AS score
+       FROM emb e JOIN wf ON wf.d = e.d
+       GROUP BY e.token, wf.c),
+p3 AS (SELECT token, c AS tag FROM (
+         SELECT token, c, row_number() OVER (PARTITION BY token
+                ORDER BY score DESC, c) AS rn FROM s3) WHERE rn = 1)
+SELECT t.doc_id, t.pos::BIGINT AS pos, p.tag::BIGINT AS tag
+FROM toks t JOIN p3 p ON p.token = t.token
+""")
+def q_train_infer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train→infer lifecycle in one plan: two perceptron
+    epochs produce the TRAINED weight matrix, which then tags every
+    corpus token through the broadcast ``NumpyTokenClassifier`` seam —
+    the model table that ``cli._save_weights``/``_load_weights``
+    round-trips (pytest ``test_trained_weights_hub_roundtrip`` proves
+    save→load inference identity).  The oracle unrolls both epochs and
+    replays the argmax inference per distinct token."""
+    from fastie_spark.extraction.model_ner import NumpyTokenClassifier
+    from fastie_spark.extraction.training import (
+        PerceptronTrainer,
+        gold_label_expr,
+    )
+    toks = _documents(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("token"))
+    toks = toks.withColumn(
+        "gold", F.expr(gold_label_expr("token", MODEL_NL)))
+    trainer = PerceptronTrainer(MODEL_NL, MODEL_DIM).fit(toks, epochs=2)
+    s = _doc_sentences(spark, sf_dir)
+    tagged = NumpyTokenClassifier(
+        labels=[f"l{i}" for i in range(MODEL_NL)],
+        dim=MODEL_DIM, weights=trainer.weights).transform(s)
+    return tagged.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.posexplode("tag_pred").alias("pos", "tag"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("tag").cast("bigint").alias("tag"),
     )
 
 

@@ -440,3 +440,48 @@ def test_attn_two_block_stack_parity(spark):
     one = {r["doc_key"]: list(r["tag_pred"])
            for r in AttnTokenClassifier().transform(df).collect()}
     assert got != one
+
+
+def test_trained_weights_hub_roundtrip(spark, tmp_path):
+    """r3 VERDICT #5: PerceptronTrainer weights persist through the CLI
+    hub (parquet model table), reload as a matrix, and inference
+    through the seam with the LOADED weights is row-identical to
+    inference with the in-memory weights — closing the
+    train -> save -> load -> infer lifecycle."""
+    import numpy as np
+
+    from fastie_spark.cli import _load_weights, _save_weights
+    from fastie_spark.extraction.model_ner import NumpyTokenClassifier
+    from fastie_spark.extraction.training import (
+        PerceptronTrainer,
+        gold_label_expr,
+    )
+
+    sents = [("d%d" % i, 0, ("alpha beta gamma delta w%d" % i).split())
+             for i in range(20)]
+    df = spark.createDataFrame(
+        sents, "doc_key string, sent_id int, tokens array<string>")
+    toks = df.select(F.explode("tokens").alias("token")) \
+        .withColumn("gold", F.expr(gold_label_expr("token", 5)))
+    trainer = PerceptronTrainer(5, 8).fit(toks, epochs=2)
+
+    hub = str(tmp_path / "hub")
+    _save_weights(hub, trainer.weights_df(spark))
+    loaded = _load_weights(spark, hub)
+    assert loaded.shape == trainer.weights.shape
+    assert np.array_equal(loaded, trainer.weights)
+
+    mem = NumpyTokenClassifier(labels=["a", "b", "c", "d", "e"],
+                               weights=trainer.weights).transform(df)
+    disk = NumpyTokenClassifier(labels=["a", "b", "c", "d", "e"],
+                                weights=loaded).transform(df)
+    mem_rows = {r["doc_key"]: list(r["tag_pred"]) for r in mem.collect()}
+    disk_rows = {r["doc_key"]: list(r["tag_pred"])
+                 for r in disk.collect()}
+    assert mem_rows == disk_rows and len(mem_rows) == 20
+    # trained weights genuinely differ from the frozen family
+    frozen = {r["doc_key"]: list(r["tag_pred"])
+              for r in NumpyTokenClassifier(
+                  labels=["a", "b", "c", "d", "e"]).transform(df)
+              .collect()}
+    assert frozen != mem_rows
