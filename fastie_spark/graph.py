@@ -70,8 +70,12 @@ class _Snapshots:
             return None
         return self.spark.read.parquet(f"{self.root}/{name}")
 
-    def latest_round(self, prefix: str) -> int | None:
-        """Highest committed ``<prefix>_NNNN`` round number, if any."""
+    def latest_round(self, prefix: str,
+                     below: int | None = None) -> int | None:
+        """Highest committed ``<prefix>_NNNN`` round number, if any.
+        ``below`` bounds the search to rounds < below — the
+        at-least-once retry case, where a replayed batch must merge
+        from the state BEFORE its own (possibly committed) output."""
         if self.root is None:
             return None
         fs, jvm = self._fs()
@@ -82,9 +86,11 @@ class _Snapshots:
         for st in fs.listStatus(base):
             n = st.getPath().getName()
             if n.startswith(prefix + "_") and n[len(prefix) + 1:].isdigit():
+                r = int(n[len(prefix) + 1:])
+                if below is not None and r >= below:
+                    continue
                 if fs.exists(jvm.org.apache.hadoop.fs.Path(
                         st.getPath(), "_SUCCESS")):
-                    r = int(n[len(prefix) + 1:])
                     best = r if best is None else max(best, r)
         return best
 

@@ -1,0 +1,97 @@
+"""Streaming KG ingest — the streaming twin of the ``kg_merge``
+incremental batch path (r3 VERDICT #8).
+
+A production KG is fed by a stream of extracted triples; each
+micro-batch must fold into the standing graph without rebuilding it.
+The mergeable-stats grain of :func:`fastie_spark.graph.kg_stats` makes
+that a pure monoid fold, so the streaming form is ``foreachBatch``:
+
+    per batch b:  stats(b) ⊕ standing  →  standing′
+
+State lives as VERSIONED parquet snapshots (``nodes_<b>`` /
+``edges_<b>`` under ``out_root``, via the same ``_Snapshots`` helper
+the durable CC loop uses), plus an append-only per-batch manifest row.
+``foreachBatch`` delivery is at-least-once; the fold stays
+exactly-once because a replayed batch b re-merges from the latest
+committed version STRICTLY BELOW b (``latest_round(below=b)``) and
+overwrites its own ``_<b>`` snapshot — same inputs, same output,
+idempotent.  After any drain, ``finalize_kg`` over the latest
+snapshot equals the batch rebuild over all triples seen — the pytest
+compares against exactly that oracle, and replays a batch to prove
+idempotence.
+
+At cluster scale the versioned snapshots are Iceberg table snapshots
+and the stream source is Kafka — identical plan, identical fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastie_spark.graph import _Snapshots, kg_stats, merge_kg_stats
+
+MANIFEST_SCHEMA = ("batch_id bigint, version bigint, n_triples bigint, "
+                   "n_node_rows bigint, n_edge_rows bigint")
+
+#: triple-table schema the flagship pipeline emits (subset the KG needs)
+TRIPLES_SCHEMA = ("doc_key string, subj_text string, subj_label string, "
+                  "pred string, obj_text string, obj_label string")
+
+
+def latest_kg(spark: SparkSession, out_root: str
+              ) -> tuple[DataFrame, DataFrame] | None:
+    """The standing (node_stats, edge_stats) pair, or None before the
+    first committed batch."""
+    snaps = _Snapshots(spark, out_root)
+    v = snaps.latest_round("nodes")
+    if v is None:
+        return None
+    return snaps.load(f"nodes_{v:04d}"), snaps.load(f"edges_{v:04d}")
+
+
+def merge_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+                out_root: str,
+                entity_map: DataFrame | None = None) -> None:
+    """One foreachBatch fold: stats(batch) ⊕ latest-committed-below-b →
+    versioned snapshot _<b>.  Idempotent under replay — a retried
+    batch re-reads the pre-b state and overwrites its own version."""
+    snaps = _Snapshots(spark, out_root)
+    ns, es = kg_stats(batch_df, entity_map)
+    prev = snaps.latest_round("nodes", below=batch_id)
+    if prev is not None:
+        standing = (snaps.load(f"nodes_{prev:04d}"),
+                    snaps.load(f"edges_{prev:04d}"))
+        ns, es = merge_kg_stats(standing, (ns, es))
+    ns = snaps.save(ns, f"nodes_{batch_id:04d}")
+    es = snaps.save(es, f"edges_{batch_id:04d}")
+    spark.createDataFrame(
+        [(batch_id, batch_id, batch_df.count(),
+          ns.count(), es.count())],
+        MANIFEST_SCHEMA,
+    ).write.mode("append").parquet(f"{out_root}/manifest")
+
+
+def streaming_kg_ingest(spark: SparkSession, triples_path: str,
+                        checkpoint_dir: str, out_root: str,
+                        max_files_per_trigger: int = 1,
+                        entity_map: DataFrame | None = None) -> None:
+    """Drain all available triple files into the standing KG stats
+    (availableNow; a long-running job drops the trigger), one merge
+    per micro-batch."""
+    snaps = _Snapshots(spark, out_root)
+    stream = (
+        spark.readStream.schema(TRIPLES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(triples_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch(spark, batch_df, batch_id, out_root, entity_map)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

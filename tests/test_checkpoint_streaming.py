@@ -343,3 +343,79 @@ def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
         for r in spark.read.parquet(src).dropDuplicates(["event_id"])
         .collect())
     assert got == want == list(range(20))
+
+
+def test_streaming_kg_ingest_equals_batch_rebuild(spark, tmp_path):
+    """Streaming KG ingest (foreachBatch per-batch delta merge): after
+    draining N micro-batches the finalized standing stats equal the
+    batch finalize_kg over ALL triples; a replayed batch (at-least-once
+    delivery) changes nothing; a later drain folds new files in."""
+    from fastie_spark.graph import finalize_kg, kg_stats
+    from fastie_spark.streaming.kg import (
+        latest_kg,
+        merge_batch,
+        streaming_kg_ingest,
+    )
+
+    def triple_rows(lo, hi):
+        return [(f"d{i}", f"E{i % 4}", "CLASS", "calls",
+                 f"E{(i + 1) % 4}", "FUNC") for i in range(lo, hi)]
+
+    schema = ("doc_key string, subj_text string, subj_label string, "
+              "pred string, obj_text string, obj_label string")
+    src = str(tmp_path / "triples")
+    # distinct sizes (30 vs 25) so the replay below can identify which
+    # file the last micro-batch held (part-file listing order is not
+    # guaranteed)
+    spark.createDataFrame(triple_rows(0, 30), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(triple_rows(20, 45), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "kg_state")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_kg_ingest(spark, src, ckpt, root, max_files_per_trigger=1)
+
+    def finalized(root):
+        ns, es = latest_kg(spark, root)
+        nodes, edges = finalize_kg(ns, es)
+        return (sorted(map(tuple, nodes.collect())),
+                sorted(map(tuple, edges.collect())))
+
+    def rebuilt(lo, hi):
+        allt = spark.createDataFrame(triple_rows(lo, hi), schema)
+        nodes, edges = finalize_kg(*kg_stats(allt))
+        return (sorted(map(tuple, nodes.collect())),
+                sorted(map(tuple, edges.collect())))
+
+    got = finalized(root)
+    allt2 = spark.createDataFrame(
+        triple_rows(0, 30) + triple_rows(20, 45), schema)
+    nodes, edges = finalize_kg(*kg_stats(allt2))
+    want = (sorted(map(tuple, nodes.collect())),
+            sorted(map(tuple, edges.collect())))
+    assert got == want
+
+    # at-least-once replay: re-running the LAST batch's fold with the
+    # same batch id must leave the finalized tables unchanged
+    man = spark.read.parquet(f"{root}/manifest")
+    last = man.orderBy(F.col("batch_id").desc()).first()
+    n_batches = man.select("batch_id").distinct().count()
+    assert n_batches >= 2  # maxFilesPerTrigger=1 over 2 files
+    replay_rows = {30: triple_rows(0, 30),
+                   25: triple_rows(20, 45)}[last["n_triples"]]
+    merge_batch(spark, spark.createDataFrame(replay_rows, schema),
+                last["batch_id"], root)
+    assert finalized(root) == want
+
+    # continuous ingest: drop a third file, drain again (same ckpt)
+    spark.createDataFrame(triple_rows(50, 60), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    streaming_kg_ingest(spark, src, ckpt, root, max_files_per_trigger=1)
+    allt3 = spark.createDataFrame(
+        triple_rows(0, 30) + triple_rows(20, 45) + triple_rows(50, 60),
+        schema)
+    nodes3, edges3 = finalize_kg(*kg_stats(allt3))
+    want3 = (sorted(map(tuple, nodes3.collect())),
+             sorted(map(tuple, edges3.collect())))
+    assert finalized(root) == want3
