@@ -410,6 +410,145 @@ class AttnTokenClassifier:
         return sentences.mapInPandas(forward, schema=out_schema)
 
 
+class SoftmaxAttnClassifier:
+    """FLOAT softmax attention through the same padded-batch seam —
+    the numerically-real path the integer hard-attention twin
+    deliberately avoids (r3 VERDICT "what's missing" #3b).
+
+    Same weight families as :class:`AttnTokenClassifier`, scaled to
+    floats (÷1000 → coefficients in [-1, 1]); the layer is the
+    textbook shape: ``a = softmax(qkᵀ/√H)`` with pad columns at −∞
+    (exactly 0 mass after softmax — the pad-leak failure mode now
+    shows up as a probability, not an argmax flip), ``h = relu(q +
+    a·v)``, classify.  Float summation order differs between the
+    batched matmul and any replay, so verification is
+    TOLERANCE-BASED against the eager NumPy twin
+    (:func:`eager_tag_softmax`) in pytest, and the registered query
+    ``model_ner_softmax`` is rows-only (no DuckDB hash oracle — the
+    documented weaker contract for float ops).
+    """
+
+    def __init__(self, labels: list[str] = DEFAULT_LABELS,
+                 dim: int = EMB_DIM, hid: int = HID_DIM,
+                 score_budget: int = 1 << 24):
+        self.labels = list(labels)
+        self.dim = dim
+        self.hid = hid
+        self.score_budget = score_budget
+        self.wq = frozen_weights_attn("wqh", hid, dim) / 1000.0
+        self.wk = frozen_weights_attn("wkh", hid, dim) / 1000.0
+        self.wv = frozen_weights_attn("wvh", hid, dim) / 1000.0
+        self.wo = frozen_weights_attn("woc", len(self.labels),
+                                      hid) / 1000.0
+
+    def transform(self, sentences: DataFrame,
+                  out_col: str = "tag_pred") -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        spark = sentences.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.wq, self.wk, self.wv, self.wo))
+        dim, hid = self.dim, self.hid
+        in_cols = sentences.columns
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in sentences.schema.fields) + f", {out_col} array<int>"
+        score_budget = self.score_budget
+
+        def tag_slice(toks_col, wq, wk, wv, wo):
+            vocab: dict[str, int] = {}
+            for toks in toks_col:
+                for t in toks:
+                    if t not in vocab:
+                        vocab[t] = len(vocab)
+            lens = np.array([len(t) for t in toks_col], dtype=np.int64)
+            n_rows = len(toks_col)
+            lmax = int(lens.max()) if n_rows else 0
+            if not vocab or not lmax:
+                return [[] for _ in range(n_rows)]
+            emb_vocab = np.array(
+                [embed_token_deep(t, dim) for t in vocab],
+                dtype=np.float64) / 1000.0
+            idx = np.zeros((n_rows, lmax), dtype=np.int64)
+            for i, toks in enumerate(toks_col):
+                if len(toks):
+                    idx[i, :len(toks)] = [vocab[t] for t in toks]
+            emb = emb_vocab[idx]
+            q = emb @ wq.T
+            k = emb @ wk.T
+            v = emb @ wv.T
+            s = (q @ k.transpose(0, 2, 1)) / np.sqrt(hid)
+            jj = np.arange(lmax)
+            pad = jj[None, None, :] >= lens[:, None, None]
+            s = np.where(pad, -np.inf, s)
+            # stable softmax over keys (max-subtracted)
+            s = s - s.max(axis=2, keepdims=True)
+            e = np.exp(s)
+            a = e / e.sum(axis=2, keepdims=True)
+            h = np.maximum(q + a @ v, 0.0)
+            sc = h @ wo.T
+            tags = np.argmax(sc, axis=2).astype(np.int32)
+            return [[int(x) for x in tags[i, :lens[i]]]
+                    for i in range(n_rows)]
+
+        def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wq, wk, wv, wo = bc.value
+            for pdf in batches:
+                toks_col = list(pdf["tokens"])
+                preds: list[list[int]] = []
+                lo = 0
+                while lo < len(toks_col):
+                    lmax2, hi = 0, lo
+                    while hi < len(toks_col):
+                        lmax2 = max(lmax2, len(toks_col[hi]) ** 2)
+                        if (hi - lo + 1) * lmax2 > score_budget and hi > lo:
+                            break
+                        hi += 1
+                    preds.extend(tag_slice(toks_col[lo:hi],
+                                           wq, wk, wv, wo))
+                    lo = hi
+                pdf = pdf.copy()
+                pdf[out_col] = preds
+                yield pdf[in_cols + [out_col]]
+
+        return sentences.mapInPandas(forward, schema=out_schema)
+
+
+def eager_tag_softmax(tokens: list[str],
+                      labels: list[str] = DEFAULT_LABELS):
+    """Position-at-a-time float twin of :class:`SoftmaxAttnClassifier`
+    — returns (tags, scores) so tests can assert tolerance on the raw
+    class scores, not just the argmax."""
+    import math
+
+    n, hid = len(tokens), HID_DIM
+    if n == 0:
+        return [], []
+    emb = [[c / 1000.0 for c in embed_token_deep(t)] for t in tokens]
+    q = [[sum(_coef(f"wqh{h}d{d}") / 1000.0 * e[d]
+              for d in range(EMB_DIM)) for h in range(hid)] for e in emb]
+    k = [[sum(_coef(f"wkh{h}d{d}") / 1000.0 * e[d]
+              for d in range(EMB_DIM)) for h in range(hid)] for e in emb]
+    v = [[sum(_coef(f"wvh{h}d{d}") / 1000.0 * e[d]
+              for d in range(EMB_DIM)) for h in range(hid)] for e in emb]
+    tags, all_scores = [], []
+    for i in range(n):
+        s = [sum(q[i][h] * k[j][h] for h in range(hid)) / math.sqrt(hid)
+             for j in range(n)]
+        m = max(s)
+        e = [math.exp(x - m) for x in s]
+        z = sum(e)
+        a = [x / z for x in e]
+        ctx = [sum(a[j] * v[j][h] for j in range(n)) for h in range(hid)]
+        hvec = [max(q[i][h] + ctx[h], 0.0) for h in range(hid)]
+        cls = [sum(_coef(f"woc{c}d{h}") / 1000.0 * hvec[h]
+                   for h in range(hid)) for c in range(len(labels))]
+        tags.append(max(range(len(labels)), key=lambda c: (cls[c], -c)))
+        all_scores.append(cls)
+    return tags, all_scores
+
+
 class NumpyTokenClassifier:
     """Broadcast-weights token tagger through the mapInPandas seam.
 

@@ -2999,6 +2999,29 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=SUB_MIN_LEN, max_df=SUB_MAX_DF)
 
 
+@query("model_ner_softmax")  # rows-only: float softmax has no hash
+def q_model_ner_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOAT softmax attention through the padded-batch seam — the
+    numerically-real attention path (scaled weights, qkᵀ/√H, −∞ pad
+    mask → exactly-zero pad mass, relu residual).  Deliberately
+    registered WITHOUT a DuckDB oracle: float summation order is
+    engine-dependent, so the contract is the documented weaker
+    rows-only check here plus TOLERANCE-based verification against
+    the eager NumPy twin in pytest
+    (test_softmax_attn_seam_tolerance_parity)."""
+    from fastie_spark.extraction.model_ner import SoftmaxAttnClassifier
+    s = _doc_sentences(spark, sf_dir)
+    tagged = SoftmaxAttnClassifier().transform(s, out_col="tag_pred")
+    return tagged.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.posexplode("tag_pred").alias("pos", "tag"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("tag").cast("bigint").alias("tag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).
