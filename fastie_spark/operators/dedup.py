@@ -357,6 +357,70 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 12, bands: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# end-to-end near-dup dedup: candidates → verify → cluster → survivors
+# ---------------------------------------------------------------------------
+
+def dedup_survivors(docs: DataFrame, num_hashes: int = 12, bands: int = 4,
+                    n: int = 3, min_jaccard_num: int = 1,
+                    min_jaccard_den: int = 5,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The PRODUCTION dedup shape, end to end: MinHash+LSH candidate
+    generation → exact Jaccard verify RESTRICTED to candidates →
+    connected components over the verified near-dup graph → one
+    survivor (min doc id) per cluster.  Output: one row per input doc,
+    (doc_id, survivor, n_cluster) — ``doc_id == survivor`` means keep.
+
+    Scale shape: the verify join never touches non-candidate pairs
+    (the all-pairs shingle join LSH exists to avoid) — candidate pairs
+    join to the subject's shingles, then equi-join the object's
+    shingles on (doc, shingle), so verify work is
+    O(|candidates| · shingles/doc).  Clustering is the same
+    :func:`fastie_spark.graph.connected_components` loop the KG
+    canonicalization uses (duplicate clusters are transitive:
+    A≈B≈C must dedup together even when A–C alone misses the
+    threshold).  Every stage is a bounded equi-join or partial agg.
+    """
+    from fastie_spark.graph import connected_components
+
+    cand = minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands,
+                             n=n, text_col=text_col, id_col=id_col) \
+        .select("a", "b")
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    pa = cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+    inter = (
+        pa.join(sh.select(F.col(id_col).alias("b"), "shingle"),
+                ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("a"),
+                           F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .where(F.col("inter") * min_jaccard_den
+               >= (F.col("na") + F.col("nb") - F.col("inter"))
+               * min_jaccard_num)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(verified)
+    # the CC label IS the min doc id of the cluster — the survivor
+    with_cluster = (
+        docs.select(F.col(id_col).cast("bigint").alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("comp", F.col("doc_id")).alias("survivor"))
+    )
+    sizes_c = with_cluster.groupBy("survivor").agg(
+        F.count("*").alias("n_cluster"))
+    return with_cluster.join(sizes_c, "survivor").select(
+        "doc_id", F.col("survivor").cast("bigint"),
+        F.col("n_cluster").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -424,3 +424,32 @@ def test_repeated_substring_max_df_guard_logs(spark, caplog):
     # without the guard the block is found in all docs
     full = repeated_substring_spans(docs, anchor=4, min_len=16)
     assert full.count() == 6
+
+
+def test_dedup_survivors_transitive_clusters(spark):
+    """End-to-end dedup: duplicate classes are TRANSITIVE — a chain
+    A≈B≈C must collapse to one survivor even when A–C alone would miss
+    the verify threshold, and untouched docs survive as singletons."""
+    from fastie_spark.operators.dedup import dedup_survivors
+
+    # J(base,mid) = J(mid,far) = 0.444 >= 1/3, but J(base,far) = 0.13
+    # < 1/3 — the ends of the chain only dedup together via the CC pass
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron")
+    mid = " ".join(base.split()[:10] + ["p1", "p2", "p3", "p4", "p5"])
+    far = " ".join(["q1", "q2", "q3", "q4", "q5"] + mid.split()[5:])
+    rows = [(0, base), (1, base), (2, mid), (3, far), (4, far),
+            (5, "completely unrelated text about ships and harbors")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    # 12 single-row bands: LSH over-generates (the far pair IS a
+    # candidate) but verify rejects it at 0.13 < 1/3 — the ends can
+    # only land in one cluster through the connected-components pass
+    out = {r["doc_id"]: (r["survivor"], r["n_cluster"])
+           for r in dedup_survivors(docs, num_hashes=12, bands=12,
+                                    min_jaccard_num=1,
+                                    min_jaccard_den=3).collect()}
+    assert len(out) == 6                       # one row per input doc
+    # the whole chain 0≈1≈2≈3≈4 collapses to survivor 0
+    assert {out[i] for i in range(5)} == {(0, 5)}
+    assert out[5] == (5, 1)                    # singleton keeps itself
