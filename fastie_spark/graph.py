@@ -288,6 +288,220 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
     return ranks.select("node", F.col("r").alias("rank"))
 
 
+def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
+                   src: str = "src", dst: str = "dst",
+                   directed: bool = False,
+                   node_col: str = "node") -> DataFrame:
+    """BFS layers: (node, hop) for every node within ``k`` hops of any
+    seed, hop = exact shortest-path distance (min over seeds).
+
+    The KG neighborhood query — "everything within k relations of
+    these entities" — and the dedup blast-radius probe ("docs
+    transitively similar to this one in ≤ k steps") are the same
+    operator over different edge lists.
+
+    Level-synchronous relaxation: round i joins ONLY the hop-(i-1)
+    frontier against the edge list and folds discoveries with a
+    min-hop partial aggregate — per round one equi-join + one
+    partial-agg shuffle over (node, hop) pairs (two longs), never
+    payloads, and a node already seen never re-enters the frontier
+    (its min hop is already < i), so total join work is O(Σ frontier
+    degree) = O(m) across all rounds, the textbook Pregel BFS bound.
+    ``k`` is fixed and small, each round's frame feeds exactly one
+    consumer, so the whole recurrence has LINEAR lineage and runs as
+    one job — same no-checkpoint argument as
+    :func:`pagerank_integer`'s fixed rounds (an unbounded-diameter
+    traversal would instead reuse the CC loop's snapshot machinery).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("u"),
+                                 F.col(src).alias("v")))
+    # materialized ONCE: the plan references the edge list every round,
+    # and the input is often the product of an expensive similarity
+    # join that must not re-execute per hop (same pattern as the CC
+    # loop's `sym` snapshot)
+    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("hop", F.lit(0).cast("bigint")))
+    for i in range(1, k + 1):
+        frontier = dist.where(F.col("hop") == i - 1)
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"),
+                    F.lit(i).cast("bigint").alias("hop"))
+        )
+        dist = (dist.union(nxt)
+                .groupBy("node").agg(F.min("hop").alias("hop")))
+    return dist
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph —
+    (node, n_tri) for every node that appears in the edge list.
+
+    Cluster-cohesion analytics: on the near-dup similarity graph a
+    doc's triangle count separates tight duplicate cliques from
+    chains of borderline pairs; on a KG it is the local clustering
+    signal.
+
+    The scale-safe degree-ordered form (MR "node-iterator++"): orient
+    every edge from the (degree, id)-smaller endpoint to the larger,
+    so each node's OUT-adjacency is bounded by O(√m) regardless of
+    hubs; wedges come from the self-equi-join of the oriented list on
+    its center (u→v, u→w, v<w in the order), and a wedge is a
+    triangle iff its closing edge (v→w) exists — a third equi-join,
+    never a broadcast of adjacency sets.  Every triangle is found
+    exactly once (its degree-minimal corner), then credited to all
+    three corners with an explode + partial-agg count.
+    """
+    # materialized ONCE: degree census, orientation, wedge join, and
+    # closing-edge check all re-scan this frame — without a cut the
+    # (possibly expensive) upstream edge computation executes 4×
+    und = (
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("n")).union(und.select("b"))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): strict total order, so exactly one
+    # direction per edge and no two-cycle
+    o = (
+        und.join(deg.select(F.col("n").alias("a"),
+                            F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"),
+                         F.col("d").alias("db")), "b")
+        .select(
+            F.when((F.col("da") < F.col("db"))
+                   | ((F.col("da") == F.col("db"))
+                      & (F.col("a") < F.col("b"))),
+                   F.struct(F.col("a").alias("u"), F.col("b").alias("v")))
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e"))
+        .select("e.u", "e.v")
+    )
+    wedges = (
+        o.alias("x").join(o.alias("y"),
+                          (F.col("x.u") == F.col("y.u"))
+                          & (F.col("x.v") < F.col("y.v")))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"),
+                F.col("y.v").alias("w"))
+    )
+    # wedge corners are in id order (v < w), so the closing-edge test
+    # is an equi-join against the id-canonical undirected list itself
+    tri = wedges.join(
+        und.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"], "left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("n"))
+        .groupBy("n").agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.select("n")
+        .join(per_node, "n", "left")
+        .select(F.col("n").alias("node"),
+                F.coalesce("n_tri", F.lit(0)).cast("bigint")
+                .alias("n_tri"))
+    )
+
+
+def mine_rules(facts: DataFrame, min_support: int = 1,
+               max_fanout: int | None = None,
+               conf_scale: int = 1_000_000,
+               subj: str = "subj", pred: str = "pred",
+               obj: str = "obj") -> DataFrame:
+    """AMIE-style composition-rule mining over a (subj, pred, obj) fact
+    table: for every predicate pair, how often does the 2-hop
+    composition  p1(x, y) ∧ p2(y, z)  coincide with a direct fact
+    head(x, z)?  Returns one row per rule
+
+        (p1, p2, head, support, n_body, conf_ppm)
+
+    with AMIE's standard-confidence semantics (Galárraga et al., WWW'13
+    — see PAPERS.md): ``n_body`` = distinct (x, z) endpoint pairs the
+    body derives (two mid-entities yielding the same endpoints count
+    once), ``support`` = how many of those are also a direct ``head``
+    fact, ``conf_ppm`` = support·conf_scale div n_body (integer —
+    cross-engine hashable).  This is the KG-construction quality loop:
+    mined high-confidence compositions become typing/validation rules
+    for the next extraction pass.
+
+    Plan shape (all relational, AQE-splittable): facts are deduped to
+    set semantics (one partial-agg shuffle), the body is a self-equi-
+    join on the shared mid entity, endpoint dedup is a partial agg, and
+    the head probe is one equi-join on (x, z).  The scale hazard is the
+    mid-entity join: a hub y emits in_deg(y)·out_deg(y) paths, so
+    ``max_fanout`` drops mids whose in·out product exceeds the cap
+    BEFORE the join (the ``max_df`` pattern from dedup.py) — the
+    logged drop count makes the approximation explicit, and rules are
+    then mined over the bounded residual graph.
+    """
+    from pyspark import StorageLevel
+
+    # fact set feeds FOUR consumers (body left/right, degree census,
+    # head probe) — persist (spillable) or the upstream extraction
+    # re-executes per consumer; at snapshot scale this would be the
+    # standing Iceberg fact table instead
+    f = (facts.select(F.col(subj).alias("x"), F.col(pred).alias("p"),
+                      F.col(obj).alias("z"))
+         .where(F.col("x").isNotNull() & F.col("z").isNotNull())
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    left = f.select(F.col("x"), F.col("p").alias("p1"),
+                    F.col("z").alias("y"))
+    right = f.select(F.col("x").alias("y"), F.col("p").alias("p2"),
+                     F.col("z"))
+    if max_fanout is not None:
+        import logging
+        deg = (
+            f.select(F.col("z").alias("n")).groupBy("n")
+            .agg(F.count("*").alias("din"))
+            .join(f.select(F.col("x").alias("n")).groupBy("n")
+                  .agg(F.count("*").alias("dout")), "n", "outer")
+            .select("n", F.coalesce("din", F.lit(0)).alias("din"),
+                    F.coalesce("dout", F.lit(0)).alias("dout"))
+        )
+        hot = (deg.where(F.col("din") * F.col("dout") > max_fanout)
+               .select(F.col("n").alias("y"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        logging.getLogger(__name__).info(
+            "mine_rules: max_fanout=%d drops %d hub mid-entities",
+            max_fanout, hot.count())
+        hot = F.broadcast(hot)  # hubs are few by definition
+        left = left.join(hot, "y", "left_anti")
+        right = right.join(hot, "y", "left_anti")
+    # body feeds both the head probe and the per-rule denominator;
+    # its size is bounded by the fanout cap (Σ din·dout over kept mids)
+    body = (left.join(right, "y")
+            .select("p1", "p2", "x", "z").distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    heads = f.select("x", F.col("p").alias("head"), "z")
+    matched = (
+        body.join(heads, ["x", "z"])
+        .groupBy("p1", "p2", "head").agg(F.count("*").alias("support"))
+    )
+    n_body = body.groupBy("p1", "p2").agg(F.count("*").alias("n_body"))
+    return (
+        matched.where(F.col("support") >= min_support)
+        .join(n_body, ["p1", "p2"])
+        .select(
+            "p1", "p2", "head",
+            F.col("support").cast("bigint").alias("support"),
+            F.col("n_body").cast("bigint").alias("n_body"),
+        )
+        .withColumn(
+            "conf_ppm",
+            F.expr(f"(support * CAST({conf_scale} AS BIGINT)) DIV n_body"))
+    )
+
+
 def alias_edges_from_mentions(mentions: DataFrame,
                               surface_col: str = "surface") -> DataFrame:
     """Alias-similarity edges between mention surfaces: two surfaces are

@@ -1553,6 +1553,177 @@ def q_cc_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KHOP_K, KHOP_SEEDS = 3, 30  # seeds vec_id<30: several have LSH-graph
+                            # neighbors at sf0.001 AND sf0.01, so the
+                            # result exercises real hop-1/2/3 layers
+
+@query("graph_khop", oracle=f"""
+WITH RECURSIVE
+{_bucket_cte(CC_LSH_PLANES)},
+edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+sym AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+walk(n, d) AS (
+  SELECT vec_id, 0 FROM e WHERE vec_id < {KHOP_SEEDS}
+  UNION
+  SELECT s.w, walk.d + 1
+  FROM walk JOIN sym s ON s.u = walk.n
+  WHERE walk.d < {KHOP_K})
+SELECT n::BIGINT AS vec_id, min(d)::BIGINT AS hop
+FROM walk GROUP BY n
+""")
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood: exact BFS distances (≤ {KHOP_K} hops) from
+    seed nodes over the LSH-restricted similarity graph — the KG
+    "everything within k relations" query and the dedup blast-radius
+    probe.  Level-synchronous frontier joins with min-hop folding
+    (fixed k → linear lineage, one job); the oracle walks the same
+    graph with a depth-bounded recursive CTE."""
+    from fastie_spark.graph import khop_distances
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    seeds = vecs.where(F.col("vec_id") < KHOP_SEEDS) \
+        .select(F.col("vec_id").alias("node"))
+    kh = khop_distances(edges, seeds, k=KHOP_K)
+    return kh.select(F.col("node").cast("bigint").alias("vec_id"),
+                     F.col("hop").cast("bigint").alias("hop"))
+
+
+@query("graph_triangles", oracle=f"""
+WITH
+{_bucket_cte(CC_LSH_PLANES)},
+und AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS n FROM tri UNION ALL
+  SELECT y FROM tri UNION ALL
+  SELECT z FROM tri),
+cnt AS (SELECT n, count(*) AS c FROM corners GROUP BY n),
+nodes AS (SELECT a AS n FROM und UNION SELECT b FROM und)
+SELECT nodes.n::BIGINT AS vec_id,
+       coalesce(cnt.c, 0)::BIGINT AS n_tri
+FROM nodes LEFT JOIN cnt ON cnt.n = nodes.n
+""")
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the LSH similarity graph —
+    cluster-cohesion analytics (a doc in a tight duplicate clique has
+    many triangles; a chain of borderline pairs has none).  The
+    degree-ordered oriented form: every wedge comes from a bounded
+    out-adjacency self-join, the closing edge is an equi-join, each
+    triangle found exactly once at its degree-minimal corner.  The
+    oracle enumerates id-ordered triangles directly — orientation must
+    not change the set."""
+    from fastie_spark.graph import triangle_counts
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    return triangle_counts(edges).select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.col("n_tri").cast("bigint").alias("n_tri"))
+
+
+RULE_FANOUT_CAP = 400  # binds at sf0.001 AND sf0.01: hot parts/
+                       # suppliers (din·dout > cap) are trimmed, the
+                       # flagship compositions survive
+
+KG_FACTS_SQL = """
+SELECT DISTINCT x, p, z FROM (
+  SELECT 'O:'||o_orderkey AS x, 'by_customer' AS p,
+         'C:'||o_custkey AS z FROM orders
+  UNION ALL SELECT 'C:'||c_custkey, 'in_nation', 'N:'||c_nationkey
+    FROM customer
+  UNION ALL SELECT 'S:'||s_suppkey, 'in_nation', 'N:'||s_nationkey
+    FROM supplier
+  UNION ALL SELECT 'O:'||l_orderkey, 'contains_part', 'P:'||l_partkey
+    FROM lineitem
+  UNION ALL SELECT 'P:'||l_partkey, 'supplied_by', 'S:'||l_suppkey
+    FROM lineitem
+  UNION ALL SELECT 'O:'||l_orderkey, 'sourced_from', 'S:'||l_suppkey
+    FROM lineitem
+  UNION ALL SELECT 'O:'||o_orderkey, 'from_nation', 'N:'||c_nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)"""
+
+
+@query("kg_rules", oracle=f"""
+WITH f AS ({KG_FACTS_SQL}),
+dd AS (SELECT y, sum(din) AS din, sum(dout) AS dout FROM (
+   SELECT z AS y, 1 AS din, 0 AS dout FROM f
+   UNION ALL SELECT x, 0, 1 FROM f) GROUP BY y),
+hot AS (SELECT y FROM dd WHERE din * dout > {RULE_FANOUT_CAP}),
+body AS (
+  SELECT DISTINCT a.p AS p1, b.p AS p2, a.x, b.z
+  FROM f a JOIN f b ON a.z = b.x
+  WHERE a.z NOT IN (SELECT y FROM hot)),
+nb AS (SELECT p1, p2, count(*) AS n_body FROM body GROUP BY p1, p2),
+sup AS (SELECT body.p1, body.p2, f.p AS head, count(*) AS support
+        FROM body JOIN f ON f.x = body.x AND f.z = body.z
+        GROUP BY 1, 2, 3)
+SELECT sup.p1, sup.p2, sup.head, support::BIGINT AS support,
+       n_body::BIGINT AS n_body,
+       (support * 1000000 // n_body)::BIGINT AS conf_ppm
+FROM sup JOIN nb ON sup.p1 = nb.p1 AND sup.p2 = nb.p2
+""")
+def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style rule mining (graph.mine_rules) over a multi-predicate
+    KG built from the relational tables (orders/customer/supplier/
+    lineitem as namespaced entities): which 2-hop predicate
+    compositions coincide with direct facts?  Finds
+    ``by_customer ∧ in_nation ⇒ from_nation`` at confidence 1.0 and
+    ``contains_part ∧ supplied_by ⇒ sourced_from`` at partial
+    confidence — the KG-construction quality loop (mined rules become
+    typing/validation constraints for the next extraction pass).  The
+    hot-mid fanout guard ({RULE_FANOUT_CAP}) BINDS at this scale, so
+    the oracle replays it exactly."""
+    from fastie_spark.graph import mine_rules
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(supplier, ("S", "s_suppkey"), "in_nation",
+                          ("N", "s_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
+                          ("P", "l_partkey")))
+        .unionByName(fact(lineitem, ("P", "l_partkey"), "supplied_by",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(
+            orders.join(customer,
+                        orders["o_custkey"] == customer["c_custkey"]),
+            ("O", "o_orderkey"), "from_nation", ("N", "c_nationkey")))
+    )
+    return mine_rules(facts, min_support=1, max_fanout=RULE_FANOUT_CAP)
+
+
 @query("dedup_lsh_multiprobe", oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 {_bucket_cte_seeded(CC_LSH_PLANES, 0, "0")},
@@ -3162,6 +3333,30 @@ def q_model_ner_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         green r3) — rotated out so the NEW
 #                         model_ner_softmax (float softmax seam,
 #                         rows-only by design) gets driver evidence
+#   pure_pack           — packing layout metadata (green r3); the
+#                         in-window pure_pack_forward CONSUMES the same
+#                         pack_pairs rows end-to-end — its per-pair
+#                         oracle replays the forward from marker
+#                         positions and alignment, so a packing bug
+#                         (marker misplacement, wrong position ids,
+#                         broken alignment) breaks the forward hash —
+#                         rotated out so the NEW graph_khop (BFS
+#                         neighborhood analytics) gets driver evidence
+#   symmetric_close     — U1 swapped-copy union + dedup (green r1-r3);
+#                         the identical symmetrize-and-distinct is the
+#                         first stage of connected_components and
+#                         khop_distances, both in-window
+#                         (cc_components_lsh, graph_khop) — rotated out
+#                         so the NEW graph_triangles (degree-ordered
+#                         triangle analytics) gets driver evidence
+#   kg_merge            — incremental stats fold ≡ full rebuild (green
+#                         r3); the kg_stats/merge_kg_stats machinery
+#                         stays covered by the merge-associativity and
+#                         streaming-KG drain/replay pytests plus the
+#                         CI-gated registry run — rotated out so the
+#                         NEW kg_rules (AMIE-style composition-rule
+#                         mining, the KG quality loop) gets driver
+#                         evidence
 # Rotated BACK into the window this round (VERDICT r3 #7 — no query's
 # last driver check should age past two rounds): ann_topk, dedup_exact,
 # sent_offsets (all last driver-checked r2).
@@ -3178,7 +3373,8 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                   "dedup_simhash", "token_stats", "doc_fingerprint",
                   "model_ner", "model_ner_deep", "kg_nodes", "kg_edges",
                   "cc_components", "segment_revenue", "topk_per_group",
-                  "dedup_minhash_lsh", "ann_ivf_cells"]
+                  "dedup_minhash_lsh", "ann_ivf_cells", "pure_pack",
+                  "symmetric_close", "kg_merge"]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

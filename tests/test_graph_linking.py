@@ -169,3 +169,92 @@ def test_cc_pipeline_never_collects_corpus(spark, monkeypatch):
         assert max(sizes) <= 10, (
             f"{q}: a collect returned {max(sizes)} rows — "
             "driver-side corpus materialization")
+
+
+def test_khop_distances_bfs_layers(spark):
+    """Hand-computed BFS: path 0-1-2-3-4 plus a shortcut 0-3; hop is
+    the SHORTEST distance (node 4 lands at hop 2 via the shortcut,
+    not 4 along the path), the k bound truncates, and unreachable
+    nodes never appear."""
+    from fastie_spark.graph import khop_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (90, 91)],
+        "src: long, dst: long")
+    seeds = spark.createDataFrame([(0,)], "node: long")
+    got = {r["node"]: r["hop"]
+           for r in khop_distances(edges, seeds, k=2).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+    # directed: 3->4 unreachable when only following src->dst from 4
+    seeds4 = spark.createDataFrame([(4,)], "node: long")
+    got_d = {r["node"]: r["hop"]
+             for r in khop_distances(edges, seeds4, k=3,
+                                     directed=True).collect()}
+    assert got_d == {4: 0}
+
+
+def test_khop_multi_seed_min_over_seeds(spark):
+    from fastie_spark.graph import khop_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(0,), (3,)], "node: long")
+    got = {r["node"]: r["hop"]
+           for r in khop_distances(edges, seeds, k=1).collect()}
+    assert got == {0: 0, 3: 0, 1: 1, 2: 1}
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on {0,1,2,3} (every node in 3 triangles), a pendant node 4
+    hanging off it (0 triangles), and a disjoint triangle {7,8,9};
+    duplicate/reversed/self-loop edges must not change counts."""
+    from fastie_spark.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    noise = [(1, 0), (2, 2), (0, 1)]          # reversed dup, self-loop
+    extra = [(3, 4), (7, 8), (8, 9), (9, 7)]
+    edges = spark.createDataFrame(k4 + noise + extra,
+                                  "src: long, dst: long")
+    got = {r["node"]: r["n_tri"]
+           for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 7: 1, 8: 1, 9: 1}
+
+
+def test_mine_rules_hand_graph(spark):
+    """knows-chain KG: the only composition coinciding with a direct
+    fact is knows∧knows ⇒ friend at (a,c); n_body counts DISTINCT
+    endpoint pairs (the duplicate a→c path via e folds into one) and
+    duplicate input fact rows must not change any count."""
+    from fastie_spark.graph import mine_rules
+
+    knows = [("a", "b"), ("b", "c"), ("a", "e"), ("e", "c"),
+             ("c", "f"), ("f", "g")]
+    facts = ([(x, "knows", z) for x, z in knows]
+             + [("a", "friend", "c")]
+             + [("a", "knows", "b"), ("b", "knows", "c")])  # dup rows
+    df = spark.createDataFrame(facts, "subj: string, pred: string, obj: string")
+    got = [tuple(r) for r in mine_rules(df).collect()]
+    # body endpoint pairs: (a,c) [two paths, deduped], (b,f), (c,g), (e,f)
+    assert got == [("knows", "knows", "friend", 1, 4, 250000)]
+
+
+def test_mine_rules_hub_guard_bounds_fanout(spark):
+    """A hub mid-entity h (5 in × 5 out = fanout 25) is dropped when
+    max_fanout=10, leaving only the cold chain's perfect rule; without
+    the guard the hub paths dilute confidence."""
+    from fastie_spark.graph import mine_rules
+
+    facts = ([(f"x{i}", "knows", "h") for i in range(5)]
+             + [("h", "knows", f"y{j}") for j in range(5)]
+             + [("p", "knows", "q"), ("q", "knows", "r"),
+                ("p", "friend", "r")])
+    df = spark.createDataFrame(facts, "subj: string, pred: string, obj: string")
+
+    guarded = [tuple(r) for r in mine_rules(df, max_fanout=10).collect()]
+    assert guarded == [("knows", "knows", "friend", 1, 1, 1000000)]
+
+    unguarded = [tuple(r) for r in mine_rules(df).collect()]
+    assert unguarded == [("knows", "knows", "friend", 1, 26, 38461)]
+
+    assert mine_rules(df, min_support=2, max_fanout=10).count() == 0
