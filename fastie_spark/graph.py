@@ -424,8 +424,9 @@ def mine_rules(facts: DataFrame, min_support: int = 1,
 
         (p1, p2, head, support, n_body, conf_ppm)
 
-    with AMIE's standard-confidence semantics (Galárraga et al., WWW'13
-    — see PAPERS.md): ``n_body`` = distinct (x, z) endpoint pairs the
+    with AMIE's standard-confidence semantics (Galárraga et al.,
+    "AMIE: Association Rule Mining under Incomplete Evidence",
+    WWW'13): ``n_body`` = distinct (x, z) endpoint pairs the
     body derives (two mid-entities yielding the same endpoints count
     once), ``support`` = how many of those are also a direct ``head``
     fact, ``conf_ppm`` = support·conf_scale div n_body (integer —

@@ -258,3 +258,88 @@ def test_mine_rules_hub_guard_bounds_fanout(spark):
     assert unguarded == [("knows", "knows", "friend", 1, 26, 38461)]
 
     assert mine_rules(df, min_support=2, max_fanout=10).count() == 0
+
+
+def test_khop_and_triangles_random_graph_parity(spark):
+    """Seeded Erdős–Rényi graph: khop_distances must equal a plain
+    Python BFS and triangle_counts a brute-force triple loop — the
+    degree-ordered orientation and frontier folding are pure
+    implementation detail."""
+    import itertools
+    import random
+
+    from fastie_spark.graph import khop_distances, triangle_counts
+
+    rng = random.Random(41)
+    n = 60
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.06]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+
+    # brute-force BFS from seeds {0, 1, 2}, depth 3
+    seeds = [0, 1, 2]
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in (1, 2, 3):
+        frontier = {v for u in frontier for v in adj[u]} - set(want)
+        for v in frontier:
+            want[v] = hop
+    got = {r["node"]: r["hop"] for r in khop_distances(
+        df, spark.createDataFrame([(s,) for s in seeds], "node: long"),
+        k=3).collect()}
+    assert got == want
+
+    # brute-force triangles
+    tri = {i: 0 for i in range(n) if adj[i]}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    got_t = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got_t == tri
+
+
+def test_mine_rules_random_facts_parity(spark):
+    """Seeded random fact set: mine_rules must equal the brute-force
+    AMIE enumeration (distinct endpoint pairs per predicate pair,
+    support against the direct-fact set)."""
+    import random
+    from collections import defaultdict
+
+    from fastie_spark.graph import mine_rules
+
+    rng = random.Random(7)
+    ents = [f"e{i}" for i in range(18)]
+    preds = ["p", "q", "r"]
+    facts = {(rng.choice(ents), rng.choice(preds), rng.choice(ents))
+             for _ in range(140)}
+
+    by_subj = defaultdict(list)
+    for x, p, z in facts:
+        by_subj[x].append((p, z))
+    body = defaultdict(set)   # (p1,p2) -> {(x,z)}
+    for x, p1, y in facts:
+        for p2, z in by_subj[y]:
+            body[(p1, p2)].add((x, z))
+    fact_set = set(facts)
+    want = set()
+    for (p1, p2), pairs in body.items():
+        sup = defaultdict(int)
+        for x, z in pairs:
+            for head in preds:
+                if (x, head, z) in fact_set:
+                    sup[head] += 1
+        for head, s in sup.items():
+            want.add((p1, p2, head, s, len(pairs),
+                      s * 1_000_000 // len(pairs)))
+
+    df = spark.createDataFrame(sorted(facts),
+                               "subj: string, pred: string, obj: string")
+    got = {tuple(r) for r in mine_rules(df).collect()}
+    assert got == want
