@@ -84,9 +84,30 @@ def flagship_throughput(spark) -> dict[str, float]:
             "docs_per_sec_e2e": BENCH_DOCS / e2e_sec}
 
 
+def host_firsttouch_probe() -> list[float]:
+    """First-touch memory latency probe: seconds to fault in a fresh
+    32 MB numpy buffer, all 3 trials reported.  This host has
+    documented degradation windows where first-touch runs ~100× slow
+    and inflates whole suites 2-10× with zero code change (see
+    BENCH.md).  Reporting the trials alongside the timings lets
+    cross-round comparisons be qualified: compare rounds only when
+    their probes are in the same regime (healthy: first trial ≈
+    0.02-0.2 s; degraded: ≥ 1 s — later trials always look fast once
+    the page pool warms, which is why the min is NOT reported)."""
+    import numpy as np
+    out = []
+    for _ in range(3):
+        t0 = time.time()
+        np.ones(32 * 1024 * 1024 // 8)
+        out.append(round(time.time() - t0, 4))
+    return out
+
+
 def main() -> None:
     from fastie_spark import get_spark
     from fastie_spark.queries import QUERIES
+
+    probe_pre = host_firsttouch_probe()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -137,6 +158,8 @@ def main() -> None:
         "docs_per_sec": round(fl["docs_per_sec"], 1),
         "docs_per_sec_e2e": round(fl["docs_per_sec_e2e"], 1),
         "bench_docs": BENCH_DOCS,
+        "host_firsttouch_s": {"pre": probe_pre,
+                              "post": host_firsttouch_probe()},
     }))
     spark.stop()
 
