@@ -1,0 +1,134 @@
+"""Deterministic corpus sampling, leakage-safe splits, and exact
+distribution profiles — the training-data curation layer.
+
+A 100 TB corpus is never consumed whole: pipelines draw reproducible
+samples (per-language mixing ratios), carve train/dev/test splits that
+must NOT leak near-duplicates across the boundary, and monitor the
+length distribution per stratum.  All three are deterministic
+functions of the data (portable md5-based hashing, integer rank
+quantiles) so any engine, any partitioning, any re-run produces the
+same rows — the property random() sampling and approximate quantile
+sketches give up.
+
+The reference frames splits as static dataset members
+(``fastie/dataset/base_dataset.py`` DataBundle train/dev/test); at
+corpus scale membership must be computed, not stored, and the near-dup
+contamination guard (``leakage_safe_splits``) is what makes a computed
+split trustworthy for model evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastie_spark.functions.hashing import portable_hash64
+
+SAMPLE_PPM_DEN = 1_000_000
+
+
+def sample_deterministic(df: DataFrame,
+                         fraction_ppm: int | dict[str, int],
+                         key_col: str = "doc_id",
+                         stratum_col: str | None = None,
+                         salt: str = "") -> DataFrame:
+    """Reproducible (stratified) sampling: keep a row iff
+
+        portable_hash64(key || '#' || salt) % 1e6  <  fraction_ppm
+
+    ``fraction_ppm`` is parts-per-million — an integer, so the
+    predicate is exact in every engine.  Pass a dict
+    ``{stratum: ppm}`` with ``stratum_col`` for per-stratum rates
+    (language mixing ratios); strata absent from the dict sample at 0.
+    ``salt`` decouples independent samples of the same corpus (two
+    pipelines sampling 10% each overlap fully at the same salt,
+    independently at different salts).
+
+    Scale shape: a shuffle-free, codegen'd filter on the scan — the
+    sample is decided row-locally, never by a sort or a count, and the
+    same row is kept on every executor layout.  The dict form is a
+    broadcast equi-join against a tiny rates table.
+    """
+    h = portable_hash64(
+        F.concat(F.col(key_col).cast("string"), F.lit("#" + salt)))
+    if isinstance(fraction_ppm, int):
+        return df.where(h % SAMPLE_PPM_DEN < fraction_ppm)
+    if stratum_col is None:
+        raise ValueError("stratified sampling needs stratum_col")
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        sorted(fraction_ppm.items()),
+        f"{stratum_col}: string, _ppm: long")
+    return (
+        df.join(F.broadcast(rates), stratum_col, "inner")
+        .where(h % SAMPLE_PPM_DEN < F.col("_ppm"))
+        .drop("_ppm")
+    )
+
+
+def leakage_safe_splits(docs: DataFrame,
+                        weights: tuple[int, int, int] = (8, 1, 1),
+                        num_hashes: int = 12, bands: int = 4, n: int = 3,
+                        min_jaccard_num: int = 1, min_jaccard_den: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Train/dev/test routing that cannot leak near-duplicates across
+    the split boundary: near-dup clusters (MinHash+LSH candidates →
+    Jaccard verify → connected components, exactly
+    :func:`fastie_spark.operators.dedup.dedup_survivors`) are routed
+    as a UNIT by hashing the cluster's survivor id, so two documents
+    that are ~the same text land in the same split even when their own
+    ids would hash apart — the train/test contamination guard every
+    LLM evaluation needs.  Singleton docs route by their own id (they
+    are their own survivor).  Output: (doc_id, survivor, split).
+    """
+    from fastie_spark.operators.dedup import dedup_survivors
+    from fastie_spark.sources.normalize import assign_splits
+
+    clusters = dedup_survivors(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        min_jaccard_num=min_jaccard_num, min_jaccard_den=min_jaccard_den,
+        text_col=text_col, id_col=id_col)
+    return assign_splits(clusters, key_col="survivor",
+                         weights=weights).select(
+        "doc_id", "survivor", "split")
+
+
+def token_count_quantiles(docs: DataFrame,
+                          percentiles: tuple[int, ...] = (50, 90),
+                          text_col: str = "text",
+                          group_col: str = "lang") -> DataFrame:
+    """EXACT per-group token-count percentiles at corpus scale, via a
+    value histogram rather than a global sort or a sketch.
+
+    Token counts are small integers, so the full distribution per
+    group is a bounded frame: one partial-aggregating shuffle to
+    (group, tok_count, n_docs), then a window cumulative sum over that
+    TINY frame picks the ceil-rank value:
+
+        p_q = min{ v : cum_count(≤v) ≥ ceil(q · total / 100) }
+
+    Exact (no t-digest error bound to explain away), mergeable (the
+    histogram grain re-aggregates under union — same argument as
+    ``kg_stats``), and the window never sees raw documents.  Output:
+    (group, n_docs, p50, p90, …, max_tokens).
+    """
+    hist = (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.size(F.split(F.col(text_col), " ")).alias("v"))
+        .groupBy("grp", "v").agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("total", F.sum("c").over(
+               Window.partitionBy("grp"))))
+    aggs = [F.sum("c").cast("bigint").alias("n_docs")]
+    for q in percentiles:
+        aggs.append(
+            F.min(F.when(F.col("cum") * 100 >= F.col("total") * q,
+                         F.col("v")))
+            .cast("bigint").alias(f"p{q}"))
+    aggs.append(F.max("v").cast("bigint").alias("max_tokens"))
+    return (cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs))

@@ -1,0 +1,110 @@
+"""Training-data curation: deterministic sampling, leakage-safe
+splits, exact distribution profiles (operators/sampling.py)."""
+
+import pytest
+
+from fastie_spark.operators.sampling import (
+    leakage_safe_splits,
+    sample_deterministic,
+    token_count_quantiles,
+)
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(n)],
+        "doc_id: long, lang: string")
+
+
+def test_sample_deterministic_is_a_pure_function(spark):
+    d = _docs(spark)
+    a = sorted(r["doc_id"] for r in
+               sample_deterministic(d, 300_000).collect())
+    b = sorted(r["doc_id"] for r in
+               sample_deterministic(d, 300_000).collect())
+    assert a == b and 0 < len(a) < 400          # same rows every run
+    # repartitioning must not change membership (row-local predicate)
+    c = sorted(r["doc_id"] for r in
+               sample_deterministic(d.repartition(13), 300_000).collect())
+    assert c == a
+    # rate endpoints
+    assert sample_deterministic(d, 0).count() == 0
+    assert sample_deterministic(d, 1_000_000).count() == 400
+    # a larger rate strictly CONTAINS a smaller one (same salt): the
+    # nested-sample property pipelines rely on when upsizing a corpus
+    big = {r["doc_id"] for r in
+           sample_deterministic(d, 600_000).collect()}
+    assert set(a) <= big
+    # different salts decouple membership
+    s2 = sorted(r["doc_id"] for r in
+                sample_deterministic(d, 300_000, salt="other").collect())
+    assert s2 != a
+
+
+def test_sample_stratified_rates(spark):
+    d = _docs(spark)
+    out = sample_deterministic(
+        d, {"en": 1_000_000, "de": 250_000}, stratum_col="lang").collect()
+    en = [r for r in out if r["lang"] == "en"]
+    de = [r for r in out if r["lang"] == "de"]
+    assert len(en) == 200                       # rate 1.0 keeps all
+    assert 20 < len(de) < 80                    # ~50 of 200 at 0.25
+    # a stratum absent from the rate table samples at zero
+    out2 = sample_deterministic(d, {"en": 1_000_000},
+                                stratum_col="lang").collect()
+    assert all(r["lang"] == "en" for r in out2)
+    with pytest.raises(ValueError):
+        sample_deterministic(d, {"en": 1}, stratum_col=None)
+
+
+def test_leakage_safe_splits_route_clusters_as_a_unit(spark):
+    """Near-dup docs must land in the SAME split even when their own
+    ids would hash apart; singletons route exactly as assign_splits
+    would route their own id."""
+    from fastie_spark.sources.normalize import assign_splits
+
+    # ids 0..39: 20 exact-dup pairs with pairwise-DISJOINT vocabularies
+    # (cross-pair Jaccard 0) — with 20 pairs, some pair's members hash
+    # to DIFFERENT splits on their own ids, which is exactly what the
+    # guard must override
+    rows = []
+    for k in range(20):
+        text = " ".join(f"w{k}t{i}" for i in range(15))
+        rows += [(2 * k, text), (2 * k + 1, text)]
+    rows += [(100 + i, f"unique text number {i} " + "w" * i)
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    out = {r["doc_id"]: (r["survivor"], r["split"])
+           for r in leakage_safe_splits(docs, num_hashes=12, bands=12,
+                                        min_jaccard_num=1,
+                                        min_jaccard_den=3).collect()}
+    assert len(out) == 46
+    own = {r["doc_id"]: r["split"]
+           for r in assign_splits(
+               spark.createDataFrame([(i,) for i in range(46)]
+                                     + [(100 + i,) for i in range(6)],
+                                     "doc_id: long"),
+               key_col="doc_id").collect()}
+    overridden = 0
+    for k in range(20):
+        a, b = out[2 * k], out[2 * k + 1]
+        assert a == b == (2 * k, own[2 * k])    # pair routes by survivor
+        if own[2 * k + 1] != own[2 * k]:
+            overridden += 1
+    assert overridden > 0   # the guard actually changed some routing
+    for i in range(6):
+        assert out[100 + i] == (100 + i, own[100 + i])  # singletons
+
+
+def test_token_count_quantiles_hand_distribution(spark):
+    docs = spark.createDataFrame(
+        [("a", "w"), ("a", "w w"), ("a", "w w w"), ("a", "w w w w"),
+         ("a", " ".join(["w"] * 100)),
+         ("b", "x x"), ("b", "x x")],
+        "lang: string, text: string")
+    got = {r["lang"]: (r["n_docs"], r["p50"], r["p90"], r["max_tokens"])
+           for r in token_count_quantiles(docs).collect()}
+    # group a: counts [1,2,3,4,100] — p50 = ceil(2.5)=3rd smallest = 3,
+    # p90 = ceil(4.5)=5th = 100 (exact, not interpolated)
+    assert got == {"a": (5, 3, 100, 100), "b": (2, 2, 2, 2)}
