@@ -1,0 +1,184 @@
+"""F6 — the PURE entity model's span-embedding gather/concat forward.
+
+Closes the last SURVEY §2 row.  The reference's ``PURESpanModel``
+builds, for every candidate span, the concatenation of the encoder
+hidden state at the span's LEFT endpoint, the hidden state at its
+RIGHT endpoint, and a learned WIDTH embedding, then classifies that
+concat and drops ``None`` spans at decode
+(``/root/reference/fastie/tasks/re/pure/pure_model.py:39-66`` —
+``torch.cat((start_states, end_states, width_embedding))`` — and the
+``none_id`` drop at ``pure_model.py:108-126``).
+
+The seam here is the same one every model in this engine uses
+(broadcast frozen int64 weights + ``mapInPandas`` Arrow batches,
+model_ner.py): the NEW content of this module is precisely what F6
+was red for — the per-span endpoint GATHER and the width-embedding
+concat.  Because a linear layer over a concatenation decomposes into
+a sum of three blocks, the score is
+
+    score[c] = Σ_d WL[c,d]·h(tok[start])[d]
+             + Σ_d WR[c,d]·h(tok[end-1])[d]
+             + Σ_k WW[c,k]·ww(width)[k]
+
+with ``h`` the hashed integer embedding standing in for the encoder
+output (depth-0; contextual depth is exercised separately by
+``AttnTokenClassifier``), ``ww`` the width-embedding TABLE (indexed
+by span width, exactly ``nn.Embedding(max_span_length + 1, …)`` at
+``pure_model.py:31-32``), and WL/WR/WW the three blocks of the
+classifier matrix.  All integer math → bit-exact across the NumPy
+kernel, the eager twin, and the DuckDB oracle.
+
+Spans are right-exclusive ``(start, end)`` with ``width = end -
+start`` (the engine-wide convention); the right endpoint token is
+``tokens[end - 1]``, mirroring the reference's inclusive
+``right_end`` gather.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+from fastie_spark.extraction.model_ner import (
+    DEFAULT_LABELS,
+    EMB_DIM,
+    _coef,
+    embed_tokens,
+)
+
+#: width-embedding dimension (reference default 150, scaled to the
+#: integer-seam sizes used engine-wide)
+WIDTH_DIM = 4
+#: entity tag set shape of the PURE span model ('None' = id 0 is
+#: dropped at decode, pure_model.py:118-126)
+SPAN_LABELS = ["None", "CLASS", "FUNC", "VAR", "MOD"]
+
+
+def width_embedding(max_span_len: int, wdim: int = WIDTH_DIM):
+    """The (max_span_len + 1) × wdim width-embedding table
+    ww[w, k] = H('ww<w>k<k>') — row 0 unused, widths are ≥ 1
+    (nn.Embedding(max_span_length + 1, …), pure_model.py:31-32)."""
+    import numpy as np
+
+    return np.array(
+        [[_coef(f"ww{w}k{k}") for k in range(wdim)]
+         for w in range(max_span_len + 1)],
+        dtype=np.int64)
+
+
+def span_weights(n_labels: int, dim: int = EMB_DIM, wdim: int = WIDTH_DIM):
+    """The three blocks of the classifier over the concat:
+    WL[c,d]=H('sLc<c>d<d>'), WR[c,d]=H('sRc<c>d<d>'),
+    WW[c,k]=H('sWc<c>k<k>')."""
+    import numpy as np
+
+    wl = np.array([[_coef(f"sLc{c}d{d}") for d in range(dim)]
+                   for c in range(n_labels)], dtype=np.int64)
+    wr = np.array([[_coef(f"sRc{c}d{d}") for d in range(dim)]
+                   for c in range(n_labels)], dtype=np.int64)
+    ww = np.array([[_coef(f"sWc{c}k{k}") for k in range(wdim)]
+                   for c in range(n_labels)], dtype=np.int64)
+    return wl, wr, ww
+
+
+def eager_span_tag(tokens: list[str], max_span_len: int,
+                   labels: list[str] = SPAN_LABELS,
+                   dim: int = EMB_DIM,
+                   wdim: int = WIDTH_DIM) -> list[tuple[int, int, int]]:
+    """Single-process eager twin: all (start, end, tag) spans with
+    width ≤ max_span_len and tag != 0 ('None' dropped at decode)."""
+    nc = len(labels)
+    out = []
+    n = len(tokens)
+    for s in range(n):
+        for e in range(s + 1, min(s + max_span_len, n) + 1):
+            w = e - s
+            hl = [_coef(f"e{d}#{tokens[s]}") for d in range(dim)]
+            hr = [_coef(f"e{d}#{tokens[e - 1]}") for d in range(dim)]
+            we = [_coef(f"ww{w}k{k}") for k in range(wdim)]
+            scores = [
+                sum(_coef(f"sLc{c}d{d}") * hl[d] for d in range(dim))
+                + sum(_coef(f"sRc{c}d{d}") * hr[d] for d in range(dim))
+                + sum(_coef(f"sWc{c}k{k}") * we[k] for k in range(wdim))
+                for c in range(nc)
+            ]
+            tag = max(range(nc), key=lambda c: (scores[c], -c))
+            if tag != 0:
+                out.append((s, e, tag))
+    return out
+
+
+class SpanClassifier:
+    """PURE span model through the broadcast + mapInPandas seam.
+
+    Per Arrow batch the kernel builds TWO unique-vocab score tables
+    (emb @ WLᵀ and emb @ WRᵀ, each V × C — the batched analogue of
+    gathering encoder states at the two endpoints) plus the tiny
+    width table (ww @ WWᵀ, precomputed on the driver and broadcast),
+    then per sentence scores every width-w span as one vectorized
+    add of three lookups — no per-span Python."""
+
+    def __init__(self, labels: list[str] = SPAN_LABELS,
+                 max_span_len: int = 4, dim: int = EMB_DIM,
+                 wdim: int = WIDTH_DIM):
+        import numpy as np
+
+        self.labels = list(labels)
+        self.max_span_len = max_span_len
+        self.dim = dim
+        self.wl, self.wr, self.ww = span_weights(len(self.labels), dim, wdim)
+        # (max_span_len + 1, C): width-block scores, width-indexed
+        self.wscore = width_embedding(max_span_len, wdim) @ self.ww.T
+        assert self.wscore.dtype == np.int64
+
+    def transform(self, sentences: DataFrame) -> DataFrame:
+        """Sentence rows (doc_key, sent_id, tokens) → one row per
+        predicted (non-'None') span: (doc_key, sent_id, start, end,
+        width, tag)."""
+        import numpy as np
+        import pandas as pd
+
+        spark = sentences.sparkSession
+        bc = spark.sparkContext.broadcast((self.wl, self.wr, self.wscore))
+        dim, maxw = self.dim, self.max_span_len
+        schema = ("doc_key string, sent_id int, start int, end int, "
+                  "width int, tag int")
+
+        def forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wl, wr, wscore = bc.value
+            for pdf in batches:
+                vocab: dict[str, int] = {}
+                for toks in pdf["tokens"]:
+                    for t in toks:
+                        if t not in vocab:
+                            vocab[t] = len(vocab)
+                if not vocab:
+                    continue
+                emb = embed_tokens(list(vocab), dim)     # (V, dim)
+                lsc = emb @ wl.T                         # (V, C) left block
+                rsc = emb @ wr.T                         # (V, C) right block
+                rows: list[tuple] = []
+                for dk, sid, toks in zip(pdf["doc_key"], pdf["sent_id"],
+                                         pdf["tokens"]):
+                    n = len(toks)
+                    if n == 0:
+                        continue
+                    ids = np.fromiter((vocab[t] for t in toks),
+                                      dtype=np.int64, count=n)
+                    for w in range(1, min(maxw, n) + 1):
+                        # spans [s, s+w) for all s at once: gather the
+                        # left-endpoint and right-endpoint score rows
+                        sc = lsc[ids[:n - w + 1]] + rsc[ids[w - 1:]] \
+                            + wscore[w]                  # (n-w+1, C)
+                        tags = np.argmax(sc, axis=1)     # first max = low c
+                        keep = np.flatnonzero(tags != 0)
+                        for s in keep:
+                            rows.append((dk, int(sid), int(s), int(s) + w,
+                                         w, int(tags[s])))
+                if rows:
+                    yield pd.DataFrame(rows, columns=[
+                        "doc_key", "sent_id", "start", "end", "width",
+                        "tag"])
+
+        return sentences.mapInPandas(forward, schema=schema)

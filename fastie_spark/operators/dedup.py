@@ -585,3 +585,48 @@ def simhash_pairs_banded(docs: DataFrame, max_hamming: int = 8,
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap guard)
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Flag corpus docs that share any word n-gram with a benchmark set
+    — the eval-contamination guard every LLM training pipeline runs
+    before training (the n-gram variant of GPT-3 appendix C /
+    the "exact substring" decontamination of training-data practice).
+
+    Returns one row per CONTAMINATED corpus doc:
+    (doc_id, n_hits = distinct overlapping n-grams,
+     n_bench_docs = distinct benchmark docs hit).
+
+    Scale shape: the benchmark side is tiny (MBs of eval sets vs TBs
+    of corpus), so its distinct shingle hashes BROADCAST; the corpus
+    side is shingled in-row and joined with no corpus-wide shuffle of
+    text — only 8-byte hashes and ids move, and only for matching
+    shingles.  The corpus is never collected or re-keyed.
+    """
+    bs = (
+        shingles(bench, n, text_col, id_col)
+        .select(
+            F.col(id_col).alias("bench_doc_id"),
+            portable_hash64(F.col("shingle")).alias("h"),
+        )
+        .distinct()
+    )
+    cs = shingles(docs, n, text_col, id_col).select(
+        F.col(id_col),
+        portable_hash64(F.col("shingle")).alias("h"),
+    )
+    return (
+        cs.join(F.broadcast(bs), "h")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("h").cast("bigint").alias("n_hits"),
+            F.countDistinct("bench_doc_id").cast("bigint")
+            .alias("n_bench_docs"),
+        )
+    )

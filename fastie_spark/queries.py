@@ -974,6 +974,86 @@ def q_model_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# F6 — PURE span-embedding gather/concat forward (the last §2 row)
+# ---------------------------------------------------------------------------
+
+SPAN_NL = 5    # len(span_model.SPAN_LABELS); 'None' = 0 dropped at decode
+SPAN_WDIM = 4  # width-embedding dim
+
+@query("pure_span_ner", oracle=f"""
+WITH {TOKS_CTE},
+vocab AS (SELECT DISTINCT token FROM toks),
+lsc AS (
+  SELECT token, c.c AS c,
+         sum((({duck_hash64_sql("'sLc' || c.c || 'd' || d.d")} % 2001) - 1000)
+           * (({duck_hash64_sql("'e' || d.d || '#' || token")} % 2001) - 1000))
+             AS s
+  FROM vocab, generate_series(0, {SPAN_NL - 1}) c(c),
+       generate_series(0, {MODEL_DIM - 1}) d(d)
+  GROUP BY token, c.c),
+rsc AS (
+  SELECT token, c.c AS c,
+         sum((({duck_hash64_sql("'sRc' || c.c || 'd' || d.d")} % 2001) - 1000)
+           * (({duck_hash64_sql("'e' || d.d || '#' || token")} % 2001) - 1000))
+             AS s
+  FROM vocab, generate_series(0, {SPAN_NL - 1}) c(c),
+       generate_series(0, {MODEL_DIM - 1}) d(d)
+  GROUP BY token, c.c),
+wsc AS (
+  SELECT w.w AS width, c.c AS c,
+         sum((({duck_hash64_sql("'sWc' || c.c || 'k' || k.k")} % 2001) - 1000)
+           * (({duck_hash64_sql("'ww' || w.w || 'k' || k.k")} % 2001) - 1000))
+             AS s
+  FROM generate_series(1, {SPAN_L}) w(w),
+       generate_series(0, {SPAN_NL - 1}) c(c),
+       generate_series(0, {SPAN_WDIM - 1}) k(k)
+  GROUP BY w.w, c.c),
+spans0 AS (
+  SELECT a.doc_id, a.pos AS start, (a.pos + w.w)::BIGINT AS e,
+         w.w AS width, a.token AS ltok,
+         (a.pos + w.w - 1)::BIGINT AS rpos
+  FROM toks a
+  JOIN generate_series(1, {SPAN_L}) w(w) ON a.pos + w.w <= a.n),
+spans AS (
+  SELECT sp.doc_id, sp.start, sp.e, sp.width, sp.ltok, b.token AS rtok
+  FROM spans0 sp JOIN toks b
+    ON b.doc_id = sp.doc_id AND b.pos = sp.rpos),
+ranked AS (
+  SELECT sp.doc_id, sp.start, sp.e, l.c,
+         row_number() OVER (PARTITION BY sp.doc_id, sp.start, sp.e
+                            ORDER BY (l.s + r.s + ws.s) DESC, l.c) AS rn
+  FROM spans sp
+  JOIN lsc l ON l.token = sp.ltok
+  JOIN rsc r ON r.token = sp.rtok AND r.c = l.c
+  JOIN wsc ws ON ws.width = sp.width AND ws.c = l.c)
+SELECT doc_id, c::BIGINT AS tag, count(*)::BIGINT AS n_spans,
+       sum(start)::BIGINT AS sum_start, sum(e)::BIGINT AS sum_end
+FROM ranked WHERE rn = 1 AND c <> 0
+GROUP BY doc_id, c
+""")
+def q_pure_span_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — the PURE span model's endpoint-gather + width-embedding
+    concat forward (pure_model.py:39-66) through the broadcast +
+    mapInPandas seam: every width-≤L span scored as WL·h(start) +
+    WR·h(end-1) + WW·ww(width), argmax class, 'None' dropped at decode
+    (pure_model.py:108-126).  The oracle replays the gather per span
+    (vocab-level score tables joined back on the two endpoint tokens —
+    the same factoring the kernel uses); any single span's tag flip
+    moves two (doc, tag) groups."""
+    from fastie_spark.extraction.span_model import SpanClassifier
+    s = _doc_sentences(spark, sf_dir)
+    spans = SpanClassifier(max_span_len=SPAN_L).transform(s)
+    return spans.groupBy(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("tag").cast("bigint").alias("tag"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("start").cast("bigint").alias("sum_start"),
+        F.sum("end").cast("bigint").alias("sum_end"),
+    )
+
+
 # ===========================================================================
 # training-data ops (engine additions): dedup, similarity, text analysis
 # ===========================================================================
@@ -3230,6 +3310,45 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                            num_hashes=MH_K, bands=MH_BANDS, n=3,
                            min_jaccard_num=DSV_NUM,
                            min_jaccard_den=DSV_DEN)
+
+
+@query("decontaminate", oracle=f"""
+WITH routed AS (
+  SELECT doc_id, text,
+         {duck_hash64_sql("doc_id::VARCHAR")} % 10 AS b
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, b,
+         {duck_hash64_sql("array_to_string(l[i : i + 2], ' ')")} AS h
+  FROM (SELECT doc_id, b, l,
+               unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i
+        FROM (SELECT doc_id, b, string_split(text, ' ') AS l
+              FROM routed))),
+bench AS (SELECT DISTINCT doc_id AS bench_doc_id, h FROM sh WHERE b >= 9),
+tr AS (SELECT doc_id, h FROM sh WHERE b < 8)
+SELECT t.doc_id::BIGINT AS doc_id,
+       count(DISTINCT t.h)::BIGINT AS n_hits,
+       count(DISTINCT bb.bench_doc_id)::BIGINT AS n_bench_docs
+FROM tr t JOIN bench bb USING (h)
+GROUP BY t.doc_id
+""")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split docs sharing any word
+    3-gram with the test-split benchmark are flagged with hit counts —
+    the eval-contamination guard a real pretraining pipeline runs
+    before every training job.  The benchmark's distinct shingle
+    hashes broadcast (eval sets are MBs; the corpus is TBs), the
+    corpus side shingles in-row and is never re-shuffled; composes
+    the P2 hash router with the dedup shingle machinery."""
+    from fastie_spark.operators.dedup import decontaminate
+    from fastie_spark.sources.normalize import assign_splits
+    routed = assign_splits(_documents(spark, sf_dir), key_col="doc_id",
+                           weights=(8, 1, 1))
+    out = decontaminate(routed.filter(F.col("split") == "train"),
+                        routed.filter(F.col("split") == "test"), n=3)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_hits", "n_bench_docs")
 
 
 @query("model_ner_softmax")  # rows-only: float softmax has no hash

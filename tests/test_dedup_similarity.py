@@ -453,3 +453,37 @@ def test_dedup_survivors_transitive_clusters(spark):
     # the whole chain 0≈1≈2≈3≈4 collapses to survivor 0
     assert {out[i] for i in range(5)} == {(0, 5)}
     assert out[5] == (5, 1)                    # singleton keeps itself
+
+
+def test_decontaminate_flags_planted_ngram_overlap(spark):
+    """Benchmark decontamination: a train doc that embeds an eval
+    doc's 3-gram is flagged with exact hit counts; clean docs are
+    absent; the benchmark side reaches the join as a BROADCAST (the
+    corpus is never re-shuffled for an MB-sized eval set)."""
+    from fastie_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"),
+         (101, "pack my box with liquor jugs")],
+        "doc_id: long, text: string")
+    docs = spark.createDataFrame(
+        [(0, "intro text then the quick brown fox appears here"),
+         (1, "pack my box with liquor jugs copied verbatim"),
+         (2, "entirely clean document about spark shuffles"),
+         (3, "quick brown fox jumps twice quick brown fox jumps")],
+        "doc_id: long, text: string")
+
+    out = {r["doc_id"]: (r["n_hits"], r["n_bench_docs"])
+           for r in decontaminate(docs, bench, n=3).collect()}
+    assert set(out) == {0, 1, 3}               # doc 2 is clean
+    # doc 0 shares exactly 'the quick brown' + 'quick brown fox'
+    assert out[0] == (2, 1)
+    # doc 1 shares all 4 bench 3-grams of doc 101
+    assert out[1] == (4, 1)
+    # doc 3: 'quick brown fox' + 'brown fox jumps' (distinct hashes,
+    # even though each occurs twice in the doc)
+    assert out[3] == (2, 1)
+
+    plan = decontaminate(docs, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

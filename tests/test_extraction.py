@@ -533,3 +533,53 @@ def test_softmax_attn_seam_tolerance_parity(spark):
     got2 = {r["doc_key"]: list(r["tag_pred"])
             for r in tiny.transform(df).collect()}
     assert got2 == got
+
+
+def test_span_classifier_seam_matches_eager_and_gathers_endpoints(spark):
+    """F6 (PURE span model): the distributed endpoint-gather forward
+    equals the eager twin span-for-span, and the RIGHT endpoint
+    genuinely binds — editing the last token of a sentence may only
+    change spans that END there (the gather property; a bug that
+    scored every span from its left token alone would pass a
+    counts-only check)."""
+    from fastie_spark.extraction.span_model import (
+        SpanClassifier,
+        eager_span_tag,
+    )
+
+    sents = [
+        ("d0", 0, "SparkEngine calls GraphBuilder with numpy arrays".split()),
+        ("d1", 0, "def parse_config loads the index".split()),
+        ("d2", 0, ["one"]),
+        ("d3", 0, []),
+    ]
+    df = spark.createDataFrame(
+        sents, "doc_key string, sent_id int, tokens array<string>")
+    model = SpanClassifier(max_span_len=3)
+    got = {}
+    for r in model.transform(df).collect():
+        got.setdefault(r["doc_key"], set()).add(
+            (r["start"], r["end"], r["tag"]))
+        assert r["width"] == r["end"] - r["start"]
+    for key, _, toks in sents:
+        want = set(eager_span_tag(toks, max_span_len=3))
+        assert got.get(key, set()) == want, key
+
+    # gather property: perturb only the final token of d0
+    toks0 = sents[0][2]
+    toks1 = toks0[:-1] + ["tensors"]
+    base = set(eager_span_tag(toks0, max_span_len=3))
+    edit = set(eager_span_tag(toks1, max_span_len=3))
+    n = len(toks0)
+    for s, e, tag in base ^ edit:  # every differing span touches pos n-1
+        assert e == n, (s, e, tag)
+    df1 = spark.createDataFrame(
+        [("d0", 0, toks1)], "doc_key string, sent_id int, tokens array<string>")
+    got1 = {(r["start"], r["end"], r["tag"])
+            for r in model.transform(df1).collect()}
+    assert got1 == edit
+
+    # the plan is the Arrow seam, not per-row Python
+    plan = model.transform(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" in plan
