@@ -1,0 +1,159 @@
+"""Distributed BPE tokenizer TRAINING (merge-pair learning).
+
+F2 covers subword *inference* (the greedy WordPiece matcher,
+functions/subword.py); this module adds the training side a
+large-scale pipeline needs: learn the byte-pair-encoding merge table
+from the corpus itself (Sennrich et al. 2016 — the algorithm behind
+GPT/Llama tokenizers), as a Spark job.
+
+Shape, and why it scales:
+
+* the corpus is touched ONCE — a word-frequency aggregation with
+  map-side partial combine; every subsequent round runs at
+  **vocabulary grain** (distinct words, ~100M rows at 100 TB — the
+  same vocabulary factoring as extraction/training.py);
+* each round = one pair-count aggregation over in-row adjacent-pair
+  enumeration + ONE single-row driver collect (the argmax pair —
+  the same bounded driver traffic as the training loop's gradient);
+* merge application is an in-row JVM ``aggregate`` fold (greedy
+  leftmost, overlap-safe for x==y runs) — no Python in the loop.
+
+Determinism: ties in pair counts break on (count DESC, x ASC, y ASC),
+so the learned merge table is a pure function of the corpus — the
+DuckDB oracle replays every round (pair counts → argmax → a
+recursive-CTE greedy merge) bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def char_split_expr(col: str) -> str:
+    """word → array of single characters (empty-safe: Spark's
+    sequence(1, 0) is DESCENDING, so the empty word needs a guard)."""
+    return (f"case when length({col}) = 0 then cast(array() as "
+            f"array<string>) else transform(sequence(1, length({col})), "
+            f"i -> substring({col}, i, 1)) end")
+
+
+def adjacent_pairs_expr(sym_col: str = "sym") -> str:
+    """symbol list → array<struct<x,y>> of adjacent pairs (all
+    positions, overlapping x==x runs included — the standard BPE
+    count)."""
+    return (f"case when size({sym_col}) < 2 then cast(array() as "
+            f"array<struct<x:string,y:string>>) else "
+            f"transform(sequence(0, size({sym_col}) - 2), "
+            f"i -> struct({sym_col}[i] as x, {sym_col}[i+1] as y)) end")
+
+
+def merge_fold_expr(x: str, y: str, sym_col: str = "sym") -> str:
+    """Greedy leftmost application of merge (x, y) as a pure SQL fold:
+    state = (out, pending); a pending x followed by y emits the merged
+    symbol and clears — so overlapping occurrences in an x==y run
+    collapse pairwise, exactly like the eager BPE reference loop."""
+    xq, yq, xyq = _sql_quote(x), _sql_quote(y), _sql_quote(x + y)
+    return f"""
+    aggregate({sym_col},
+      struct(cast(array() as array<string>) as out,
+             cast(null as string) as pend),
+      (acc, s) -> case
+         when acc.pend is null then struct(acc.out as out, s as pend)
+         when acc.pend = '{xq}' and s = '{yq}'
+           then struct(concat(acc.out, array('{xyq}')) as out,
+                       cast(null as string) as pend)
+         else struct(concat(acc.out, array(acc.pend)) as out,
+                     s as pend) end,
+      acc -> case when acc.pend is null then acc.out
+                  else concat(acc.out, array(acc.pend)) end)
+    """
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 3,
+              text_col: str = "text") -> tuple[list[tuple], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns (merges, words): ``merges`` = [(step, x, y, pair_count)]
+    in learning order; ``words`` = the final vocabulary-grain frame
+    (word, cnt, sym) with every word segmented under the learned
+    merge table.
+
+    The per-round persist keeps each round's plan flat (the fold
+    expressions would otherwise nest n_merges deep); at cluster scale
+    the per-round snapshot goes through plans/checkpoint.py exactly
+    like the trainer's epoch state — the frame is vocabulary-grain
+    either way, never the corpus.
+    """
+    words = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("sym", F.expr(char_split_expr("word")))
+        .persist()
+    )
+    words.count()
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            words.select("cnt", F.explode(
+                F.expr(adjacent_pairs_expr())).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("cnt").cast("bigint").alias("pcnt"))
+            .orderBy(F.desc("pcnt"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            log.warning("bpe_train: no pairs left after %d merges",
+                        step - 1)
+            break
+        x, y, pcnt = best[0]["x"], best[0]["y"], int(best[0]["pcnt"])
+        merges.append((step, x, y, pcnt))
+        nxt = words.withColumn("sym", F.expr(merge_fold_expr(x, y))) \
+            .persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    return merges, words
+
+
+def eager_bpe_train(word_counts: dict[str, int],
+                    n_merges: int = 3) -> tuple[list[tuple], dict]:
+    """Single-process eager twin over a word-frequency dict."""
+    seg = {w: list(w) for w in word_counts if w}
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, sym in seg.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        (x, y), pcnt = min(counts.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, x, y, pcnt))
+        for w, sym in seg.items():
+            out, pend = [], None
+            for s in sym:
+                if pend is None:
+                    pend = s
+                elif pend == x and s == y:
+                    out.append(x + y)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            seg[w] = out
+    return merges, seg

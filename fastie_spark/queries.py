@@ -3351,6 +3351,101 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits", "n_bench_docs")
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (functions/bpe.py) — the training side of F2
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """Unrolled DuckDB replay of ``bpe_train``: per round, pair counts
+    over the current segmentation → (count DESC, x, y) argmax → a
+    recursive-CTE greedy-leftmost merge producing the next
+    segmentation.  Returns the CTE chain ending at sym<n_merges>."""
+    parts = ["""words AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word)""", """sym0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(range(1, length(word) + 1),
+                        i -> substring(word, i, 1)) AS sym,
+         length(word) AS n
+  FROM words)"""]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f"""pc{r} AS MATERIALIZED (
+  SELECT sym[i] AS x, sym[i + 1] AS y, sum(cnt) AS pcnt
+  FROM (SELECT cnt, sym,
+               unnest(generate_series(1, len(sym) - 1)) AS i
+        FROM sym{p})
+  GROUP BY 1, 2)""")
+        parts.append(f"""best{r} AS MATERIALIZED (
+  SELECT x, y, pcnt FROM pc{r} ORDER BY pcnt DESC, x, y LIMIT 1)""")
+        parts.append(f"""m{r}(word, i, out) AS (
+  SELECT word, 1, []::VARCHAR[] FROM sym{p}
+  UNION ALL
+  SELECT m.word,
+         CASE WHEN m.i < b.n AND b.sym[m.i] = bb.x
+                   AND b.sym[m.i + 1] = bb.y
+              THEN m.i + 2 ELSE m.i + 1 END,
+         CASE WHEN m.i < b.n AND b.sym[m.i] = bb.x
+                   AND b.sym[m.i + 1] = bb.y
+              THEN list_append(m.out, bb.x || bb.y)
+              ELSE list_append(m.out, b.sym[m.i]) END
+  FROM m{r} m JOIN sym{p} b USING (word), best{r} bb
+  WHERE m.i <= b.n)""")
+        parts.append(f"""sym{r} AS MATERIALIZED (
+  SELECT m.word, b.cnt, m.out AS sym, len(m.out) AS n
+  FROM m{r} m JOIN sym{p} b USING (word) WHERE m.i > b.n)""")
+    return ",\n".join(parts)
+
+
+@query("bpe_train", oracle="WITH RECURSIVE " + _bpe_oracle_ctes(BPE_MERGES)
+       + "\n" + "\nUNION ALL ".join(
+           f"SELECT {r}::BIGINT AS step, x, y, pcnt::BIGINT AS pair_cnt "
+           f"FROM best{r}" for r in range(1, BPE_MERGES + 1)))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as a Spark job (the training side of F2's
+    WordPiece inference): corpus touched once for word counts, then
+    every merge round runs at vocabulary grain — one pair-count
+    aggregation + a single-row argmax collect per round, merge
+    application as an in-row JVM fold.  The oracle replays all rounds,
+    so a wrong count, tie-break, or greedy-merge application in ANY
+    round breaks the hash."""
+    from fastie_spark.functions.bpe import bpe_train
+    merges, words = bpe_train(_documents(spark, sf_dir),
+                              n_merges=BPE_MERGES)
+    words.unpersist()
+    return spark.createDataFrame(
+        [(int(s), x, y, int(c)) for s, x, y, c in merges],
+        "step bigint, x string, y string, pair_cnt bigint")
+
+
+@query("bpe_segment", oracle="WITH RECURSIVE "
+       + _bpe_oracle_ctes(BPE_MERGES) + f"""
+SELECT word, cnt::BIGINT AS cnt, len(sym)::BIGINT AS n_sym,
+       array_to_string(sym, '|') AS seg
+FROM sym{BPE_MERGES} ORDER BY cnt DESC, word LIMIT 50
+""")
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE table APPLIED: top-50 corpus words by frequency
+    with their final segmentations — verifies the greedy-leftmost
+    merge application (incl. overlapping x==x runs) end-to-end, not
+    just the learned pairs."""
+    from fastie_spark.functions.bpe import bpe_train
+    _, words = bpe_train(_documents(spark, sf_dir), n_merges=BPE_MERGES)
+    out = (
+        words.select(
+            "word", F.col("cnt").cast("bigint").alias("cnt"),
+            F.size("sym").cast("bigint").alias("n_sym"),
+            F.array_join("sym", "|").alias("seg"))
+        .orderBy(F.desc("cnt"), "word").limit(50)
+    )
+    words.unpersist()
+    return out
+
+
 @query("model_ner_softmax")  # rows-only: float softmax has no hash
 def q_model_ner_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLOAT softmax attention through the padded-batch seam — the
@@ -3597,7 +3692,26 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                   "cc_components", "segment_revenue", "topk_per_group",
                   "dedup_minhash_lsh", "ann_ivf_cells", "pure_pack",
                   "symmetric_close", "kg_merge", "split_route",
-                  "tokenize", "span_enum"]
+                  "tokenize", "span_enum",
+                  # rotated out THIS round to fund the four new ops
+                  # (pure_span_ner, decontaminate, bpe_train,
+                  # bpe_segment) while keeping the r4 curation trio
+                  # (sample_stratified, split_leakage_safe,
+                  # corpus_profile) driver-checked:
+                  "model_ner_attn",     # superseded: in-window
+                                        # model_ner_attn2 replays BOTH
+                                        # blocks (block 1 identical)
+                  "lang_accuracy",      # A5 accuracy shape, green
+                                        # r1-r3; same masked-average
+                                        # inside re_metric pytests
+                  "events_tumbling",    # green r1-r3; sessionize stays
+                                        # in-window, streaming pytests
+                                        # cover the watermark twin
+                  "model_ner_softmax",  # rows-only by design - a
+                                        # window slot adds no hash
+                                        # evidence; tolerance pytest
+                                        # is the real gate
+                  ]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

@@ -105,3 +105,33 @@ def test_greedy_pieces_through_alignment(spark):
     assert r["wp_start"] == [1, 3, 4]          # +1 CLS shift
     assert r["wp_end"] == [3, 4, 5]
     assert r["wp2token"] == [0, 0, 1, 2]
+
+
+def test_bpe_train_matches_eager_and_handles_overlap_runs(spark):
+    """BPE merge learning: the distributed loop (vocab-grain pair
+    counts + single-row argmax collect + JVM fold application) equals
+    the eager reference round-for-round, including the greedy-leftmost
+    collapse of overlapping x==x runs ('aaaa' → 'aa','aa') and the
+    (count DESC, x, y) tie-break."""
+    from fastie_spark.functions.bpe import bpe_train, eager_bpe_train
+
+    corpus = ["aaaa bb aaaa", "bb cc bb aaaa", "abab abab cc"]
+    wc: dict[str, int] = {}
+    for line in corpus:
+        for w in line.split():
+            wc[w] = wc.get(w, 0) + 1
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                 "doc_id: long, text: string")
+
+    want_merges, want_seg = eager_bpe_train(wc, n_merges=4)
+    merges, words = bpe_train(docs, n_merges=4)
+    assert merges == want_merges
+    got_seg = {r["word"]: list(r["sym"]) for r in words.collect()}
+    words.unpersist()
+    assert got_seg == want_seg
+    # the planted run: round 1 collapses 'aaaa' pairwise to (aa, aa),
+    # round 2 then merges those into one 'aaaa' symbol
+    assert want_merges[0][1:3] == ("a", "a")
+    assert want_merges[2][1:3] == ("aa", "aa")
+    assert got_seg["aaaa"] == ["aaaa"]
+    assert got_seg["abab"] == ["ab", "ab"]
