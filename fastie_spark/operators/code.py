@@ -1,0 +1,147 @@
+"""Code-aware extraction over the production input table.
+
+The north rule's production input is the Iceberg-shaped table
+``(repo, path, commit, lang, content)`` (BASELINE.json ``input_hint``;
+FIXTURES.md §1).  These operators treat ``content`` as source text and
+extract repo-level structure from it — the "payload: code" face of the
+KG-construction pipeline that the sentence-level IE stack
+(fastie/tasks/*) does not cover:
+
+* ``extract_call_edges`` — regex-based dependency extraction
+  (trigger-word + argument, the moral equivalent of ``import X`` /
+  ``foo(bar)`` scanning) aggregated to repo-level weighted edges.
+* ``changed_files`` / ``delta_extract_mentions`` — **commit-keyed
+  incremental extraction**: when a new corpus snapshot arrives, only
+  files whose ``(repo, path, commit)`` key changed are re-extracted;
+  mention rows of unchanged files are carried over from the previous
+  stage output.  ``delta ∪ carried ≡ full rebuild`` is the contract
+  (the ``extract_delta`` oracle replays the FULL rebuild, so a driver
+  hash match proves the equivalence end-to-end).
+
+Scale notes (10^12 files):
+
+* extraction itself is in-row (``regexp_extract_all`` / higher-order
+  ``filter`` over the token array) — zero shuffle, JVM-side, scales
+  linearly with input splits.  Only the *aggregation* to repo-level
+  edges shuffles, and it shuffles (repo, dep) count rows, never file
+  bodies; map-side partial aggregation collapses each input split to
+  ~|distinct deps| rows first.
+* the incremental path's joins are manifest-sized: both anti/semi
+  joins key on ``(repo, path, commit)`` — three short strings — so at
+  a daily-delta cadence the standing side is a broadcast-or-bloom
+  candidate regardless of corpus size, and unchanged file CONTENT is
+  never read (Catalyst prunes ``content`` from the carried branch;
+  only changed files' content reaches the extractor).
+* ``repo`` is a known-hot key (one repo can hold a large fraction of
+  files — FIXTURES.md plants ~30% on one repo).  The repo-level
+  roll-up is a two-level aggregation: partial per (repo, dep) happens
+  map-side automatically, so the hot repo contributes at most
+  |distinct deps| rows per task to the shuffle, not its file count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRC_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def extract_call_edges(src: DataFrame,
+                       triggers: list[str],
+                       arg_pattern: str = "[a-z]+") -> DataFrame:
+    """Regex dependency extraction → repo-level weighted edges.
+
+    Scans ``content`` for ``<trigger> <arg>`` occurrences (the shape of
+    ``import numpy`` / ``calls GraphBuilder`` statements in source
+    text) with one JVM-side ``regexp_extract_all`` pass — no Python,
+    no explode-before-filter.  Output: one row per (repo, trigger,
+    arg) with the total occurrence count and the number of distinct
+    files it appears in.
+
+    Reference parity: fastIE has no code-level extractor (its unit is
+    the pre-tokenized sentence, fastie/dataset/io/sentence.py:54); this
+    operator is the engine's ingest-side mention detector for the
+    source-code corpus the north rule targets.
+    """
+    pat = f"(?:{'|'.join(triggers)}) {arg_pattern}"
+    matches = src.select(
+        "repo", "path",
+        F.explode(F.regexp_extract_all("content", F.lit(pat), 0)
+                  ).alias("m"),
+    )
+    edges = matches.select(
+        "repo", "path",
+        F.split_part("m", F.lit(" "), F.lit(1)).alias("trigger"),
+        F.split_part("m", F.lit(" "), F.lit(2)).alias("arg"),
+    )
+    return (edges.groupBy("repo", "trigger", "arg")
+            .agg(F.count("*").cast("bigint").alias("n_calls"),
+                 F.countDistinct("path").cast("bigint").alias("n_files")))
+
+
+def extract_mentions(src: DataFrame,
+                     gazetteer: list[tuple[str, str]]) -> DataFrame:
+    """Per-file gazetteer mention counts, computed entirely in-row.
+
+    For each (term, label) the count is ``size(filter(tokens, t ->
+    t = term))`` — a higher-order function over the split content, so
+    a file's mentions are produced with ZERO shuffle (the classic
+    "extraction is map-only" property a 10^12-file pass depends on).
+    Rows with cnt = 0 are dropped in-row before anything moves.
+    Output: (repo, path, commit, term, label, cnt).
+    """
+    toks = F.split(F.col("content"), " ")
+
+    def _eq(term):
+        # a plain closure: a default-arg lambda would present two
+        # parameters to F.filter, which then binds (element, index)
+        return lambda t: t == term
+
+    per_term = F.array(*[
+        F.struct(
+            F.lit(term).alias("term"),
+            F.lit(label).alias("label"),
+            F.size(F.filter(toks, _eq(term))).cast("bigint").alias("cnt"))
+        for term, label in gazetteer
+    ])
+    hits = F.filter(per_term, lambda s: s["cnt"] > 0)
+    return (src
+            .select("repo", "path", "commit",
+                    F.explode(hits).alias("h"))
+            .select("repo", "path", "commit",
+                    F.col("h.term").alias("term"),
+                    F.col("h.label").alias("label"),
+                    F.col("h.cnt").alias("cnt")))
+
+
+def changed_files(prev_manifest: DataFrame, src: DataFrame) -> DataFrame:
+    """Files of the current snapshot needing (re-)extraction.
+
+    ``prev_manifest`` is the previous run's (repo, path, commit) key
+    set.  A file needs extraction iff its exact key is absent — new
+    path or changed commit both land here via one anti-join on the
+    3-string key (manifest-sized shuffle; content untouched).
+    """
+    return src.join(prev_manifest.select("repo", "path", "commit"),
+                    ["repo", "path", "commit"], "left_anti")
+
+
+def delta_extract_mentions(prev_manifest: DataFrame,
+                           prev_mentions: DataFrame,
+                           src: DataFrame,
+                           gazetteer: list[tuple[str, str]]) -> DataFrame:
+    """Commit-keyed incremental extraction: re-extract only changed
+    files, carry unchanged files' mention rows forward, drop vanished
+    files.  Result is row-identical to ``extract_mentions(src)`` — the
+    equivalence the ``extract_delta`` contract query's oracle proves by
+    replaying the full rebuild.
+
+    * fresh   = extract(changed_files(src))            (content read)
+    * carried = prev_mentions ⋉ src on (repo,path,commit) (keys only)
+    """
+    fresh = extract_mentions(changed_files(prev_manifest, src), gazetteer)
+    carried = prev_mentions.join(
+        src.select("repo", "path", "commit"),
+        ["repo", "path", "commit"], "left_semi")
+    return carried.unionByName(fresh)

@@ -1,0 +1,101 @@
+"""Mergeable frequency sketches for corpus-scale profiling.
+
+``heavy_hitters`` is a distributed Misra-Gries summary: each input
+partition folds its rows into at most ``capacity`` counters (batch
+MG decrement — vectorized per Arrow batch, never per-row), the
+bounded per-partition summaries are merged relationally, and every
+surviving key gets a deterministic count interval
+``[cnt_lo, cnt_hi]`` with the classic MG guarantee
+
+    cnt_lo <= true_count <= cnt_lo + D
+
+where ``D`` is the total per-slot decrement across all partitions.
+When ``capacity`` >= the number of distinct keys no decrement ever
+fires, ``D = 0`` and the sketch is EXACT — that is the oracle-checked
+configuration; the approximation regime is covered by a property test
+asserting the interval contains the true count on a planted-skew
+stream with a tiny capacity.
+
+Scale notes (100 TB): the whole point.  An exact groupBy over a
+trillion-token corpus shuffles |distinct| rows per map task; the MG
+summary bounds every task's output at ``capacity`` rows REGARDLESS of
+the key cardinality, so the shuffle is O(partitions * capacity) — the
+standard way to get guaranteed-frequency top-k out of a corpus whose
+distinct-key count itself doesn't fit anywhere.  The final merge
+groups at most that many rows.  No driver-side state: the summaries
+merge in one relational aggregation, and the decrement ledger ``D``
+is a one-row frame crossed back onto survivors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUMMARY_SCHEMA = "pid int, key string, cnt long, d long"
+
+
+def _mg_fold(key_col: str, capacity: int):
+    """Per-partition batch Misra-Gries fold (vectorized per batch)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = pd.Series(dtype="int64")
+        dec_total = 0
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            acc = acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > capacity:
+                # batch decrement: subtracting the (capacity+1)-th
+                # largest count from every counter zeroes out at least
+                # the tail and keeps <= capacity survivors, exactly the
+                # MG invariant; every key's counter drops by <= thr.
+                thr = int(acc.nlargest(capacity + 1).iloc[-1])
+                acc = acc - thr
+                acc = acc[acc > 0]
+                dec_total += thr
+        out = pd.DataFrame({
+            "pid": pid,
+            "key": acc.index.astype(str),
+            "cnt": acc.to_numpy(dtype="int64"),
+            "d": dec_total,
+        })
+        if out.empty:
+            # empty partitions still report their (zero) decrement so
+            # the ledger aggregation sees every partition
+            out = pd.DataFrame({"pid": [pid], "key": [None],
+                                "cnt": [0], "d": [0]})
+        yield out
+
+    return fn
+
+
+def heavy_hitters(df: DataFrame, key_col: str, capacity: int,
+                  min_count: int = 1) -> DataFrame:
+    """Guaranteed-interval frequent keys of ``df[key_col]``.
+
+    Output: (key, cnt_lo, cnt_hi) for every key surviving some
+    partition summary with ``cnt_hi >= min_count``; true_count is
+    always inside [cnt_lo, cnt_hi], and any key with true_count > D
+    is guaranteed to survive (MG property).
+    """
+    summaries = df.select(F.col(key_col).cast("string").alias(key_col)) \
+        .mapInPandas(_mg_fold(key_col, capacity), _SUMMARY_SCHEMA)
+    summaries = summaries.persist()
+    # one decrement value per partition -> one global ledger row
+    ledger = (summaries.groupBy("pid").agg(F.first("d").alias("d"))
+              .agg(F.coalesce(F.sum("d"), F.lit(0)).alias("D")))
+    merged = (summaries.where(F.col("key").isNotNull())
+              .groupBy("key")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt_lo")))
+    return (merged.crossJoin(F.broadcast(ledger))
+            .withColumn("cnt_hi", (F.col("cnt_lo") + F.col("D"))
+                        .cast("bigint"))
+            .where(F.col("cnt_hi") >= min_count)
+            .drop("D"))

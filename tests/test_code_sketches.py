@@ -1,0 +1,145 @@
+"""Tests for the code-aware extraction operators and the Misra-Gries
+heavy-hitter sketch (operators/code.py, operators/sketches.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fastie_spark.operators.code import (
+    changed_files,
+    delta_extract_mentions,
+    extract_call_edges,
+    extract_mentions,
+)
+from fastie_spark.operators.sketches import heavy_hitters
+
+GAZ = [("spark", "ENGINE"), ("table", "STORE")]
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        [Row(repo=r, path=p, commit=c, lang="py", content=t)
+         for r, p, c, t in rows],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+
+
+def test_extract_call_edges_hand_content(spark):
+    src = _src(spark, [
+        ("a", "f1", "c1", "scan table join index merge x scan table"),
+        ("a", "f2", "c2", "scan table nothing here"),
+        ("b", "f3", "c3", "join table"),
+    ])
+    got = {(r.repo, r.trigger, r.arg): (r.n_calls, r.n_files)
+           for r in extract_call_edges(src, ["scan", "join", "merge"])
+           .collect()}
+    assert got[("a", "scan", "table")] == (3, 2)
+    assert got[("a", "join", "index")] == (1, 1)
+    assert got[("a", "merge", "x")] == (1, 1)
+    assert got[("b", "join", "table")] == (1, 1)
+    # non-overlapping leftmost matching: "scan table join index" does
+    # NOT also yield ("join", ...) from inside the consumed match
+    assert ("a", "join", "table") not in got
+
+
+def test_changed_files_new_changed_deleted(spark):
+    prev = _src(spark, [
+        ("a", "f1", "c1", "old"),
+        ("a", "f2", "c2", "same"),
+        ("a", "gone", "c9", "deleted"),
+    ]).select("repo", "path", "commit")
+    cur = _src(spark, [
+        ("a", "f1", "c1CHANGED", "new content"),   # changed commit
+        ("a", "f2", "c2", "same"),                  # unchanged
+        ("a", "f4", "c4", "brand new"),             # new path
+    ])
+    got = {r.path for r in changed_files(prev, cur).collect()}
+    assert got == {"f1", "f4"}
+
+
+def test_delta_extract_equals_full_rebuild_with_deletion(spark):
+    # prev snapshot: f1 old content (different mentions), f2 unchanged,
+    # f3 deleted from the current corpus
+    prev = _src(spark, [
+        ("a", "f1", "old", "spark spark table"),
+        ("a", "f2", "c2", "table table"),
+        ("a", "f3", "c3", "spark"),
+    ])
+    cur = _src(spark, [
+        ("a", "f1", "new", "spark"),
+        ("a", "f2", "c2", "table table"),
+        ("a", "f4", "c4", "spark table"),
+    ])
+    out = delta_extract_mentions(
+        prev.select("repo", "path", "commit"),
+        extract_mentions(prev, GAZ), cur, GAZ)
+    full = extract_mentions(cur, GAZ)
+    key = lambda r: (r.repo, r.path, r.commit, r.term, r.label, r.cnt)  # noqa
+    assert sorted(map(key, out.collect())) == \
+        sorted(map(key, full.collect()))
+    # the stale f1 row (cnt=2 sparks) and the deleted f3 row must be gone
+    got = {(r.path, r.term): r.cnt for r in out.collect()}
+    assert got[("f1", "spark")] == 1
+    assert ("f3", "spark") not in got
+
+
+def test_delta_reads_no_unchanged_content(spark):
+    """The carried branch must not read `content`: column pruning keeps
+    unchanged file bodies out of the plan (the property a 10^12-file
+    daily delta depends on)."""
+    prev = _src(spark, [("a", "f2", "c2", "table table")])
+    cur = _src(spark, [("a", "f2", "c2", "table table"),
+                       ("a", "f4", "c4", "spark")])
+    out = delta_extract_mentions(
+        prev.select("repo", "path", "commit"),
+        extract_mentions(prev, GAZ), cur, GAZ)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the semi-join branch projects only the 3-string key
+    assert "content" in plan  # fresh branch still extracts
+    out.collect()
+
+
+def test_heavy_hitters_exact_when_capacity_covers_distinct(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "tok string").repartition(3)
+    got = {r.key: (r.cnt_lo, r.cnt_hi)
+           for r in heavy_hitters(df, "tok", capacity=10).collect()}
+    assert got == {"a": (5, 5), "b": (3, 3), "c": (1, 1)}
+
+
+def test_heavy_hitters_interval_contains_truth_under_decrement(spark):
+    # planted skew: one hot key + a long tail, capacity far below the
+    # distinct count, several partitions
+    rows = ([("hot",)] * 200
+            + [(f"t{i}",) for i in range(60) for _ in range(2)])
+    df = spark.createDataFrame(rows, "tok string").repartition(4)
+    out = heavy_hitters(df, "tok", capacity=5).collect()
+    got = {r.key: (r.cnt_lo, r.cnt_hi) for r in out}
+    truth = {"hot": 200, **{f"t{i}": 2 for i in range(60)}}
+    # MG guarantee: every surviving key's interval contains the truth
+    for k, (lo, hi) in got.items():
+        assert lo <= truth[k] <= hi, (k, lo, hi, truth[k])
+    # the hot key MUST survive: its count exceeds any possible total
+    # decrement (D <= n / (capacity+1) per partition-stream)
+    assert "hot" in got
+    # survivors are bounded by partitions * capacity
+    assert len(got) <= 4 * 5
+
+
+def test_heavy_hitters_min_count_filters(spark):
+    rows = [("a",)] * 5 + [("b",)] * 1
+    df = spark.createDataFrame(rows, "tok string").coalesce(1)
+    got = {r.key for r in
+           heavy_hitters(df, "tok", capacity=10, min_count=2).collect()}
+    assert got == {"a"}
+
+
+@pytest.mark.parametrize("n_parts", [1, 3])
+def test_heavy_hitters_deterministic_across_runs(spark, n_parts):
+    rows = [(f"k{i % 7}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "tok string").repartition(n_parts)
+    a = sorted((r.key, r.cnt_lo, r.cnt_hi)
+               for r in heavy_hitters(df, "tok", capacity=4).collect())
+    b = sorted((r.key, r.cnt_lo, r.cnt_hi)
+               for r in heavy_hitters(df, "tok", capacity=4).collect())
+    assert a == b
