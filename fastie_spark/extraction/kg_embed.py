@@ -1,0 +1,225 @@
+"""TransE knowledge-graph embeddings, trained relationally.
+
+The KG-construction pipeline materializes a (subj, pred, obj) triple
+graph (graph.py:materialize_kg); this module learns TransE-style
+embeddings over it — the standard downstream representation for link
+prediction / canonicalization support.  The reference has no KG
+embedding stage (its Trainer, /root/reference/fastie/controller/
+trainer.py:78-97, trains sentence-level torch models); this is an
+engine-added operator mandated by the north rule's KG focus.
+
+The design inverts :class:`~fastie_spark.extraction.training.
+PerceptronTrainer`'s driver-held weights: TransE parameters are
+PER-ENTITY, i.e. corpus-sized — at 10^12 files the entity table alone
+dwarfs any driver.  So the parameters LIVE AS DATAFRAMES
+(``(ent, d, v)`` / ``(rel, d, v)`` long format, partitioned by key)
+and one epoch is a pure relational program:
+
+1. join triples × dims with three entity lookups + one relation
+   lookup (the relation table is tiny → broadcast),
+2. per-dimension signed residuals ``sign(E[h]+R[r]-E[t])`` for the
+   positive and the deterministic negative,
+3. margin gate via a window L1-sum partitioned by triple,
+4. gradient rows summed per ``(ent, d)`` — map-side combined, the
+   update shuffle carries O(|entities| · dim) rows max,
+5. outer-join update of the parameter frames.
+
+Nothing is ever collected; the driver holds zero parameters.  Each
+epoch's result is snapshotted (``graph._Snapshots``: ``localCheckpoint``
+on a single box, reliable parquet when ``checkpoint_dir`` is given) so
+lineage stays one-epoch deep and a lost executor can recompute.
+
+Determinism (and hence SQL-replayability — the ``kg_transe`` oracle
+unrolls the epochs): all math is integer.  Init is the engine's hashed
+embedding (``H(prefix||d||'#'||name) % 2001 - 1000``), the update is
+sign-SGD (±lr per dimension), and the batch epoch sums contributions
+over the distinct triple set, so the result is independent of
+partitioning and row order.  Negative sampling is the deterministic
+within-relation cycle: each triple's corrupted tail is the NEXT tail in
+its relation's (h, t)-sorted triple list (wrapping around) — a hard
+negative drawn from the relation's own range, with the property that a
+self-negative (t2 = t) contributes exactly zero (the positive and
+negative signed residuals coincide and every update term cancels), so
+no special-casing is needed.
+
+Simplifications vs float TransE, both deliberate: no per-epoch L2
+normalization of entity vectors (sign-SGD bounds coordinate drift at
+lr·epochs) and the margin is an integer L1 threshold.  Both keep every
+step associative-integer and therefore bit-reproducible under ANY
+cluster layout — the same trade the perceptron trainer makes
+(training.py:20-26).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastie_spark.functions.hashing import portable_hash64
+from fastie_spark.graph import _Snapshots
+
+#: default embedding width — small on purpose: the contract oracle
+#: unrolls epochs × dims in SQL, and width only scales a constant
+EMB_DIM = 4
+
+
+def hash_init_embeddings(names: DataFrame, name_col: str, dim: int,
+                         prefix: str) -> DataFrame:
+    """Deterministic integer init: one (name, d, v) row per dimension,
+    ``v = H(prefix||d||'#'||name) % 2001 - 1000`` — the same hashed-
+    embedding seed the token models use (model_ner.py:61-68), so any
+    engine (and the DuckDB oracle) can reproduce epoch 0 exactly."""
+    spark = names.sparkSession
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("d"))
+    key = F.concat(F.lit(prefix), F.col("d").cast("string"),
+                   F.lit("#"), F.col(name_col))
+    return (names.select(F.col(name_col).alias("name")).distinct()
+            .crossJoin(F.broadcast(dims))
+            .select("name", "d",
+                    (portable_hash64(key.alias("k")) % 2001 - 1000)
+                    .cast("long").alias("v")))
+
+
+def cycle_negatives(triples: DataFrame) -> DataFrame:
+    """Attach the deterministic corrupted tail ``t2``: the next tail in
+    the relation's (h, t)-ordered distinct triple list, wrapping to the
+    first.  The window partitions by RELATION — at scale this sort is
+    per-relation (saltable if one predicate dominates), never global.
+    Input/output columns: (h, r, t) → (h, r, t, t2)."""
+    w = Window.partitionBy("r").orderBy("h", "t")
+    return (triples.select("h", "r", "t").distinct()
+            .withColumn("t2", F.coalesce(F.lead("t").over(w),
+                                         F.first("t").over(w))))
+
+
+class TransETrainer:
+    """Relational TransE: DataFrame-resident parameters, integer
+    sign-SGD epochs, margin-gated within-relation negatives."""
+
+    def __init__(self, dim: int = EMB_DIM, lr: int = 5,
+                 margin: int = 400, checkpoint_dir: str | None = None):
+        self.dim = dim
+        self.lr = lr
+        self.margin = margin
+        self.checkpoint_dir = checkpoint_dir
+        self.ent_emb: DataFrame | None = None
+        self.rel_emb: DataFrame | None = None
+
+    # -- one epoch ------------------------------------------------------
+    def _epoch(self, tn: DataFrame, E: DataFrame,
+               R: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(E', R') after one batch sign-SGD epoch over ``tn``
+        (= triples with negatives).  Four lookup joins produce the
+        per-(triple, d) residual frame; a triple-partitioned window
+        computes the L1 distances for the margin gate; gradient rows
+        are summed per parameter and outer-join-applied."""
+        eh = E.select(F.col("name").alias("h"), "d",
+                      F.col("v").alias("vh"))
+        et = E.select(F.col("name").alias("t"), "d",
+                      F.col("v").alias("vt"))
+        et2 = E.select(F.col("name").alias("t2"), "d",
+                       F.col("v").alias("vt2"))
+        rr = R.select(F.col("name").alias("r"), "d",
+                      F.col("v").alias("vr"))
+        j = (tn.join(eh, "h")
+             .join(F.broadcast(rr), ["r", "d"])
+             .join(et, ["t", "d"])
+             .join(et2, ["t2", "d"])
+             .select("h", "r", "t", "t2", "d",
+                     (F.col("vh") + F.col("vr") - F.col("vt"))
+                     .alias("rp"),
+                     (F.col("vh") + F.col("vr") - F.col("vt2"))
+                     .alias("rn")))
+        tw = Window.partitionBy("h", "r", "t")
+        a = (j.withColumn("dp", F.sum(F.abs("rp")).over(tw))
+             .withColumn("dn", F.sum(F.abs("rn")).over(tw))
+             .where(F.col("dp") + F.lit(self.margin) > F.col("dn"))
+             .withColumn("sp", F.signum("rp").cast("long"))
+             .withColumn("sn", F.signum("rn").cast("long")))
+        # the residual frame feeds both gradient tables inside ONE
+        # epoch action (the combined snapshot) — persist so the window
+        # plan executes once, not once per branch
+        a = a.persist()
+        lr = F.lit(self.lr)
+        # one row per (parameter, d) contribution; posexplode-free
+        # union keeps each branch a column-pruned projection of `a`
+        gE = (a.select(F.col("h").alias("name"), "d",
+                       ((F.col("sn") - F.col("sp")) * lr).alias("dv"))
+              .unionByName(a.select(F.col("t").alias("name"), "d",
+                                    (F.col("sp") * lr).alias("dv")))
+              .unionByName(a.select(F.col("t2").alias("name"), "d",
+                                    (-F.col("sn") * lr).alias("dv")))
+              .groupBy("name", "d").agg(F.sum("dv").alias("g")))
+        gR = (a.groupBy(F.col("r").alias("name"), "d")
+              .agg(F.sum((F.col("sn") - F.col("sp")) * lr).alias("g")))
+        E2 = (E.join(gE, ["name", "d"], "left")
+              .select("name", "d",
+                      (F.col("v") + F.coalesce("g", F.lit(0)))
+                      .cast("long").alias("v")))
+        R2 = (R.join(gR, ["name", "d"], "left")
+              .select("name", "d",
+                      (F.col("v") + F.coalesce("g", F.lit(0)))
+                      .cast("long").alias("v")))
+        return E2, R2, a
+
+    def fit(self, triples: DataFrame, epochs: int = 2) -> "TransETrainer":
+        """Train over the distinct (h, r, t) set.  The triple frame
+        (with its cycle negatives) is computed once and snapshotted;
+        every epoch snapshots the two parameter frames so the plan
+        never deepens past one epoch and, with ``checkpoint_dir``, a
+        mid-training executor loss replays at most one epoch."""
+        spark = triples.sparkSession
+        snaps = _Snapshots(spark, self.checkpoint_dir)
+        tn = snaps.save(cycle_negatives(triples), "transe_triples")
+        ents = (tn.select(F.col("h").alias("name"))
+                .unionByName(tn.select(F.col("t").alias("name"))))
+        E = hash_init_embeddings(ents, "name", self.dim, "n")
+        R = hash_init_embeddings(tn.select(F.col("r").alias("name")),
+                                 "name", self.dim, "r")
+        E, R = self._snapshot_params(snaps, E, R, 0)
+        for ep in range(1, epochs + 1):
+            E2, R2, a = self._epoch(tn, E, R)
+            E, R = self._snapshot_params(snaps, E2, R2, ep)
+            a.unpersist()
+        self.ent_emb, self.rel_emb = E, R
+        return self
+
+    @staticmethod
+    def _snapshot_params(snaps: _Snapshots, E: DataFrame, R: DataFrame,
+                         ep: int) -> tuple[DataFrame, DataFrame]:
+        """ONE combined snapshot per epoch (kind-tagged union) — a
+        single materialization action instead of two, then kind-filter
+        views back out.  With ``checkpoint_dir`` this is also the
+        resumable per-epoch lineage record the north rule asks for."""
+        both = (E.select(F.lit("E").alias("kind"), "name", "d", "v")
+                .unionByName(R.select(F.lit("R").alias("kind"),
+                                      "name", "d", "v")))
+        both = snaps.save(both, f"transe_params_{ep:04d}")
+        return (both.where(F.col("kind") == "E").drop("kind"),
+                both.where(F.col("kind") == "R").drop("kind"))
+
+    def embeddings(self) -> DataFrame:
+        """(kind, name, d, v) union of both parameter tables — the
+        checkpointable model table (Hub.save analogue)."""
+        return (self.ent_emb.select(F.lit("E").alias("kind"), "name",
+                                    "d", "v")
+                .unionByName(self.rel_emb.select(
+                    F.lit("R").alias("kind"), "name", "d", "v")))
+
+    def score(self, triples: DataFrame) -> DataFrame:
+        """L1 TransE energy ``||E[h]+R[r]-E[t]||_1`` per (h, r, t) —
+        lower = more plausible; the link-prediction scorer.  Same
+        lookup-join shape as the epoch, one aggregation, no window."""
+        eh = self.ent_emb.select(F.col("name").alias("h"), "d",
+                                 F.col("v").alias("vh"))
+        et = self.ent_emb.select(F.col("name").alias("t"), "d",
+                                 F.col("v").alias("vt"))
+        rr = self.rel_emb.select(F.col("name").alias("r"), "d",
+                                 F.col("v").alias("vr"))
+        return (triples.select("h", "r", "t").distinct()
+                .join(eh, "h").join(F.broadcast(rr), ["r", "d"])
+                .join(et, ["t", "d"])
+                .groupBy("h", "r", "t")
+                .agg(F.sum(F.abs(F.col("vh") + F.col("vr")
+                                 - F.col("vt")))
+                     .cast("long").alias("energy")))

@@ -1,0 +1,89 @@
+"""Tests for the relational TransE trainer (extraction/kg_embed.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fastie_spark.extraction.kg_embed import (
+    TransETrainer,
+    cycle_negatives,
+    hash_init_embeddings,
+)
+
+TRIPLES = [
+    ("a", "calls", "b"), ("a", "calls", "c"), ("b", "calls", "c"),
+    ("c", "imports", "d"), ("d", "imports", "a"),
+]
+
+
+def _t(spark, rows=TRIPLES):
+    return spark.createDataFrame([Row(h=h, r=r, t=t) for h, r, t in rows],
+                                 "h string, r string, t string")
+
+
+def test_cycle_negatives_within_relation(spark):
+    tn = {(r.h, r.r, r.t): r.t2
+          for r in cycle_negatives(_t(spark)).collect()}
+    # 'calls' sorted by (h, t): (a,b) -> (a,c) -> (b,c) -> wrap (a,b)
+    assert tn[("a", "calls", "b")] == "c"
+    assert tn[("a", "calls", "c")] == "c"   # next tail is (b, c)'s
+    assert tn[("b", "calls", "c")] == "b"   # wraps to first tail
+    # negatives never leave the relation's own tail set
+    calls_tails = {t for h, r, t in TRIPLES if r == "calls"}
+    assert all(tn[k] in calls_tails for k in tn if k[1] == "calls")
+
+
+def test_init_matches_hash_formula(spark):
+    names = spark.createDataFrame([Row(name="x")])
+    got = {(r.d): r.v for r in
+           hash_init_embeddings(names, "name", 3, "n").collect()}
+    import hashlib
+    for d in range(3):
+        h = int(hashlib.md5(f"n{d}#x".encode()).hexdigest()[:15], 16)
+        assert got[d] == h % 2001 - 1000
+
+
+def test_single_triple_relation_is_a_fixed_point(spark):
+    # one triple in its relation -> t2 = t -> positive and negative
+    # residuals coincide and every update term cancels exactly
+    t = _t(spark, [("a", "solo", "b")])
+    tr = TransETrainer(dim=3, lr=5, margin=400).fit(t, epochs=2)
+    init = hash_init_embeddings(
+        t.select(F.col("h").alias("name"))
+         .unionByName(t.select(F.col("t").alias("name"))),
+        "name", 3, "n")
+    trained = {(r.name, r.d): r.v for r in tr.ent_emb.collect()}
+    for r in init.collect():
+        assert trained[(r.name, r.d)] == r.v
+
+
+def test_training_reduces_true_triple_energy(spark):
+    t = _t(spark)
+    tr0 = TransETrainer(dim=4, lr=5, margin=4000)
+    tr0.fit(t, epochs=0)   # init only
+    e0 = tr0.score(t).agg(F.sum("energy")).first()[0]
+    tr = TransETrainer(dim=4, lr=5, margin=4000).fit(t, epochs=4)
+    e4 = tr.score(t).agg(F.sum("energy")).first()[0]
+    assert e4 < e0
+
+
+def test_partitioning_invariance(spark):
+    t = _t(spark)
+    a = TransETrainer(dim=3, lr=5, margin=400).fit(t, epochs=2)
+    b = TransETrainer(dim=3, lr=5, margin=400).fit(
+        t.repartition(7, "t"), epochs=2)
+    rows_a = sorted(map(tuple, a.embeddings().collect()))
+    rows_b = sorted(map(tuple, b.embeddings().collect()))
+    assert rows_a == rows_b
+
+
+def test_checkpoint_dir_writes_committed_epoch_snapshots(spark, tmp_path):
+    root = str(tmp_path / "transe")
+    tr = TransETrainer(dim=3, lr=5, margin=400, checkpoint_dir=root)
+    tr.fit(_t(spark), epochs=2)
+    import os
+    for ep in range(3):
+        d = os.path.join(root, f"transe_params_{ep:04d}")
+        assert os.path.isfile(os.path.join(d, "_SUCCESS"))
+    # the trained frames read back from the durable snapshot
+    assert tr.ent_emb.count() == 4 * 3 and tr.rel_emb.count() == 2 * 3
