@@ -190,6 +190,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                          f"round_{rnd:04d}")
         cur_sum = new.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        # an empty node set sums to NULL; normalize so the fixpoint
+        # check still fires (NULL == NULL would never break the loop
+        # and an edgeless input would burn all max_iter rounds)
+        cur_sum = 0 if cur_sum is None else cur_sum
         cc = new
         if prev_sum is not None and cur_sum == prev_sum:
             break

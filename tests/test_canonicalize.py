@@ -1,0 +1,40 @@
+"""Tests for catalog-free alias canonicalization (linking.py) and the
+empty-graph convergence fix in connected_components (graph.py)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fastie_spark.graph import connected_components
+from fastie_spark.linking import alias_similarity_edges, canonicalize_entities
+
+
+def _names(spark, *names):
+    return spark.createDataFrame([Row(name=n) for n in names])
+
+
+def test_alias_edges_blocked_and_verified(spark):
+    n = _names(spark, "spark", "sparks", "sparkx", "table", "cable")
+    got = {(r.src, r.dst): r.distance
+           for r in alias_similarity_edges(n, max_distance=1).collect()}
+    assert got == {("spark", "sparks"): 1, ("spark", "sparkx"): 1,
+                   ("sparks", "sparkx"): 1}
+    # 'table'/'cable' are distance 1 but in different first-2 blocks —
+    # blocking excludes them by design (recall trade, oracle-matched)
+    assert ("cable", "table") not in got
+
+
+def test_canonicalize_elects_min_name_and_covers_isolated(spark):
+    n = _names(spark, "spark", "sparks", "sparkx", "join", "merge")
+    m = {r.name: r.canon for r in canonicalize_entities(n).collect()}
+    assert m == {"spark": "spark", "sparks": "spark", "sparkx": "spark",
+                 "join": "join", "merge": "merge"}
+
+
+def test_cc_empty_edge_set_terminates_quickly(spark):
+    import time
+    empty = spark.createDataFrame([], "src long, dst long")
+    t0 = time.time()
+    assert connected_components(empty).count() == 0
+    # regression: NULL aggregate no longer defeats the fixpoint check
+    # (previously burned all 25 max_iter rounds, ~20 s)
+    assert time.time() - t0 < 15
