@@ -206,6 +206,69 @@ class TransETrainer:
                 .unionByName(self.rel_emb.select(
                     F.lit("R").alias("kind"), "name", "d", "v")))
 
+    def linkpred_eval(self, test: DataFrame, known: DataFrame | None = None,
+                      k: int = 3, candidate_ppm: int = 1_000_000,
+                      salt: str = "lp") -> DataFrame:
+        """Filtered tail-ranking link-prediction evaluation — the
+        standard KG-completion metric (hits@k / reciprocal rank) the
+        reference's Evaluator would report if fastIE had a KG stage.
+        For each test (h, r, t): rank t among candidate tails t' by
+        (energy, t') lexicographic (total order → deterministic);
+        ``rank = 1 + #{t' strictly smaller}``.  *Filtered* protocol:
+        candidates forming a KNOWN true triple (h, r, t') are excluded
+        from the comparison set (t itself never counts — it is never
+        strictly below its own (energy, name) key), so other correct
+        tails don't penalize the rank.
+
+        Scale: the blow-up is |distinct (h, r)| × |candidates| — the
+        inherent cost of full ranking.  ``candidate_ppm`` is the
+        documented bound: candidates are kept by a deterministic
+        portable-hash predicate (``H(salt#name) % 1e6 < ppm``), the
+        sampled-negative ranking estimator used at corpus scale.  The
+        true tail needs no special-casing under sampling (rank counts
+        only strictly-smaller candidates).  Candidate energies are
+        computed once per (h, r) — tests sharing a head+relation reuse
+        them — and the rank is ONE map-side-combinable aggregation;
+        no window ever holds a candidate list.
+
+        Output per test triple: (h, r, t, energy, rank, hit, rr_ppm)
+        with ``hit = rank <= k`` and ``rr_ppm = 1e6 div rank`` (integer
+        reciprocal rank; avg(rr_ppm) over the output is MRR·1e6).
+        """
+        test = test.select("h", "r", "t").distinct()
+        E, R = self.ent_emb, self.rel_emb
+        cands = E.select(F.col("name").alias("cand")).distinct()
+        if candidate_ppm < 1_000_000:
+            keep = portable_hash64(
+                F.concat(F.lit(salt + "#"), F.col("cand"))) % 1_000_000
+            cands = cands.where(keep < candidate_ppm)
+        pairs = test.select("h", "r").distinct().crossJoin(cands)
+        if known is not None:
+            kn = known.select("h", "r", F.col("t").alias("cand")).distinct()
+            pairs = pairs.join(kn, ["h", "r", "cand"], "left_anti")
+        eh = E.select(F.col("name").alias("h"), "d", F.col("v").alias("vh"))
+        ec = E.select(F.col("name").alias("cand"), "d",
+                      F.col("v").alias("vc"))
+        rr = R.select(F.col("name").alias("r"), "d", F.col("v").alias("vr"))
+        ce = (pairs.join(eh, "h").join(F.broadcast(rr), ["r", "d"])
+              .join(ec, ["cand", "d"])
+              .groupBy("h", "r", "cand")
+              .agg(F.sum(F.abs(F.col("vh") + F.col("vr") - F.col("vc")))
+                   .alias("e")))
+        te = self.score(test).withColumnRenamed("energy", "te")
+        smaller = (F.col("e") < F.col("te")) | (
+            (F.col("e") == F.col("te")) & (F.col("cand") < F.col("t")))
+        out = (te.join(ce, ["h", "r"], "left")
+               .groupBy("h", "r", "t", "te")
+               .agg((F.lit(1) + F.coalesce(
+                   F.sum(F.when(smaller, 1).otherwise(0)), F.lit(0)))
+                    .cast("bigint").alias("rank")))
+        return out.select(
+            "h", "r", "t", F.col("te").cast("bigint").alias("energy"),
+            "rank", (F.col("rank") <= k).alias("hit"),
+            F.floor(F.lit(1_000_000) / F.col("rank")).cast("bigint")
+            .alias("rr_ppm"))
+
     def score(self, triples: DataFrame) -> DataFrame:
         """L1 TransE energy ``||E[h]+R[r]-E[t]||_1`` per (h, r, t) —
         lower = more plausible; the link-prediction scorer.  Same

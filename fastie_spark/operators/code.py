@@ -145,3 +145,53 @@ def delta_extract_mentions(prev_manifest: DataFrame,
         src.select("repo", "path", "commit"),
         ["repo", "path", "commit"], "left_semi")
     return carried.unionByName(fresh)
+
+
+def line_churn(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Line-level churn between two snapshots of the corpus — the
+    per-file (added, removed, unchanged) line counts a commit-history
+    dashboard reports, computed as a MULTISET diff of line hashes.
+
+    Each side is reduced to (repo, path, line-hash, count) — the only
+    thing that ever shuffles is an 8-byte hash with its count, never
+    content — then a full outer join on the 3-part key yields, per
+    line value, ``added = max(cur - prev, 0)``, ``removed =
+    max(prev - cur, 0)``, ``unchanged = min(prev, cur)`` (the classic
+    multiset-difference identities; duplicate lines inside one file
+    are counted per occurrence, like ``diff`` does).  Files present on
+    only one side surface naturally through the outer join: a new file
+    is all-added, a deleted file all-removed.
+
+    Scale: two partial-aggregated groupBys + one join, all keyed on
+    (repo, path, line-hash) — the aggregation outputs are already
+    hash-partitioned on a prefix-compatible key set, and per-file line
+    multiplicity bounds every group.  Hash collisions (md5-60bit)
+    under-count churn with probability ~n²/2^60 per file — the same
+    accepted trade as every digest-keyed dedup operator here.
+
+    Output: (repo, path, n_added, n_removed, n_unchanged).
+    """
+    from fastie_spark.functions.hashing import spark_hash64_sql
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        lines = df.select(
+            "repo", "path",
+            F.explode(F.expr(
+                f"transform(split(content, chr(10)), "
+                f"l -> {spark_hash64_sql('l')})")).alias("lh"))
+        return (lines.groupBy("repo", "path", "lh")
+                .agg(F.count("*").alias(out)))
+
+    p = _counts(prev, "np")
+    c = _counts(cur, "nc")
+    j = (p.join(c, ["repo", "path", "lh"], "full_outer")
+         .select("repo", "path",
+                 F.coalesce("np", F.lit(0)).alias("np"),
+                 F.coalesce("nc", F.lit(0)).alias("nc")))
+    return (j.groupBy("repo", "path")
+            .agg(F.sum(F.greatest(F.col("nc") - F.col("np"), F.lit(0)))
+                 .cast("bigint").alias("n_added"),
+                 F.sum(F.greatest(F.col("np") - F.col("nc"), F.lit(0)))
+                 .cast("bigint").alias("n_removed"),
+                 F.sum(F.least("np", "nc")).cast("bigint")
+                 .alias("n_unchanged")))

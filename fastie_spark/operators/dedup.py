@@ -286,6 +286,63 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     return out
 
 
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      min_containment_num: int = 4,
+                      min_containment_den: int = 5,
+                      max_df: int | None = None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """DIRECTED near-containment pairs (src → dst): docs whose shingle
+    set is mostly a subset of another doc's — the vendored-copy /
+    quoted-document detector.  Jaccard misses exactly this case (a
+    small file pasted into a big one has low |∩|/|∪| but containment
+    ``|A∩B| / |A|`` ≈ 1), so training-data dedup practice ranks
+    containment alongside Jaccard (Broder's resemblance vs containment
+    distinction).  For the code payload this is the shape of vendored
+    dependencies: ``third_party/foo.c`` inside a monorepo blob.
+
+    Output: (src, dst, inter, n_src, n_dst) with
+    ``inter/n_src ≥ num/den`` held as an exact integer cross-product
+    comparison (bit-identical across engines), ``src != dst``, and —
+    unlike the symmetric Jaccard operators — BOTH directions may
+    appear when two docs contain each other.
+
+    Scale shape is identical to :func:`ngram_jaccard_pairs` (same
+    shingle equi-join, same ``max_df`` hot-shingle guard bounding
+    every posting list, logged drops); only the final predicate
+    differs, so the 100 TB analysis there carries over verbatim.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        from pyspark import StorageLevel
+        hot = sh.groupBy("shingle").count() \
+            .where(F.col("count") > max_df) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        log.info("containment_pairs: max_df=%d drops %d hot shingles",
+                 max_df, hot.count())
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle",
+                     "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("src"), "shingle")
+    b = sh.select(F.col(id_col).alias("dst"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("src"),
+                               F.col("n_sh").alias("n_src")), "src")
+            .join(sizes.select(F.col(id_col).alias("dst"),
+                               F.col("n_sh").alias("n_dst")), "dst")
+            .where(F.col("inter") * min_containment_den
+                   >= F.col("n_src") * min_containment_num)
+            .select(F.col("src").cast("bigint"),
+                    F.col("dst").cast("bigint"),
+                    F.col("inter").cast("bigint"),
+                    F.col("n_src").cast("bigint"),
+                    F.col("n_dst").cast("bigint")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

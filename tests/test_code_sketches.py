@@ -143,3 +143,32 @@ def test_heavy_hitters_deterministic_across_runs(spark, n_parts):
     b = sorted((r.key, r.cnt_lo, r.cnt_hi)
                for r in heavy_hitters(df, "tok", capacity=4).collect())
     assert a == b
+
+
+def _churn_frame(spark, rows):
+    return spark.createDataFrame(
+        [Row(repo=r, path=p, content=c) for r, p, c in rows],
+        "repo string, path string, content string")
+
+
+def test_line_churn_multiset_diff_hand_case(spark):
+    from fastie_spark.operators.code import line_churn
+
+    prev = _churn_frame(spark, [
+        ("r", "f1", "a\nb\nb\nc"),   # edited file
+        ("r", "f2", "x\ny"),         # untouched file
+        ("r", "f3", "gone"),         # deleted file
+    ])
+    cur = _churn_frame(spark, [
+        ("r", "f1", "a\nb\nd"),
+        ("r", "f2", "x\ny"),
+        ("r", "f4", "new1\nnew2"),   # new file
+    ])
+    got = {(r.repo, r.path): (r.n_added, r.n_removed, r.n_unchanged)
+           for r in line_churn(prev, cur).collect()}
+    # f1: 'a' kept, one of two 'b's removed (multiset!), 'c' removed,
+    # 'd' added
+    assert got[("r", "f1")] == (1, 2, 2)
+    assert got[("r", "f2")] == (0, 0, 2)
+    assert got[("r", "f3")] == (0, 1, 0)
+    assert got[("r", "f4")] == (2, 0, 0)

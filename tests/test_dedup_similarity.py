@@ -487,3 +487,42 @@ def test_decontaminate_flags_planted_ngram_overlap(spark):
     plan = decontaminate(docs, bench, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_containment_pairs_directed_vendored_copy(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.operators.dedup import containment_pairs
+
+    small = " ".join(f"s{i}" for i in range(15))      # 13 shingles
+    filler = " ".join(f"w{i}" for i in range(40))     # 38 shingles
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=small),                    # the vendored file
+        Row(doc_id=2, text=small + " " + filler),     # monorepo blob
+        Row(doc_id=3, text=filler),                   # unrelated big doc
+    ])
+    got = {(r.src, r.dst): (r.inter, r.n_src, r.n_dst)
+           for r in containment_pairs(docs, n=3, min_containment_num=4,
+                                      min_containment_den=5).collect()}
+    # every 3-shingle of doc 1 appears in doc 2 -> containment 1,
+    # DIRECTED: (1 -> 2) flagged, (2 -> 1) is 13/53 < 4/5
+    assert (1, 2) in got and got[(1, 2)][0] == got[(1, 2)][1] == 13
+    assert (2, 1) not in got
+    # doc 3 is a suffix of doc 2: (3 -> 2) = 38/38 flagged; the
+    # reverse (2 -> 3) = 38/53 ≈ 0.72 stays below the threshold
+    assert (3, 2) in got and (2, 3) not in got
+    # symmetric Jaccard would have missed 1->2: 13/53 < 1/3
+    inter, n_src, n_dst = got[(1, 2)]
+    assert inter * 3 < (n_src + n_dst - inter)  # jaccard < 1/3
+
+
+def test_containment_pairs_mutual_for_identical_docs(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.operators.dedup import containment_pairs
+
+    text = "one two three four five six seven"
+    docs = spark.createDataFrame([Row(doc_id=1, text=text),
+                                  Row(doc_id=2, text=text)])
+    got = {(r.src, r.dst) for r in containment_pairs(docs).collect()}
+    assert got == {(1, 2), (2, 1)}

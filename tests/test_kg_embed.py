@@ -87,3 +87,66 @@ def test_checkpoint_dir_writes_committed_epoch_snapshots(spark, tmp_path):
         assert os.path.isfile(os.path.join(d, "_SUCCESS"))
     # the trained frames read back from the durable snapshot
     assert tr.ent_emb.count() == 4 * 3 and tr.rel_emb.count() == 2 * 3
+
+
+def _eager_linkpred(tr, triples, ppm=1_000_000, salt="lp", k=3):
+    """NumPy-free eager replica of linkpred_eval over collected tables."""
+    import hashlib
+
+    E = {}
+    for r in tr.ent_emb.collect():
+        E.setdefault(r.name, {})[r.d] = r.v
+    R = {}
+    for r in tr.rel_emb.collect():
+        R.setdefault(r.name, {})[r.d] = r.v
+
+    def energy(h, rel, t):
+        return sum(abs(E[h][d] + R[rel][d] - E[t][d]) for d in E[h])
+
+    def kept(name):
+        hsh = int(hashlib.md5(f"{salt}#{name}".encode()).hexdigest()[:15],
+                  16)
+        return hsh % 1_000_000 < ppm
+
+    known = set(triples)
+    out = {}
+    for h, rel, t in triples:
+        te = energy(h, rel, t)
+        rank = 1
+        for cand in E:
+            if not kept(cand) or (h, rel, cand) in known:
+                continue
+            e = energy(h, rel, cand)
+            if (e, cand) < (te, t):
+                rank += 1
+        out[(h, rel, t)] = (te, rank, rank <= k, 1_000_000 // rank)
+    return out
+
+
+def test_linkpred_eval_matches_eager_full_candidates(spark):
+    t = _t(spark)
+    tr = TransETrainer(dim=4, lr=5, margin=400).fit(t, epochs=2)
+    got = {(r.h, r.r, r.t): (r.energy, r.rank, r.hit, r.rr_ppm)
+           for r in tr.linkpred_eval(t, known=t, k=3).collect()}
+    want = _eager_linkpred(tr, TRIPLES)
+    assert got == want
+    # the filtered protocol binds: (a, calls, b) and (a, calls, c) are
+    # both known, so neither counts in the other's comparison set
+    assert len(got) == len(TRIPLES)
+
+
+def test_linkpred_eval_sampling_never_raises_rank(spark):
+    t = _t(spark)
+    tr = TransETrainer(dim=4, lr=5, margin=400).fit(t, epochs=2)
+    full = {(r.h, r.r, r.t): r.rank
+            for r in tr.linkpred_eval(t, known=t).collect()}
+    samp = {(r.h, r.r, r.t): r.rank
+            for r in tr.linkpred_eval(t, known=t,
+                                      candidate_ppm=500_000).collect()}
+    # sampling shrinks the comparison set -> ranks can only improve,
+    # and every test triple still gets a row (the true tail needs no
+    # special-casing under sampling)
+    assert set(samp) == set(full)
+    assert all(samp[k] <= full[k] for k in full)
+    want = _eager_linkpred(tr, TRIPLES, ppm=500_000)
+    assert all(samp[k] == want[k][1] for k in samp)
