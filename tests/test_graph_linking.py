@@ -343,3 +343,57 @@ def test_mine_rules_random_facts_parity(spark):
                                "subj: string, pred: string, obj: string")
     got = {tuple(r) for r in mine_rules(df).collect()}
     assert got == want
+
+
+def test_cc_delta_merges_components_and_new_nodes(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.graph import cc_delta, connected_components
+
+    # standing graph: {1,2} and {5,6}, isolated 9
+    standing_edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=5, dst=6)])
+    cc0 = connected_components(standing_edges)
+    standing = (cc0.unionByName(
+        spark.createDataFrame([Row(node=9, comp=9)])))
+    # delta: bridge the two components via new node 7, attach brand-new
+    # chain 0-8 where 0 UNDERCUTS every standing min label
+    delta = spark.createDataFrame(
+        [Row(src=2, dst=7), Row(src=7, dst=5),
+         Row(src=8, dst=0), Row(src=1, dst=1)])  # self-loop no-op
+    got = {r.node: r.comp for r in cc_delta(standing, delta).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 7: 1, 9: 9, 0: 0, 8: 0}
+
+
+def test_cc_delta_equals_full_rebuild_random_graph(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from fastie_spark.graph import cc_delta, connected_components
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+    old = [(u, v) for u, v in edges if u < 40 and v < 40]
+    delta = [(u, v) for u, v in edges if u >= 40 or v >= 40]
+
+    def df(rows):
+        return spark.createDataFrame([Row(src=u, dst=v) for u, v in rows])
+
+    cc0 = connected_components(df(old))
+    # standing must cover ALL old nodes (isolated ones as themselves)
+    nodes0 = {x for u, v in old for x in (u, v)}
+    from pyspark.sql import functions as SF
+    standing = (spark.createDataFrame([Row(node=x) for x in sorted(nodes0)])
+                .join(cc0, "node", "left")
+                .select("node", SF.coalesce("comp", SF.col("node"))
+                        .alias("comp")))
+    inc = {r.node: r.comp for r in cc_delta(standing, df(delta)).collect()}
+    full = {r.node: r.comp
+            for r in connected_components(df(edges)).collect()}
+    # compare on the union of covered nodes
+    assert all(inc[k] == full[k] for k in full if k in inc)
+    assert set(inc) >= set(full) - {x for x in full
+                                    if x not in nodes0 and
+                                    all(x not in e for e in delta)}

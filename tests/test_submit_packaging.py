@@ -1,0 +1,64 @@
+"""spark-submit --py-files packaging rehearsal (north-rule launch mode).
+
+Builds the distribution zip, then launches the flagship job through a
+REAL ``spark-submit`` from a scratch working directory with the repo
+stripped from ``PYTHONPATH`` — so ``import fastie_spark`` can only
+succeed if the ``--py-files`` archive actually carries the package,
+exactly as a 1000-executor cluster submit would resolve it.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str:
+    cand = shutil.which("spark-submit")
+    if cand:
+        return cand
+    import pyspark
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin",
+                        "spark-submit")
+
+
+def test_package_zip_is_deterministic(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from package import build_zip
+    a = build_zip(str(tmp_path / "a.zip"))
+    b = build_zip(str(tmp_path / "b.zip"))
+    assert open(a, "rb").read() == open(b, "rb").read()
+    import zipfile
+    names = zipfile.ZipFile(a).namelist()
+    assert "fastie_spark/__init__.py" in names
+    assert all(n.endswith(".py") for n in names)
+
+
+def test_spark_submit_pyfiles_runs_flagship(tmp_path):
+    # subprocess.run(timeout=280) below is the hang guard — the
+    # pytest-timeout plugin is not available in this environment
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from package import build_zip
+    zip_path = build_zip(str(tmp_path / "fastie_spark.zip"))
+    job = os.path.join(REPO, "tools", "submit_job.py")
+
+    env = dict(os.environ)
+    # the repo must NOT be importable except through --py-files
+    env["PYTHONPATH"] = ""
+    env.pop("SPARK_HOME", None)  # use pyspark's own launcher jars
+    proc = subprocess.run(
+        [_spark_submit(), "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path, job, "synthetic", "200"],
+        cwd=str(tmp_path), env=env, text=True,
+        capture_output=True, timeout=280)
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("SUBMIT_RESULT ")), None)
+    assert line is not None, (proc.stdout[-2000:], proc.stderr[-2000:])
+    res = json.loads(line[len("SUBMIT_RESULT "):])
+    assert res["rows"] > 0 and res["sha_ok"]
+    assert res["master"] == "local[4]"

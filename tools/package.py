@@ -1,0 +1,46 @@
+"""Build the ``--py-files`` distribution zip for cluster submission.
+
+The north rule's launch mode is ``spark-submit --py-files`` on a
+multi-executor cluster: the driver ships ONE archive and every
+executor's Python worker imports the package from it — no shared
+filesystem, no pip install on workers.  This tool produces that
+archive deterministically (fixed timestamps, sorted entries, stored
+not compressed-by-mtime) so two builds of the same tree are
+byte-identical and a cluster cache can key on the file hash.
+
+Usage: python tools/package.py [out_zip]     (default dist/fastie_spark.zip)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(out_path: str) -> str:
+    """Zip ``fastie_spark/`` (sources only) into ``out_path``."""
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    pkg = os.path.join(REPO, "fastie_spark")
+    entries = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((os.path.relpath(full, REPO), full))
+    entries.sort()
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for arc, full in entries:
+            info = zipfile.ZipInfo(arc, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            with open(full, "rb") as fh:
+                z.writestr(info, fh.read())
+    return out_path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "dist", "fastie_spark.zip")
+    print(build_zip(out))

@@ -68,6 +68,9 @@ AUDIT = [
     ("pure_span_ner", "F6 span endpoint-gather forward (mapInPandas)"),
     ("decontaminate", "bench-shingle broadcast join, no corpus shuffle"),
     ("bpe_train", "BPE merges: vocab-grain rounds, JVM fold apply"),
+    ("kg_linkpred", "filtered tail ranking, sampled candidate bound"),
+    ("dedup_containment", "directed containment, hot-shingle guard"),
+    ("code_churn", "multiset line-hash diff, co-partitioned outer join"),
 ]
 
 

@@ -1,0 +1,56 @@
+"""The ``spark-submit`` entry point for the flagship extraction job.
+
+Launch shape (the north rule's stated production mode):
+
+    spark-submit --master <cluster> \\
+        --py-files dist/fastie_spark.zip \\
+        tools/submit_job.py <sf_dir_or_'synthetic'> [n_docs]
+
+The script imports ``fastie_spark`` from whatever ``--py-files``
+shipped (executors resolve it from the same archive), runs the
+flagship gazetteer→pair→triple extraction, and prints one JSON line
+with the row count and the content-sha invariant check — the smallest
+job that proves the packaged engine runs end-to-end under a real
+submit, which `tests/test_submit_packaging.py` asserts from a clean
+working directory where the repo itself is NOT importable.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    # import AFTER spark-submit has placed --py-files on sys.path
+    from pyspark.sql import SparkSession
+
+    from fastie_spark.corpus import entity_gazetteer, synthetic_source_docs
+    from fastie_spark.extraction import (
+        GazetteerNER,
+        PairRelationModel,
+        triples_from_docs,
+    )
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    spark = (SparkSession.builder.appName("fastie-submit")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synthetic_source_docs(spark, n_docs=n_docs)
+    ner = GazetteerNER({(s,): lab for s, lab in entity_gazetteer()})
+    rel = PairRelationModel({(s, o, -2): "CALLS"
+                             for s, _ in entity_gazetteer()
+                             for o, _ in entity_gazetteer()})
+    t = triples_from_docs(docs, ner, rel)
+    n = t.count()
+    n_sha = t.where("content_sha IS NOT NULL AND length(content_sha) = 64") \
+             .count()
+    print("SUBMIT_RESULT " + json.dumps(
+        {"rows": n, "sha_ok": n_sha == n,
+         "master": spark.sparkContext.master}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
