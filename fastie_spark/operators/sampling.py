@@ -132,3 +132,60 @@ def token_count_quantiles(docs: DataFrame,
             .cast("bigint").alias(f"p{q}"))
     aggs.append(F.max("v").cast("bigint").alias("max_tokens"))
     return (cum.groupBy(F.col("grp").alias(group_col)).agg(*aggs))
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
+                   salt: str = "pack", id_col: str = "doc_id",
+                   count_col: str = "n_tokens") -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic hash order and chop the stream into fixed
+    ``budget``-token training chunks, documents splitting across chunk
+    boundaries (the standard pretraining packing — zero padding waste,
+    unlike bin-packing whole documents).
+
+    The global concatenation order would need a global sort, so the
+    corpus is first routed to ``n_shards`` independent streams by a
+    portable hash of the id (the same salt-decoupled router
+    :func:`sample_deterministic` uses) and packing is per-shard — at
+    cluster scale shards bound every window partition, the sort is
+    per-shard, and shards pack in parallel.  Within a shard, order is
+    (hash, id): deterministic under any partitioning, uncorrelated
+    with corpus order, replayable in SQL.
+
+    Output, one row per (document, chunk it overlaps):
+    (doc_id, shard, chunk_id, chunk_pos, t_start, t_len) — the doc's
+    tokens [t_start, t_start+t_len) land in chunk ``chunk_id`` at
+    offset ``chunk_pos``.  Invariants (pytest-checked): every doc's
+    spans partition [0, n_tokens) exactly; every chunk except each
+    shard's last holds exactly ``budget`` tokens.  Zero-token docs are
+    dropped.
+
+    Plan: one in-row hash + one per-shard window prefix-sum + one
+    in-row sequence explode — a single shuffle on ``shard``.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(
+        F.concat(F.lit(salt + "#"), F.col(id_col).cast("string")))
+    d = (docs.select(F.col(id_col), F.col(count_col).alias("n"))
+         .where(F.col("n") > 0)
+         .withColumn("h", h)
+         .withColumn("shard", F.pmod("h", F.lit(n_shards)).cast("int")))
+    w = (Window.partitionBy("shard").orderBy("h", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn("prefix", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    b = F.lit(budget)
+    d = (d.withColumn("c0", F.floor(F.col("prefix") / b))
+         .withColumn("c1", F.floor((F.col("prefix") + F.col("n") - 1) / b)))
+    out = d.select(
+        id_col, "shard", "prefix", "n",
+        F.explode(F.expr("sequence(c0, c1)")).alias("chunk_id"))
+    t_start = F.greatest(F.lit(0), F.col("chunk_id") * b - F.col("prefix"))
+    t_end = F.least(F.col("n"), (F.col("chunk_id") + 1) * b - F.col("prefix"))
+    return out.select(
+        id_col, "shard",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (F.col("prefix") + t_start - F.col("chunk_id") * b)
+        .cast("bigint").alias("chunk_pos"),
+        t_start.cast("bigint").alias("t_start"),
+        (t_end - t_start).cast("bigint").alias("t_len"))

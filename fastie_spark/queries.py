@@ -3601,6 +3601,50 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  percentiles=(50, 90))
 
 
+PACK_BUDGET, PACK_SHARDS = 256, 8
+
+
+@query("pack_sequences", oracle=f"""
+WITH d0 AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+                   {duck_hash64_sql("'pack#' || doc_id::VARCHAR")} AS h
+            FROM documents),
+d AS (SELECT doc_id, n, h, (h % {PACK_SHARDS})::INT AS shard
+      FROM d0 WHERE n > 0),
+p AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY shard
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM d),
+x AS (SELECT doc_id, shard, prefix, n,
+             unnest(generate_series(
+                 (prefix // {PACK_BUDGET})::BIGINT,
+                 ((prefix + n - 1) // {PACK_BUDGET})::BIGINT))
+               AS chunk_id
+      FROM p)
+SELECT doc_id, shard, chunk_id::BIGINT AS chunk_id,
+       (prefix + greatest(0, chunk_id * {PACK_BUDGET} - prefix)
+        - chunk_id * {PACK_BUDGET})::BIGINT AS chunk_pos,
+       greatest(0, chunk_id * {PACK_BUDGET} - prefix)::BIGINT AS t_start,
+       (least(n, (chunk_id + 1) * {PACK_BUDGET} - prefix)
+        - greatest(0, chunk_id * {PACK_BUDGET} - prefix))::BIGINT AS t_len
+FROM x
+""")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: the corpus concatenates in
+    deterministic (hash, id) order per shard and chops into exact
+    {budget}-token training chunks, docs splitting across boundaries —
+    zero padding waste, the standard pretraining data layout.  One
+    shuffle (shard routing), one per-shard window prefix-sum, one
+    in-row explode; shards bound every sort at cluster scale.  The
+    oracle replays routing, ordering, prefix sums and boundary
+    arithmetic — one token misplaced anywhere breaks the hash."""
+    from fastie_spark.operators.sampling import pack_sequences
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return pack_sequences(d, budget=PACK_BUDGET, n_shards=PACK_SHARDS,
+                          salt="pack")
+
+
 # ---------------------------------------------------------------------------
 # code-aware extraction over the input_hint production table (r4):
 # (repo, path, commit, lang, content) derived deterministically from
@@ -4326,6 +4370,11 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # bounded window-collect is
                                         # replayed by the reference-
                                         # parity pytest + CI oracle
+                  # rotated out to fund pack_sequences (GPT packing):
+                  "sliding_window",     # green r1-r3; W3 chunk+rebase
+                                        # is replayed by the
+                                        # exhaustive-coverage property
+                                        # pytest + CI oracle
                   ]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)

@@ -108,3 +108,67 @@ def test_token_count_quantiles_hand_distribution(spark):
     # group a: counts [1,2,3,4,100] — p50 = ceil(2.5)=3rd smallest = 3,
     # p90 = ceil(4.5)=5th = 100 (exact, not interpolated)
     assert got == {"a": (5, 3, 100, 100), "b": (2, 2, 2, 2)}
+
+
+def test_pack_sequences_partitions_docs_and_fills_chunks(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=c) for i, c in
+         [(1, 4), (2, 17), (3, 9), (4, 30), (5, 1), (6, 0), (7, 12)]])
+    out = pack_sequences(docs, budget=10, n_shards=1, salt="t").collect()
+    # zero-token doc dropped, all others covered
+    assert {r.doc_id for r in out} == {1, 2, 3, 4, 5, 7}
+    # spans partition each doc exactly: contiguous from 0, total = n
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.t_start, r.t_len))
+    n = {1: 4, 2: 17, 3: 9, 4: 30, 5: 1, 7: 12}
+    for d, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert sum(ln for _, ln in spans) == n[d]
+        pos = 0
+        for s, ln in spans:
+            assert s == pos and ln > 0
+            pos += ln
+    # every chunk except the shard's last holds exactly `budget` tokens
+    per_chunk = {}
+    for r in out:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.t_len
+    last = max(per_chunk)
+    assert all(v == 10 for c, v in per_chunk.items() if c != last)
+    assert 0 < per_chunk[last] <= 10
+    # chunk offsets tile each chunk contiguously
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r.chunk_id, []).append((r.chunk_pos, r.t_len))
+    for c, ps in by_chunk.items():
+        ps.sort()
+        pos = 0
+        for p, ln in ps:
+            assert p == pos
+            pos += ln
+
+
+def test_pack_sequences_sharding_is_deterministic_and_partitioning_free(
+        spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=3 + i % 7) for i in range(60)])
+    a = sorted(map(tuple,
+                   pack_sequences(docs, budget=16, n_shards=4).collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(docs.repartition(13), budget=16,
+                                  n_shards=4).collect()))
+    assert a == b
+    # boundary-crossing docs exist (the point of GPT packing)
+    multi = {}
+    for r in a:
+        multi[r[0]] = multi.get(r[0], 0) + 1
+    assert any(v > 1 for v in multi.values())
