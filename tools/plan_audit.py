@@ -71,6 +71,8 @@ AUDIT = [
     ("kg_linkpred", "filtered tail ranking, sampled candidate bound"),
     ("dedup_containment", "directed containment, hot-shingle guard"),
     ("code_churn", "multiset line-hash diff, co-partitioned outer join"),
+    ("cc_delta", "incremental CC: component-graph loop + compose"),
+    ("pack_sequences", "per-shard prefix-sum packing, one shuffle"),
 ]
 
 
