@@ -1,0 +1,74 @@
+"""PII / secret detection and redaction for training-data pipelines.
+
+Engine addition beyond the reference (the brief's large-scale
+training-data operations): before a corpus is packed into training
+chunks, emails, IP addresses and cloud-credential patterns must be
+counted (compliance reporting) and masked (the actual scrub).  Both
+run as pure built-in column expressions — ``regexp_count`` +
+chained ``regexp_replace`` — JVM-side, codegen'd, shuffle-free, so at
+100 TB the scrub is a map-only pass fused into whatever scan feeds it.
+
+Pattern notes:
+
+* the patterns use only syntax with identical semantics in Java
+  regex (Spark) and RE2 (DuckDB oracle): character classes,
+  bounded repetition, alternation — no backrefs, no lookaround.
+* counts are computed per-pattern on the ORIGINAL text (independent
+  detectors, the compliance-report grain); the redacted text applies
+  the replacements as an ordered chain (email → ip → key), so a span
+  is masked by the first pattern that claims it.
+* the redacted text itself is never shipped around as a result —
+  downstream gets its sha256 + length, the same content-addressed
+  convention as the flagship's ``content_sha`` invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: (name, pattern, replacement) — order IS the redaction chain order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("akey", r"AKIA[0-9A-Z]{16}", "<KEY>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII hit counts + content hash of the redacted text.
+
+    Output: ``(id_col, n_email, n_ipv4, n_akey, redacted_len,
+    redacted_sha)``.  One shuffle-free projection; the redaction chain
+    is a fold of ``regexp_replace`` in ``PII_PATTERNS`` order.
+    """
+    cols = [F.col(id_col)]
+    redacted = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                    .cast("bigint").alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return docs.select(
+        *cols,
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
+
+
+def pii_scrub_duck_sql(text_expr: str, id_expr: str = "doc_id",
+                       source: str = "documents") -> str:
+    """DuckDB query replicating :func:`pii_scrub` over ``source``
+    (``text_expr`` may be any SQL expression, e.g. planted-PII text)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    red = "t"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (f"WITH pii_src AS (SELECT {id_expr} AS id_, {text_expr} AS t "
+            f"FROM {source}) "
+            f"SELECT id_ AS {id_expr}, {counts}, "
+            f"len({red})::BIGINT AS redacted_len, "
+            f"sha256({red}) AS redacted_sha FROM pii_src")

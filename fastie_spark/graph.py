@@ -692,6 +692,38 @@ def materialize_kg(triples: DataFrame, entity_map: DataFrame | None = None
     return finalize_kg(*kg_stats(triples, entity_map))
 
 
+def neighbor_agg_embeddings(triples: DataFrame, embeddings: DataFrame,
+                            h: str = "h", t: str = "t") -> DataFrame:
+    """One GNN message-passing layer as a relational op: for every
+    head node, the element-wise mean of its outgoing-edge tail
+    embeddings (GraphSAGE mean aggregator over the directed KG).
+
+    ``embeddings`` is the long-form ``(kind, name, d, v)`` table a
+    :class:`~fastie_spark.extraction.kg_embed.TransETrainer` produces;
+    only ``kind = 'E'`` rows participate.  Output stays long-form —
+    ``(name, d, n_out, sum_v, mean_v)`` with ``mean_v = sum_v div
+    n_out`` (truncating integer division, identical semantics to the
+    DuckDB oracle's ``//``) — so downstream layers chain without any
+    array reassembly and the oracle hash-compares scalars.
+
+    Scale shape: one equi-join of the edge list against the embedding
+    table on the tail id (both corpus-sized → sort-merge, exactly
+    right) followed by a partial-aggregable groupBy on (head, dim).
+    Per-edge cost is ``dim`` rows; nothing is ever collected.  That is
+    the whole layer — a GNN step over a trillion-edge graph is a join
+    plus a groupBy, which is why it belongs in this engine.
+    """
+    et = (embeddings.where(F.col("kind") == "E")
+          .select(F.col("name").alias("_t"), "d", "v"))
+    edges = triples.select(F.col(h).alias("name"), F.col(t).alias("_t"))
+    return (edges.join(et, "_t")
+            .groupBy("name", "d")
+            .agg(F.count("*").cast("bigint").alias("n_out"),
+                 F.sum("v").cast("bigint").alias("sum_v"))
+            .withColumn("mean_v",
+                        F.expr("sum_v div n_out").cast("bigint")))
+
+
 def write_partitioned(df: DataFrame, path: str,
                       partition_cols: tuple[str, ...] = ("repo", "lang"),
                       mode: str = "overwrite") -> None:

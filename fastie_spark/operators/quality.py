@@ -1,0 +1,54 @@
+"""Repetition-based quality filters for training-data curation.
+
+Engine addition beyond the reference: Gopher-style repetition
+signals — a document whose most frequent word bigram covers a large
+share of the text is boilerplate/spam and gets filtered before
+training.  The exact per-document counters here are the inputs to
+that decision: total bigrams, distinct bigrams (their difference is
+the duplicate-bigram count) and the single most frequent bigram with
+its count (deterministic tie-break: smallest bigram string wins).
+
+Scale shape: explode bigrams → partial-agg count per (doc, bigram) →
+per-doc roll-up.  The groupBy keys carry the doc id, so the shuffle
+is corpus-token-sized but perfectly parallel with no skew beyond the
+longest single document; map-side partial aggregation collapses
+within-partition repeats before anything moves.  A purely in-row
+mode computation would be O(len * distinct) per document — strictly
+worse for the long documents that matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bigram_repetition(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc word-bigram repetition counters.
+
+    Output: ``(id_col, n_bigrams, distinct_bigrams, top_cnt,
+    top_bigram)`` for every doc with >= 2 whitespace tokens.
+    ``top_bigram`` is the most frequent bigram; ties break to the
+    lexicographically smallest so both engines elect the same one.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("l"))
+    bg = (toks.where(F.size("l") >= 2)
+          .select(
+              F.col(id_col),
+              F.explode(F.expr(
+                  "transform(sequence(0, size(l) - 2), "
+                  "i -> concat_ws(' ', l[i], l[i + 1]))")).alias("bigram")))
+    counts = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
+    # min(struct(-cnt, bigram)) = max count, then smallest bigram —
+    # a single partial-aggregable expression, no window.
+    top = F.min(F.struct((-F.col("cnt")).alias("neg"),
+                         F.col("bigram").alias("bigram"))).alias("top")
+    return (counts.groupBy(id_col)
+            .agg(F.sum("cnt").cast("bigint").alias("n_bigrams"),
+                 F.count("*").cast("bigint").alias("distinct_bigrams"),
+                 top)
+            .select(id_col, "n_bigrams", "distinct_bigrams",
+                    (-F.col("top.neg")).cast("bigint").alias("top_cnt"),
+                    F.col("top.bigram").alias("top_bigram")))

@@ -33,8 +33,10 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from fastie_spark.functions.hashing import portable_hash64
 
 _SUMMARY_SCHEMA = "pid int, key string, cnt long, d long"
 
@@ -99,3 +101,69 @@ def heavy_hitters(df: DataFrame, key_col: str, capacity: int,
                         .cast("bigint"))
             .where(F.col("cnt_hi") >= min_count)
             .drop("D"))
+
+
+#: hash space of the portable 60-bit hash (15 hex chars): [0, 16^15).
+KMV_H_MAX = 16 ** 15
+
+
+def kmv_distinct(df: DataFrame, grp_col: str, val_col: str,
+                 k: int = 16, fanout: int = 32) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group.
+
+    Keeps the ``k`` smallest portable 60-bit hashes of the distinct
+    values in each group; the k-th smallest hash ``h_k`` estimates the
+    cardinality as ``(k-1) * (H_MAX div h_k)`` (integer throughout so
+    the DuckDB oracle hash-matches bit-exactly; the inner truncation
+    costs < k absolute error — noise next to the sketch's own
+    ~1/sqrt(k) relative error).  Groups with fewer than ``k`` distinct
+    values are EXACT: every hash is in the sketch, the estimate is
+    the sketch size itself.
+
+    Output: ``(grp_col, k_used, h_k, kmv_est)``.
+
+    Scale shape (the reason sketches exist at 100 TB): a group's
+    sketch is its k smallest hashes — a MERGEABLE summary (the union's
+    sketch is the k smallest of the concatenated sketches, property-
+    tested in pytest), so per-partition partials are k rows regardless
+    of value cardinality.  Here the partial level is a ``fanout``-way
+    salted k-smallest (bounding every window partition) followed by a
+    global k-smallest over the <= fanout*k survivors per group — the
+    same two-level bounded pattern as the ANN top-k operators.  The
+    full distinct set is never collected anywhere.
+    """
+    hashed = (df.select(F.col(grp_col),
+                        portable_hash64(val_col).alias("h"))
+              .distinct())
+    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(fanout)))
+    w1 = Window.partitionBy(grp_col, "salt").orderBy("h")
+    part = (salted.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= k).drop("salt", "rn"))
+    w2 = Window.partitionBy(grp_col).orderBy("h")
+    topk = (part.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= k))
+    return (topk.groupBy(grp_col)
+            .agg(F.count("*").cast("bigint").alias("k_used"),
+                 F.max("h").cast("bigint").alias("h_k"))
+            .withColumn(
+                "kmv_est",
+                F.when(F.col("k_used") < k, F.col("k_used"))
+                .otherwise(F.expr(f"{k - 1} * ({KMV_H_MAX}L div h_k)"))
+                .cast("bigint")))
+
+
+def kmv_distinct_duck_sql(source_sql: str, grp: str, val: str,
+                          k: int = 16) -> str:
+    """DuckDB query replicating :func:`kmv_distinct` over
+    ``source_sql`` (a relation providing columns ``grp`` and ``val``)."""
+    h = f"(('0x' || substr(md5({val}), 1, 15))::BIGINT)"
+    return f"""
+WITH kmv_h AS (SELECT DISTINCT {grp} AS g, {h} AS h FROM {source_sql}),
+kmv_r AS (SELECT g, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM kmv_h)
+SELECT g AS {grp}, count(*)::BIGINT AS k_used,
+       max(h)::BIGINT AS h_k,
+       (CASE WHEN count(*) < {k} THEN count(*)
+             ELSE {k - 1} * ({KMV_H_MAX} // max(h)) END)::BIGINT AS kmv_est
+FROM kmv_r WHERE rn <= {k} GROUP BY g"""
