@@ -73,6 +73,10 @@ AUDIT = [
     ("code_churn", "multiset line-hash diff, co-partitioned outer join"),
     ("cc_delta", "incremental CC: component-graph loop + compose"),
     ("pack_sequences", "per-shard prefix-sum packing, one shuffle"),
+    ("pii_scrub", "PII redact: map-only regexp chain, shuffle-free"),
+    ("quality_repetition", "bigram counters: partial-agg, no window"),
+    ("sketch_distinct_kmv", "KMV sketch: two-level bounded k-smallest"),
+    ("kg_neighbor_agg", "GNN layer: edge ⋈ embeddings + (node,dim) agg"),
 ]
 
 
