@@ -21,6 +21,13 @@ SQL (float idf sums are non-associative folds; their ties are
 engine-dependent).  Rare terms dominate exactly as in BM25; swapping
 in a float idf changes one expression, not the plan.  Ties rank by
 smallest doc_id.
+
+``search_bm25`` is the full BM25 ranking function (tf saturation +
+doc-length normalization) in the SAME deterministic-integer
+discipline — the float constants k1 = 1.2, b = 0.75 are exact
+rationals cleared to a common denominator, so the only rounding is
+one documented permil floor on dl/avgdl.  Both scorers share the
+stored-index seam and the two-level bounded top-k.
 """
 
 from __future__ import annotations
@@ -79,7 +86,14 @@ def search_tfidf(docs: DataFrame, query_terms: list[str], k: int = 10,
     # _probe): partial top-k per doc-hash shard, final top-k over the
     # ≤ shards·k survivors — no single task ever ranks the full
     # candidate set of a common term
-    n_salts = index.sparkSession.sparkContext.defaultParallelism
+    return _bounded_topk(scored, k)
+
+
+def _bounded_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-level bounded top-k over (doc_id, score) — partial top-k per
+    doc-hash shard, final top-k over the ≤ shards·k survivors (same
+    discipline as similarity._topk_per_probe)."""
+    n_salts = scored.sparkSession.sparkContext.defaultParallelism
     order = [F.col("score").desc(), F.col("doc_id").asc()]
     w1 = Window.partitionBy("_salt").orderBy(*order)
     w2 = Window.orderBy(*order)
@@ -95,3 +109,79 @@ def search_tfidf(docs: DataFrame, query_terms: list[str], k: int = 10,
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def doc_lengths(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl) — per-document term count, the BM25 length table.
+    In-row (size of the split array), shuffle-free; at scale this is a
+    stored side table refreshed with the index."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(text_col, " "),
+                        lambda t: t != "")).cast("bigint").alias("dl"),
+    )
+
+
+def search_bm25(docs: DataFrame, query_terms: list[str], k: int = 10,
+                text_col: str = "text",
+                id_col: str = "doc_id",
+                index: DataFrame | None = None,
+                doclens: DataFrame | None = None,
+                n_docs: int | None = None,
+                total_len: int | None = None) -> DataFrame:
+    """Top-k documents by INTEGER-EXACT BM25 (k1 = 1.2, b = 0.75).
+
+    The float BM25 formula is rearranged into pure bigint arithmetic
+    so the ranking is bit-exact and SQL-replayable (the registry's
+    design rule — float folds are non-associative):
+
+    * ``r_ppk = (1000 · dl · N) div L`` — the doc-length ratio
+      dl/avgdl at permil precision (avgdl = L/N as an exact rational;
+      this floor is the ONLY rounding in the formula);
+    * tf saturation ``tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)``
+      with k1+1 = 11/5, k1·(1−b) = 3/10, k1·b = 9/10 — all cleared to
+      the common denominator 10000:
+      ``tfc_ppm = (22_000_000_000 · tf) div
+      (10000·tf + 3000 + 9·r_ppk)``;
+    * idf = ``(N − df + 1) div (df + 1)`` — the Robertson idf argument
+      ``(N − df + 0.5)/(df + 0.5)`` without the log, kept integer
+      (rare terms dominate more sharply than log-idf; deterministic
+      ties in exchange).
+
+    ``score = Σ_t idf(t) · tfc_ppm(d, t)`` fits int64 at 10^9 docs
+    (idf ≤ N, tfc_ppm ≤ 2.2·10^6 → ≤ 2.2·10^15 per term).
+
+    Same stored-artifact seams as :func:`search_tfidf`: pass a stored
+    ``index`` (term-partitioned postings), ``doclens`` and the two
+    corpus scalars to skip every corpus-wide job at query time.
+    Output: (doc_id, score, rank), ties → smallest doc_id.
+    """
+    if index is None:
+        index = build_inverted_index(docs, text_col, id_col)
+    if doclens is None:
+        doclens = doc_lengths(docs, text_col, id_col)
+    if n_docs is None or total_len is None:
+        stats = doclens.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("l")).collect()[0]
+        n_docs = int(stats["n"]) if n_docs is None else n_docs
+        total_len = int(stats["l"]) if total_len is None else total_len
+    hits = index.where(F.col("term").isin(list(query_terms)))
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n, length = int(n_docs), int(total_len)
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens, "doc_id")
+        .withColumn("r_ppk", F.expr(
+            f"(1000 * dl * cast({n} as bigint)) div "
+            f"cast({length} as bigint)"))
+        .withColumn("tfc_ppm", F.expr(
+            "(cast(22000000000 as bigint) * tf) div "
+            "(10000 * tf + 3000 + 9 * r_ppk)"))
+        .withColumn("idf", F.expr(
+            f"(cast({n} as bigint) - df + 1) div (df + 1)"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("idf * tfc_ppm")).alias("score"))
+    )
+    return _bounded_topk(scored, k)

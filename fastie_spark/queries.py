@@ -2014,6 +2014,47 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                         text_col="text", id_col="doc_id")
 
 
+@query("text_search_bm25", oracle=f"""
+WITH postings AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dls AS (
+  SELECT doc_id, (count(*) FILTER (WHERE term <> ''))::BIGINT AS dl
+  FROM postings GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS l FROM dls),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM postings
+  WHERE term IN {SEARCH_TERMS!r} GROUP BY term, doc_id),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT t.doc_id,
+         sum(((s.n - d.df + 1) // (d.df + 1)) *
+             ((22000000000 * t.tf) //
+              (10000 * t.tf + 3000 +
+               9 * ((1000 * dls.dl * s.n) // s.l))))::BIGINT AS score
+  FROM tf t JOIN dfq d ON d.term = t.term
+  JOIN dls ON dls.doc_id = t.doc_id, stats s
+  GROUP BY t.doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+SELECT doc_id::BIGINT AS doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {SEARCH_K}
+""")
+def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranking (tf saturation + doc-length normalization,
+    k1 = 1.2, b = 0.75) in integer-exact form: the float constants are
+    cleared to a common denominator and the only rounding is one
+    permil floor on dl/avgdl, so the ranking is bit-exact and the
+    oracle replays every term's contribution.  Shares the stored-index
+    seam and bounded top-k with ``text_search``; a wrong length table,
+    saturation curve, or idf breaks the hash."""
+    from fastie_spark.operators.retrieval import search_bm25
+    docs = _documents(spark, sf_dir)
+    return search_bm25(docs, list(SEARCH_TERMS), k=SEARCH_K,
+                       text_col="text", id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # event-stream analytics (batch form of the streaming ops)
 # ---------------------------------------------------------------------------

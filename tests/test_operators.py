@@ -218,3 +218,72 @@ def test_search_tfidf_rare_term_dominates(spark):
     # N=6; df(rare)=2 -> idf 3; df(common)=5 -> idf 1
     # d3: 2*3+1=7, d0: 3+1=4, d1: 3, d2=d5: 1 (tie -> doc 2)
     assert got == [(3, 7, 1), (0, 4, 2), (1, 3, 3), (2, 1, 4)]
+
+
+def _bm25_eager(corpus: dict[int, str], terms: list[str]) -> dict[int, int]:
+    """Pure-Python replay of the integer BM25 formula (k1=1.2, b=0.75
+    as exact rationals, permil floor on dl/avgdl)."""
+    dls = {d: len([t for t in txt.split(" ") if t])
+           for d, txt in corpus.items()}
+    n, length = len(corpus), sum(dls.values())
+    tf = {}
+    for d, txt in corpus.items():
+        for t in txt.split(" "):
+            if t in terms:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {t: len({d for (d, tt) in tf if tt == t}) for t in terms}
+    scores: dict[int, int] = {}
+    for (d, t), f in tf.items():
+        r_ppk = (1000 * dls[d] * n) // length
+        tfc = (22_000_000_000 * f) // (10000 * f + 3000 + 9 * r_ppk)
+        idf = (n - df[t] + 1) // (df[t] + 1)
+        scores[d] = scores.get(d, 0) + idf * tfc
+    return scores
+
+
+def test_search_bm25_saturation_and_length_norm(spark):
+    """Integer BM25: (a) tf saturates — 10 repeats of a term score
+    well under 10x one occurrence; (b) the same tf in a LONGER doc
+    scores lower (length normalization); (c) every score equals the
+    eager integer replay, so the rational k1/b encoding is exact."""
+    from fastie_spark.operators.retrieval import search_bm25
+
+    corpus = {
+        0: "rare pad",
+        1: " ".join(["rare"] * 10) + " pad",
+        2: "rare " + " ".join(["pad"] * 39),
+        3: "pad pad",
+        4: "other things entirely",
+        # enough non-matching docs that idf = (N-df+1) div (df+1) > 0
+        **{5 + i: "filler text" for i in range(7)},
+    }
+    docs = spark.createDataFrame(sorted(corpus.items()),
+                                 "doc_id: long, text: string")
+    got = {r["doc_id"]: r["score"]
+           for r in search_bm25(docs, ["rare"], k=5).collect()}
+    want = _bm25_eager(corpus, ["rare"])
+    assert got == want
+    # saturation: d1 (tf=10) < 10x d0 (tf=1), but still above d0
+    assert got[0] < got[1] < 10 * got[0]
+    # length norm: same tf=1, d2 is 20x longer than d0 -> lower score
+    assert got[2] < got[0]
+
+
+def test_search_bm25_stored_index_path(spark):
+    """The stored-artifact seam: passing a prebuilt index + length
+    table + corpus scalars returns the identical ranking without
+    touching ``docs`` (corpus-wide jobs are skippable at scale)."""
+    from fastie_spark.operators.retrieval import (
+        build_inverted_index, doc_lengths, search_bm25)
+
+    rows = [(0, "alpha beta"), (1, "alpha alpha gamma"),
+            (2, "beta beta beta"), (3, "delta")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    idx = build_inverted_index(docs)
+    dls = doc_lengths(docs)
+    stats = dls.groupBy().sum("dl").collect()[0][0]
+    direct = search_bm25(docs, ["alpha", "beta"], k=4).collect()
+    stored = search_bm25(docs.limit(0), ["alpha", "beta"], k=4,
+                         index=idx, doclens=dls,
+                         n_docs=4, total_len=int(stats)).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, stored))
