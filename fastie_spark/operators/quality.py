@@ -52,3 +52,73 @@ def bigram_repetition(docs: DataFrame, text_col: str = "text",
             .select(id_col, "n_bigrams", "distinct_bigrams",
                     (-F.col("top.neg")).cast("bigint").alias("top_cnt"),
                     F.col("top.bigram").alias("top_bigram")))
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str,
+                 id_col: str) -> DataFrame:
+    """(id, x, y) word-bigram rows; empty tokens (repeated spaces)
+    dropped in-row before enumeration."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: t != "").alias("l"))
+    return (toks.where(F.size("l") >= 2)
+            .select(F.col(id_col), F.explode(F.expr(
+                "transform(sequence(0, size(l) - 2), "
+                "i -> struct(l[i] as x, l[i + 1] as y))")).alias("p"))
+            .select(id_col, F.col("p.x").alias("x"),
+                    F.col("p.y").alias("y")))
+
+
+def bigram_lm_score(docs: DataFrame, train: DataFrame | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model fluency scoring, integer-exact.
+
+    Train a Laplace-smoothed word-bigram LM on ``train`` (defaults to
+    ``docs`` — self-scoring, the perplexity-filter shape of CCNet /
+    Wenzek et al. 2020: docs whose token transitions are unlike the
+    corpus LM are disfluent/OOD and score low), then score every doc
+    by its MEAN next-token probability in ppm:
+
+    ``p_ppm(x→y) = (1e6 · (c(x,y) + 1)) div (c(x,·) + V)``
+    ``lm_ppm(d) = (Σ p_ppm) div n_bigrams(d)``
+
+    where c(·) are train-corpus bigram/context counts and V the train
+    unigram vocabulary size — all-integer Laplace, so scores are
+    bit-exact and the oracle replays them (log-perplexity would be a
+    float fold; the mean transition probability is a monotone proxy
+    at document grain).
+
+    Scale shape: the LM is two count tables built with partial-agg
+    groupBys at vocabulary²-grain; scoring is one bigram explode +
+    one join keyed by the bigram + one context join + a per-doc
+    roll-up.  Hot bigrams ("of the") are AQE-splittable equi-join
+    keys, and only token pairs shuffle — never documents.
+
+    Output: ``(id_col, n_bigrams, lm_ppm)`` for docs with ≥ 2 tokens.
+    """
+    if train is None:
+        train = docs
+    tbg = _doc_bigrams(train, text_col, id_col)
+    bg_counts = tbg.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("bc"))
+    ctx_counts = tbg.groupBy("x").agg(
+        F.count("*").cast("bigint").alias("cx"))
+    vocab = (train.select(F.explode(F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != "")).alias("t"))
+        .agg(F.countDistinct("t")).collect()[0][0])
+    v = int(vocab)
+    return (
+        _doc_bigrams(docs, text_col, id_col)
+        .join(bg_counts, ["x", "y"], "left")
+        .join(ctx_counts, ["x"], "left")
+        .withColumn("p_ppm", F.expr(
+            f"(1000000 * (coalesce(bc, 0) + 1)) div "
+            f"(coalesce(cx, 0) + {v})"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+             F.sum("p_ppm").alias("s"))
+        .select(id_col, "n_bigrams",
+                F.expr("s div n_bigrams").cast("bigint").alias("lm_ppm"))
+    )

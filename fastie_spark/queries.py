@@ -4278,6 +4278,48 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_repetition(_documents(spark, sf_dir))
 
 
+@query("quality_lm", oracle="""
+WITH lm_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents),
+lm_bg AS (
+  SELECT doc_id, l[i] AS x, l[i + 1] AS y
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM lm_t WHERE len(l) >= 2)),
+lm_bc AS (SELECT x, y, count(*)::BIGINT AS bc FROM lm_bg GROUP BY x, y),
+lm_cx AS (SELECT x, count(*)::BIGINT AS cx FROM lm_bg GROUP BY x),
+lm_v AS (SELECT count(DISTINCT t)::BIGINT AS v
+         FROM (SELECT unnest(l) AS t FROM lm_t)),
+lm_sc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum((1000000 * (coalesce(b.bc, 0) + 1))
+             // (coalesce(c.cx, 0) + v.v)) AS s
+  FROM lm_bg g
+  LEFT JOIN lm_bc b ON b.x = g.x AND b.y = g.y
+  LEFT JOIN lm_cx c ON c.x = g.x, lm_v v
+  GROUP BY g.doc_id)
+SELECT doc_id::BIGINT AS doc_id, n_bigrams,
+       (s // n_bigrams)::BIGINT AS lm_ppm
+FROM lm_sc
+""")
+def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency scoring: a Laplace-smoothed word-bigram
+    LM trained on the corpus scores every document by its mean
+    next-token probability in ppm — the perplexity-filter shape of
+    Wenzek et al. 2020, kept integer-exact (all-integer Laplace; the
+    mean transition probability is the monotone proxy for
+    log-perplexity at document grain).  LM = two partial-agg count
+    tables; scoring = one bigram explode + two equi-joins + per-doc
+    roll-up.  The oracle replays training AND scoring, so a wrong
+    count, smoothing denominator, or unseen-context fallback breaks
+    the hash."""
+    from fastie_spark.operators.quality import bigram_lm_score
+    d = _documents(spark, sf_dir)
+    return bigram_lm_score(d).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_bigrams", "lm_ppm")
+
+
 @query("sketch_distinct_kmv", oracle=kmv_distinct_duck_sql(
     "(SELECT lang, unnest(string_split(text, ' ')) || '#' "
     "|| (doc_id % 97)::VARCHAR AS v FROM documents)",

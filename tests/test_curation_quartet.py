@@ -147,3 +147,50 @@ def test_neighbor_agg_tail_appearing_twice_counts_twice(spark):
     emb = spark.createDataFrame([Row(kind="E", name="x", d=0, v=5)])
     out = neighbor_agg_embeddings(triples, emb).first()
     assert out["n_out"] == 2 and out["sum_v"] == 10 and out["mean_v"] == 5
+
+
+def test_bigram_lm_score_hand_counts(spark):
+    """Laplace bigram LM on a 3-doc corpus: every p_ppm replayed by
+    hand.  Fluent doc (all bigrams seen twice in train) outranks a
+    disfluent one built from unseen transitions of the same tokens."""
+    from fastie_spark.operators.quality import bigram_lm_score
+
+    rows = [(0, "a b c"), (1, "a b c"), (2, "c a")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_ppm"])
+           for r in bigram_lm_score(docs).collect()}
+    # train bigrams: (a,b)x2 (b,c)x2 (c,a)x1; ctx: a->2, b->2, c->1
+    # V = 3 (a, b, c)
+    # doc0/1: p(a,b)=(1e6*3)//(2+3)=600000, p(b,c)=(1e6*3)//(2+3)=600000
+    #         lm = (600000+600000)//2 = 600000
+    # doc2:   p(c,a)=(1e6*2)//(1+3)=500000
+    assert got[0] == (2, 600_000) and got[1] == (2, 600_000)
+    assert got[2] == (1, 500_000)
+
+
+def test_bigram_lm_score_train_score_separation(spark):
+    """Scoring a held-out doc against a TRAINED corpus: unseen
+    transitions fall back to the Laplace floor (bc=0), an unseen
+    context to the 1e6 div (0 + V) floor -- and the disfluent doc
+    scores strictly below the in-distribution one."""
+    from fastie_spark.operators.quality import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(100 + i, "the model runs fast") for i in range(5)],
+        "doc_id: long, text: string")
+    score = spark.createDataFrame(
+        [(0, "the model runs fast"),    # in-distribution
+         (1, "fast the runs model"),    # same tokens, unseen order
+         (2, "zz qq")],                 # unseen context entirely
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r["lm_ppm"]
+           for r in bigram_lm_score(score, train=train).collect()}
+    # V=4; seen transitions: (1e6*6)//(5+4)=666666 each
+    assert got[0] == 666_666
+    # doc1: (fast,the) has UNSEEN context fast -> (1e6*1)//(0+4)=250000;
+    # (the,runs)/(runs,model) are unseen transitions in seen contexts
+    # -> (1e6*1)//(5+4)=111111 each; mean = 472222//3 = 157407
+    assert got[1] == 157_407
+    # fully unseen context: (1e6*1)//(0+4)=250000
+    assert got[2] == 250_000
+    assert got[1] < got[0]
