@@ -167,3 +167,92 @@ SELECT g AS {grp}, count(*)::BIGINT AS k_used,
        (CASE WHEN count(*) < {k} THEN count(*)
              ELSE {k - 1} * ({KMV_H_MAX} // max(h)) END)::BIGINT AS kmv_est
 FROM kmv_r WHERE rn <= {k} GROUP BY g"""
+
+
+def _cms_bucket_sql(key_expr: str, row_expr: str, width: int,
+                    duck: bool = False) -> str:
+    """SQL snippet: CountMin bucket of ``key_expr`` under hash-family
+    row ``row_expr`` — the portable 60-bit hash of 'r#key' mod width
+    (hash is non-negative, so % == pmod in both engines)."""
+    from fastie_spark.functions.hashing import (duck_hash64_sql,
+                                                spark_hash64_sql)
+    h = duck_hash64_sql if duck else spark_hash64_sql
+    concat = (f"(cast({row_expr} as VARCHAR) || '#' || {key_expr})"
+              if duck else
+              f"concat(cast({row_expr} as string), '#', {key_expr})")
+    return f"({h(concat)} % {width})"
+
+
+def count_min_registers(df: DataFrame, key_col: str,
+                        width: int = 256, depth: int = 4) -> DataFrame:
+    """Count-Min sketch registers of ``df[key_col]`` (Cormode &
+    Muthukrishnan 2005): ``depth`` independent hash rows of ``width``
+    buckets; register (r, b) holds the number of input rows whose key
+    hashes to bucket b under row r's hash.
+
+    Output: ``(r, b, cnt)`` — at most depth·width rows TOTAL, the
+    mergeable grain (sketches of two corpus halves merge by summing
+    registers, property-tested).  Point queries overestimate only:
+    ``est(k) = min_r reg[r][bucket_r(k)] >= true_count(k)``.
+
+    Scale shape: one in-row ×depth explode + ONE partial-agg groupBy
+    whose output is bounded by depth·width regardless of corpus size
+    or key cardinality — the frequency twin of the KMV cardinality
+    sketch (a trillion-token stream reduces to a KB-scale table that
+    answers any point frequency within the classic eps = e/width
+    overcount at confidence 1 − e^−depth).
+    """
+    bucket = _cms_bucket_sql(key_col, "r", width)
+    pairs = (f"transform(sequence(0, {depth - 1}), "
+             f"r -> struct(r as r, {bucket} as b))")
+    return (df.select(F.explode(F.expr(pairs)).alias("p"))
+            .groupBy(F.col("p.r").cast("bigint").alias("r"),
+                     F.col("p.b").cast("bigint").alias("b"))
+            .agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def cms_estimate(registers: DataFrame, probes: DataFrame,
+                 key_col: str = "key",
+                 width: int = 256, depth: int = 4) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]`` from a
+    Count-Min register table (same width/depth as at build time).
+
+    Each probe expands to its ``depth`` (row, bucket) coordinates
+    in-row; the register table (≤ depth·width rows — broadcast) left-
+    joins on, absent registers count 0, and the estimate is the min
+    across rows.  Output: ``(key_col, cms_est)``.
+    """
+    bucket = _cms_bucket_sql(key_col, "r", width)
+    pairs = (f"transform(sequence(0, {depth - 1}), "
+             f"r -> struct(r as r, {bucket} as b))")
+    coords = (probes.select(F.col(key_col),
+                            F.explode(F.expr(pairs)).alias("p"))
+              .select(key_col,
+                      F.col("p.r").cast("bigint").alias("r"),
+                      F.col("p.b").cast("bigint").alias("b")))
+    return (coords.join(F.broadcast(registers), ["r", "b"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("cms_est")))
+
+
+def cms_duck_sql(source_sql: str, probes_sql: str, key: str = "key",
+                 width: int = 256, depth: int = 4) -> str:
+    """DuckDB replay of registers + estimates: ``source_sql`` provides
+    the keyed rows, ``probes_sql`` the probe keys."""
+    bucket = _cms_bucket_sql(key, "r", width, duck=True)
+    return f"""
+WITH cms_src AS (SELECT {key} FROM {source_sql}),
+cms_coord AS (
+  SELECT {key}, r, {bucket} AS b
+  FROM cms_src, (SELECT unnest(generate_series(0, {depth - 1})) AS r)),
+cms_reg AS (
+  SELECT r, b, count(*)::BIGINT AS cnt FROM cms_coord GROUP BY r, b),
+cms_p AS (SELECT {key} FROM {probes_sql}),
+cms_pc AS (
+  SELECT {key}, r, {bucket} AS b
+  FROM cms_p, (SELECT unnest(generate_series(0, {depth - 1})) AS r))
+SELECT p.{key} AS {key},
+       min(coalesce(g.cnt, 0))::BIGINT AS cms_est
+FROM cms_pc p LEFT JOIN cms_reg g ON g.r = p.r AND g.b = p.b
+GROUP BY p.{key}"""

@@ -49,7 +49,7 @@ from fastie_spark.functions.text import (
 from fastie_spark.functions.redact import pii_scrub_duck_sql
 from fastie_spark.graph import connected_components
 from fastie_spark.linking import link_entities
-from fastie_spark.operators.sketches import kmv_distinct_duck_sql
+from fastie_spark.operators.sketches import cms_duck_sql, kmv_distinct_duck_sql
 from fastie_spark.metrics.re_metric import entity_counts
 from fastie_spark.operators.dedup import (
     exact_dedup,
@@ -4340,6 +4340,38 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("tok", F.lit("#"),
                  (F.col("doc_id") % 97).cast("string")).alias("v"))
     return kmv_distinct(vals, "lang", "v", k=16)
+
+
+CMS_PROBES = ("dup", "hash", "scan", "graph", "never_in_corpus_xyz")
+CMS_W, CMS_D = 64, 4  # deliberately narrow so collisions OCCUR at
+                      # sf0.01 and the min-across-rows logic is load-
+                      # bearing, not a pass-through of exact counts
+
+
+@query("sketch_freq_cms", oracle=cms_duck_sql(
+    "(SELECT unnest(string_split(text, ' ')) AS key FROM documents) "
+    "WHERE key <> ''",
+    "(SELECT unnest([{}]) AS key)".format(
+        ", ".join(f"'{p}'" for p in CMS_PROBES)),
+    "key", width=CMS_W, depth=CMS_D))
+def q_sketch_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for a fixed probe set over
+    the corpus token stream — the mergeable frequency profile a 100 TB
+    ingest keeps instead of an exact token groupBy.  Registers are one
+    in-row ×depth explode + one groupBy bounded at depth·width rows
+    TOTAL; estimates are an in-row coordinate expansion + a broadcast
+    join + min.  Width 64 forces real collisions at test scale, so the
+    oracle (register build + min replayed bit-exactly) verifies the
+    overcount path, not just exact counts."""
+    from fastie_spark.operators.sketches import (cms_estimate,
+                                                 count_min_registers)
+    toks = _documents(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("key")).where(
+        F.col("key") != "")
+    regs = count_min_registers(toks, "key", width=CMS_W, depth=CMS_D)
+    probes = spark.createDataFrame([(p,) for p in CMS_PROBES],
+                                   "key string")
+    return cms_estimate(regs, probes, "key", width=CMS_W, depth=CMS_D)
 
 
 @query("kg_neighbor_agg", oracle=f"""

@@ -172,3 +172,47 @@ def test_line_churn_multiset_diff_hand_case(spark):
     assert got[("r", "f2")] == (0, 0, 2)
     assert got[("r", "f3")] == (0, 1, 0)
     assert got[("r", "f4")] == (2, 0, 0)
+
+
+def test_count_min_overestimates_and_bounds_registers(spark):
+    """CMS guarantees: (a) register table is bounded at depth*width
+    rows; (b) every estimate >= the true count (planted zipf stream,
+    width 8 so collisions are forced); (c) a wide sketch recovers
+    absent keys as 0."""
+    from fastie_spark.operators.sketches import (cms_estimate,
+                                                 count_min_registers)
+
+    rows = [("k%d" % (i % 7),) for i in range(200)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, "key string")
+    exact = {r["key"]: r["c"] for r in
+             df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    regs = count_min_registers(df, "key", width=8, depth=3)
+    assert regs.count() <= 3 * 8
+    probes = spark.createDataFrame(
+        [(k,) for k in list(exact) + ["absent_zz"]], "key string")
+    est = {r["key"]: r["cms_est"] for r in
+           cms_estimate(regs, probes, "key", width=8, depth=3).collect()}
+    for k, c in exact.items():
+        assert est[k] >= c
+    wide = count_min_registers(df, "key", width=4096, depth=4)
+    est_w = {r["key"]: r["cms_est"] for r in
+             cms_estimate(wide, probes, "key",
+                          width=4096, depth=4).collect()}
+    assert est_w["absent_zz"] == 0
+    assert est_w["hot"] == 300
+
+
+def test_count_min_registers_merge(spark):
+    """Mergeability — the sketch of a union is the register-wise sum
+    of the halves' sketches (the property that lets a 100 TB ingest
+    keep per-partition sketches and fold them relationally)."""
+    from fastie_spark.operators.sketches import count_min_registers
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "key string")
+    b = spark.createDataFrame([("y",), ("z",)], "key string")
+    whole = count_min_registers(a.union(b), "key", width=16, depth=3)
+    merged = (count_min_registers(a, "key", width=16, depth=3)
+              .union(count_min_registers(b, "key", width=16, depth=3))
+              .groupBy("r", "b").agg(F.sum("cnt").alias("cnt")))
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
