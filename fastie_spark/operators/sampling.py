@@ -189,3 +189,59 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
         .cast("bigint").alias("chunk_pos"),
         t_start.cast("bigint").alias("t_start"),
         (t_end - t_start).cast("bigint").alias("t_len"))
+
+
+def sample_weighted_bottomk(df: DataFrame, k: int,
+                            weight_col: str,
+                            key_col: str = "doc_id",
+                            salt: str = "",
+                            fanout: int = 32) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the k rows
+    with the smallest integer priority
+
+        priority = portable_hash64(key || '#' || salt) div weight
+
+    A row of weight ``w`` lands under any fixed threshold ``t`` with
+    probability ~``w·t / H_MAX`` — inclusion odds proportional to
+    weight, the integer-division discretization of bottom-k /
+    Efraimidis–Spirakis priority sampling (their ``u^(1/w)`` keys need
+    floats; ``h div w`` keeps the whole pipeline hash-exact and
+    SQL-replayable).  Rows with ``weight <= 0`` are excluded.  Ties
+    (coarse priorities collide after division by large weights) break
+    deterministically on (priority, key).
+
+    Like ``sample_deterministic`` this is a pure function of
+    (data, salt) — any engine, partitioning, or re-run draws the same
+    sample, which is what makes a 100 TB quality-weighted subcorpus
+    reproducible.  Scale shape: priorities are row-local; selection is
+    the two-level bounded k-smallest (per-shard partial top-k, then a
+    final top-k over <= fanout·k survivors) — no global sort, no task
+    ever holds more than fanout·k candidates.
+
+    Output: ``(key_col, weight_col, priority, rank)`` with rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    from fastie_spark.functions.hashing import spark_hash64_sql
+
+    # true integer division — '/' would round-trip the 60-bit hash
+    # through a double (2^53 mantissa) and lose exactness
+    h_sql = spark_hash64_sql(
+        f"concat(cast({key_col} as string), '#{salt}')")
+    scored = (df.where(F.col(weight_col) > 0)
+              .select(F.col(key_col), F.col(weight_col),
+                      F.expr(f"{h_sql} div cast({weight_col} as bigint)")
+                      .alias("priority")))
+    order = [F.col("priority").asc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    w2 = Window.orderBy(*order)
+    return (
+        scored.withColumn("_salt", F.pmod("priority", F.lit(fanout)))
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(key_col, weight_col,
+                F.col("priority").cast("bigint").alias("priority"),
+                F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -3593,6 +3593,40 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=SAMPLE_SALT).select("doc_id", "lang")
 
 
+SAMPLE_W_K = 40
+SAMPLE_W_SALT = "w1"
+
+
+@query("sample_weighted", oracle=f"""
+WITH sw AS (
+  SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+         ({duck_hash64_sql("doc_id::VARCHAR || '#" + SAMPLE_W_SALT + "'")}
+          // n_chars::BIGINT) AS priority
+  FROM documents WHERE n_chars > 0),
+swr AS (
+  SELECT doc_id, n_chars, priority,
+         row_number() OVER (ORDER BY priority, doc_id) AS rank
+  FROM sw)
+SELECT doc_id, n_chars, priority, rank::BIGINT AS rank
+FROM swr WHERE rank <= {SAMPLE_W_K}
+""")
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (bottom-k
+    priority, inclusion odds ∝ weight — here n_chars, the
+    length-weighted draw that keeps token-mass rather than doc-count
+    proportions): priority = hash div weight, two-level bounded
+    k-smallest, pure function of (data, salt).  The integer-division
+    discretization of Efraimidis–Spirakis keys, hash-exact in both
+    engines."""
+    from fastie_spark.operators.sampling import sample_weighted_bottomk
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"))
+    return sample_weighted_bottomk(
+        d, k=SAMPLE_W_K, weight_col="n_chars", key_col="doc_id",
+        salt=SAMPLE_W_SALT)
+
+
 @query("split_leakage_safe", oracle=f"""
 WITH {DSV_CTE},
 routed AS (

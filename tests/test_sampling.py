@@ -172,3 +172,30 @@ def test_pack_sequences_sharding_is_deterministic_and_partitioning_free(
     for r in a:
         multi[r[0]] = multi.get(r[0], 0) + 1
     assert any(v > 1 for v in multi.values())
+
+
+def test_sample_weighted_bottomk_properties(spark):
+    """Weighted bottom-k: (a) pure function — identical sample across
+    partitionings; (b) a weight-dominant row is drawn first (its
+    priority is its hash div 10^9); (c) weight <= 0 rows are excluded;
+    (d) a different salt draws a different sample of the same data."""
+    from fastie_spark.operators.sampling import sample_weighted_bottomk
+
+    rows = [(i, 1 + (i % 5)) for i in range(200)] + [
+        (900, 10**9),   # dominant weight -> near-zero priority
+        (901, 0),       # excluded
+        (902, -3),      # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    a = sample_weighted_bottomk(df, k=20, weight_col="w").collect()
+    b = sample_weighted_bottomk(df.repartition(7, "w"), k=20,
+                                weight_col="w").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {r["doc_id"]: r for r in a}
+    assert 900 in got and got[900]["rank"] == 1
+    assert got[900]["priority"] < 2**60 // 10**9 + 1
+    assert 901 not in got and 902 not in got
+    assert len(a) == 20
+    c = sample_weighted_bottomk(df, k=20, weight_col="w",
+                                salt="other").collect()
+    assert {r["doc_id"] for r in c} != {r["doc_id"] for r in a}
