@@ -157,3 +157,47 @@ def eager_bpe_train(word_counts: dict[str, int],
                 out.append(pend)
             seg[w] = out
     return merges, seg
+
+
+def bpe_encode(docs: DataFrame, words: DataFrame,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge table — the apply side
+    of :func:`bpe_train` (its ``words`` frame maps every vocabulary
+    word to its final subword segmentation).
+
+    Per document: whitespace tokens join the vocabulary on the word,
+    segmentations re-assemble in token order, and the document's
+    subword stream reduces to ``(n_subwords, fingerprint)`` — the
+    order-sensitive rolling fingerprint, so a wrong segmentation,
+    dropped token, or reordering anywhere changes the output.
+
+    Scale shape: the corpus explodes to (doc, pos, word) once and
+    joins the VOCABULARY-grain segmentation table on the word key
+    (broadcast when the vocab fits, shuffle equi-join when it
+    doesn't — either way the corpus text itself never re-shuffles:
+    only 8-byte ids, positions and per-word subword arrays move);
+    the per-doc re-assembly is one partial-agg groupBy.  This is the
+    production tokenize-everything pass that feeds token budgets
+    (``pack_sequences``) and token-level dedup.
+
+    Output: ``(id_col, n_subwords, fp)`` for docs with >= 1 token.
+    """
+    from fastie_spark.functions.hashing import rolling_fingerprint_expr
+
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(F.col(text_col), " "),
+                              lambda t: t != "")).alias("pos", "word")))
+    return (
+        toks.join(words.select("word", "sym"), "word")
+        .groupBy(id_col)
+        .agg(F.expr(
+            "flatten(transform(array_sort(collect_list("
+            "struct(pos, sym))), s -> s.sym))").alias("subs"))
+        .select(
+            F.col(id_col),
+            F.size("subs").cast("bigint").alias("n_subwords"),
+            F.expr(rolling_fingerprint_expr("subs"))
+            .cast("bigint").alias("fp"))
+    )

@@ -3540,6 +3540,43 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("bpe_encode", oracle="WITH RECURSIVE "
+       + _bpe_oracle_ctes(BPE_MERGES) + f""",
+be_tok AS (
+  SELECT doc_id, i, l[i] AS word
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS l,
+               unnest(generate_series(1, len(list_filter(
+                   string_split(text, ' '), t -> t <> '')))) AS i
+        FROM documents)),
+be_doc AS (
+  SELECT t.doc_id,
+         flatten(list(s.sym ORDER BY t.i)) AS subs
+  FROM be_tok t JOIN sym{BPE_MERGES} s ON s.word = t.word
+  GROUP BY t.doc_id)
+SELECT doc_id::BIGINT AS doc_id, len(subs)::BIGINT AS n_subwords,
+       ({duck_rolling_fingerprint_sql("subs")})::BIGINT AS fp
+FROM be_doc
+""")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE tokenizer APPLIED to the whole corpus — the
+    production tokenize-everything pass (train on the corpus, then
+    encode every document through the vocabulary-grain segmentation
+    join).  Each doc reduces to (subword count, order-sensitive
+    rolling fingerprint of the subword stream), so the oracle —
+    which replays training, the vocab join, in-order re-assembly and
+    the fingerprint fold — catches a wrong merge, a dropped token, or
+    any reordering."""
+    from fastie_spark.functions.bpe import bpe_encode, bpe_train
+    d = _documents(spark, sf_dir)
+    _, words = bpe_train(d, n_merges=BPE_MERGES)
+    out = bpe_encode(d, words).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_subwords", "fp")
+    words.unpersist()
+    return out
+
+
 @query("model_ner_softmax")  # rows-only: float softmax has no hash
 def q_model_ner_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLOAT softmax attention through the padded-batch seam — the

@@ -135,3 +135,37 @@ def test_bpe_train_matches_eager_and_handles_overlap_runs(spark):
     assert want_merges[2][1:3] == ("aa", "aa")
     assert got_seg["aaaa"] == ["aaaa"]
     assert got_seg["abab"] == ["ab", "ab"]
+
+
+def test_bpe_encode_matches_eager_segmentation(spark):
+    """Corpus encode under trained merges: per-doc subword count and
+    order-sensitive fingerprint equal the eager replay (eager BPE
+    segmentation per word, in-order flatten, same hash fold)."""
+    import hashlib
+
+    from fastie_spark.functions.bpe import (bpe_encode, bpe_train,
+                                            eager_bpe_train)
+    from fastie_spark.functions.hashing import FP_MOD
+
+    rows = [(0, "aaab ab aaab"), (1, "ab b"), (2, "aaab")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges, words = bpe_train(docs, n_merges=2)
+    got = {r["doc_id"]: (r["n_subwords"], r["fp"])
+           for r in bpe_encode(docs, words).collect()}
+    words.unpersist()
+
+    wc = {"aaab": 3, "ab": 2, "b": 1}
+    eager_merges, seg = eager_bpe_train(wc, n_merges=2)
+    assert [(x, y) for _, x, y, _ in merges] \
+        == [(x, y) for _, x, y, _ in eager_merges]
+
+    def fp(subs):
+        acc = 0
+        for t in subs:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            acc = (acc * 31 + h % 1_000_000) % FP_MOD
+        return acc
+
+    for doc_id, text in rows:
+        subs = [s for w in text.split(" ") for s in seg[w]]
+        assert got[doc_id] == (len(subs), fp(subs)), doc_id
