@@ -223,6 +223,57 @@ def repeated_substring_spans(docs: DataFrame, anchor: int = 4,
     )
 
 
+def remove_substring_spans(docs: DataFrame, spans: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """CUT the spans found by :func:`repeated_substring_spans` out of
+    the corpus — the apply half of ExactSubstr dedup (Lee et al.):
+    detect repeated runs, then drop those token ranges before
+    training.
+
+    Every doc keeps the tokens outside its marked [t_start, t_end)
+    spans (1-based, as emitted by the detector); docs with no spans
+    pass through whole.  The keep-one-copy policy is a property of
+    the SPANS frame, not this cut: anti-join the spans against the
+    canonical doc per duplicate cluster (e.g. ``dedup_survivors``
+    output) before applying, and the surviving copy stays intact.
+
+    Output: ``(id_col, n_tokens, n_kept, n_removed, fp)`` — original
+    and surviving token counts plus the order-sensitive rolling
+    fingerprint of the SURVIVING token stream, so a cut that is off
+    by one token anywhere changes the output.
+
+    Scale shape: spans aggregate per doc (tiny — bounded by spans
+    found) and join the corpus on the doc id ONCE; the cut itself is
+    an in-row filter-by-position over the bound token array
+    (O(len · spans_per_doc) with spans_per_doc small), shuffle-free
+    beyond the one broadcast-or-equi join.  Text never shuffles: the
+    output carries counts and a fingerprint, and a caller who needs
+    the cleaned text re-derives it in the same projection.
+    """
+    from fastie_spark.functions.hashing import rolling_fingerprint_expr
+
+    sp = spans.groupBy(F.col("doc_id").alias("_sd")).agg(
+        F.collect_list(F.struct("t_start", "t_end")).alias("sps"))
+    toks = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), " ").alias("l"))
+    joined = toks.join(sp, toks[id_col] == sp["_sd"], "left").drop("_sd")
+    kept_expr = (
+        "transform(filter(sequence(1, size(l)), i -> sps is null or "
+        "size(filter(sps, s -> i >= s.t_start and i < s.t_end)) = 0), "
+        "i -> element_at(l, i))")
+    return (joined
+            .withColumn("kept", F.expr(kept_expr))
+            .select(
+                F.col(id_col),
+                F.size("l").cast("bigint").alias("n_tokens"),
+                F.size("kept").cast("bigint").alias("n_kept"),
+                (F.size("l") - F.size("kept")).cast("bigint")
+                .alias("n_removed"),
+                F.expr(rolling_fingerprint_expr("kept"))
+                .cast("bigint").alias("fp")))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------

@@ -3285,8 +3285,10 @@ def q_pure_pack_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUB_ANCHOR, SUB_MIN_LEN, SUB_MAX_DF = 4, 16, 3
 
-@query("dedup_substring", oracle=f"""
-WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+# span-detection CTE chain shared by dedup_substring (emit spans) and
+# dedup_substring_apply (cut them): anchor hashes -> hot-anchor guard
+# -> diagonal gaps-and-islands runs -> per-doc interval merge (grps)
+_SUBSTR_CTES = f"""sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 pos AS (SELECT doc_id AS doc,
                unnest(generate_series(1,
                    greatest(len(l) - {SUB_ANCHOR - 1}, 0))) AS p, l
@@ -3327,7 +3329,10 @@ grps AS (
            OVER (PARTITION BY doc ORDER BY st, en
                  ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW) AS grp
-  FROM mrk)
+  FROM mrk)"""
+
+@query("dedup_substring", oracle=f"""
+WITH {_SUBSTR_CTES}
 SELECT doc::BIGINT AS doc_id, min(st)::BIGINT AS t_start,
        max(en)::BIGINT AS t_end,
        (max(en) - min(st))::BIGINT AS n_tokens
@@ -3342,6 +3347,43 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_substring_spans(
         _documents(spark, sf_dir), anchor=SUB_ANCHOR,
         min_len=SUB_MIN_LEN, max_df=SUB_MAX_DF)
+
+
+@query("dedup_substring_apply", oracle=f"""
+WITH {_SUBSTR_CTES},
+dsa_m AS (SELECT doc, min(st) AS st, max(en) AS en
+          FROM grps GROUP BY doc, grp),
+dsa_s AS (SELECT doc, list(struct_pack(st := st, en := en)) AS sps
+          FROM dsa_m GROUP BY doc),
+dsa_c AS (
+  SELECT s.doc_id, len(s.l)::BIGINT AS n_tokens,
+         list_transform(
+           list_filter(generate_series(1, len(s.l)),
+             i -> coalesce(len(list_filter(d.sps,
+                 x -> i >= x.st AND i < x.en)), 0) = 0),
+           i -> s.l[i]) AS kept
+  FROM sp s LEFT JOIN dsa_s d ON d.doc = s.doc_id)
+SELECT doc_id::BIGINT AS doc_id, n_tokens,
+       len(kept)::BIGINT AS n_kept,
+       (n_tokens - len(kept))::BIGINT AS n_removed,
+       ({duck_rolling_fingerprint_sql("kept")})::BIGINT AS fp
+FROM dsa_c
+""")
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup APPLIED: the detector's merged spans are cut
+    out of every document (detect → cut, the full Lee et al.
+    pipeline) and each doc reduces to original/kept/removed token
+    counts plus the rolling fingerprint of the SURVIVING stream — the
+    oracle replays detection and the cut per position, so an
+    off-by-one anywhere in either half breaks the hash."""
+    from fastie_spark.operators.dedup import (remove_substring_spans,
+                                              repeated_substring_spans)
+    d = _documents(spark, sf_dir)
+    spans = repeated_substring_spans(
+        d, anchor=SUB_ANCHOR, min_len=SUB_MIN_LEN, max_df=SUB_MAX_DF)
+    return remove_substring_spans(d, spans).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens", "n_kept", "n_removed", "fp")
 
 
 DSV_NUM, DSV_DEN = 1, 20  # jaccard verify threshold for the pipeline

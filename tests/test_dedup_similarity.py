@@ -526,3 +526,51 @@ def test_containment_pairs_mutual_for_identical_docs(spark):
                                   Row(doc_id=2, text=text)])
     got = {(r.src, r.dst) for r in containment_pairs(docs).collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_remove_substring_spans_cuts_planted_header(spark):
+    """The apply half of ExactSubstr: the planted 20-token header is
+    cut from every marked doc (counts + surviving stream verified
+    against an eager replay), unmarked docs pass through whole, and
+    filtering the spans frame implements keep-one-copy."""
+    import hashlib
+
+    from fastie_spark.functions.hashing import FP_MOD
+    from fastie_spark.operators.dedup import (remove_substring_spans,
+                                              repeated_substring_spans)
+
+    header = [f"lic{i}" for i in range(20)]
+    bodies = {
+        0: header + [f"a{i}" for i in range(30)],
+        1: [f"b{i}" for i in range(10)] + header
+           + [f"c{i}" for i in range(10)],
+        2: [f"d{i}" for i in range(5)] + header,
+        3: [f"e{i}" for i in range(40)],
+    }
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in sorted(bodies.items())],
+        "doc_id bigint, text string")
+    spans = repeated_substring_spans(docs, anchor=4, min_len=16)
+    got = {r["doc_id"]: r
+           for r in remove_substring_spans(docs, spans).collect()}
+
+    def fp(toks):
+        acc = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            acc = (acc * 31 + h % 1_000_000) % FP_MOD
+        return acc
+
+    for d, toks in bodies.items():
+        kept = [t for t in toks if not t.startswith("lic")]
+        r = got[d]
+        assert (r["n_tokens"], r["n_kept"], r["n_removed"]) \
+            == (len(toks), len(kept), len(toks) - len(kept))
+        assert r["fp"] == fp(kept)
+    assert got[3]["n_removed"] == 0
+
+    # keep-one policy: exempt doc 0 by filtering ITS spans out
+    spans_keep0 = spans.where(F.col("doc_id") != 0)
+    kept0 = {r["doc_id"]: r["n_removed"]
+             for r in remove_substring_spans(docs, spans_keep0).collect()}
+    assert kept0[0] == 0 and kept0[1] == 20 and kept0[2] == 20
