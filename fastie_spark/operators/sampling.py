@@ -245,3 +245,59 @@ def sample_weighted_bottomk(df: DataFrame, k: int,
                 F.col("priority").cast("bigint").alias("priority"),
                 F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def mix_rates(counts: dict[str, int],
+              weights: dict[str, int]) -> dict[str, int]:
+    """Per-stratum acceptance rates (ppm) that downsample a corpus to
+    target mixture ``weights`` (relative integer shares) WITHOUT
+    upsampling any stratum.
+
+    The feasible total is bottlenecked by the scarcest stratum:
+    ``T = min_s floor(n_s · W / w_s)`` with ``W = Σ w_s``; each
+    stratum then contributes ``m_s = floor(T · w_s / W)`` rows,
+    i.e. acceptance rate ``r_s = floor(m_s · 1e6 / n_s)`` ppm.  Pure
+    integer arithmetic — a deterministic function of (counts,
+    weights) replayable in SQL.  Strata absent from ``weights`` (or
+    with zero corpus rows) rate 0.
+    """
+    active = {s: w for s, w in weights.items()
+              if w > 0 and counts.get(s, 0) > 0}
+    if not active:
+        return {s: 0 for s in weights}
+    big_w = sum(active.values())
+    t = min(counts[s] * big_w // w for s, w in active.items())
+    return {
+        s: ((t * active[s] // big_w) * SAMPLE_PPM_DEN // counts[s]
+            if s in active else 0)
+        for s in weights
+    }
+
+
+def mix_corpus(docs: DataFrame, weights: dict[str, int],
+               stratum_col: str = "lang",
+               key_col: str = "doc_id",
+               salt: str = "") -> DataFrame:
+    """Downsample a multi-domain corpus to target mixture proportions
+    (the Pile / Dolma domain-mixing pass): count each stratum (one
+    partial-agg shuffle reduced to a #strata-row collect — the same
+    bounded driver traffic as the BPE argmax), derive the bottleneck-
+    feasible per-stratum acceptance rates with :func:`mix_rates`, and
+    draw the sample with the row-local deterministic hash predicate
+    of :func:`sample_deterministic` — so membership stays a pure
+    function of (data, weights, salt) at any scale, with no global
+    sort or per-stratum ranking anywhere.
+
+    Rates are hash-threshold approximate (each stratum's realized
+    count concentrates around ``m_s`` rather than hitting it
+    exactly) — the 100 TB trade; an exact-count draw would need a
+    per-stratum global selection.
+    """
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in docs.groupBy(stratum_col)
+        .agg(F.count("*").alias("n")).collect()
+    }
+    rates = mix_rates(counts, weights)
+    return sample_deterministic(docs, rates, key_col=key_col,
+                                stratum_col=stratum_col, salt=salt)

@@ -3706,6 +3706,42 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=SAMPLE_W_SALT)
 
 
+MIX_SALT = "mx1"
+MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2, "zh": 1}  # es absent → rate 0
+
+
+@query("sample_mix", oracle=f"""
+WITH w(lang, wt) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIX_WEIGHTS.items()))}),
+cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+act AS (SELECT c.lang, c.n, w.wt::BIGINT AS wt
+        FROM cnt c JOIN w ON c.lang = w.lang WHERE w.wt > 0 AND c.n > 0),
+tot AS (SELECT sum(wt)::BIGINT AS bw FROM act),
+tmin AS (SELECT min(a.n * t.bw // a.wt)::BIGINT AS t FROM act a, tot t),
+rates AS (SELECT a.lang,
+                 ((m.t * a.wt // t.bw) * 1000000 // a.n)::BIGINT AS ppm
+          FROM act a, tot t, tmin m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {duck_hash64_sql("d.doc_id::VARCHAR || '#" + MIX_SALT + "'")}
+      % 1000000 < r.ppm
+""")
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling (the Pile/Dolma mixing pass):
+    derive the bottleneck-feasible per-stratum acceptance rates from
+    target weights 4:2:2:1 over en/de/fr/zh (es excluded → dropped
+    entirely) with pure integer arithmetic, then draw by the same
+    row-local deterministic hash predicate as `sample_stratified`.
+    The oracle replays the whole chain — counts, the
+    min-over-strata feasible total, floor-division rates, hash
+    filter — so a drift in ANY stage (including the driver-side
+    mix_rates math) breaks the hash."""
+    from fastie_spark.operators.sampling import mix_corpus
+    d = _documents(spark, sf_dir)
+    return mix_corpus(d, MIX_WEIGHTS, stratum_col="lang",
+                      key_col="doc_id", salt=MIX_SALT
+                      ).select("doc_id", "lang")
+
+
 @query("split_leakage_safe", oracle=f"""
 WITH {DSV_CTE},
 routed AS (
@@ -4761,6 +4797,15 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # in-window via ann_ivf_topk
                                         # and ann_topk; retrieval
                                         # pytest + CI oracle
+                  # rotated out to fund sample_mix (domain-mixture
+                  # downsampling, r4):
+                  "pair_enum",          # J1 ordered-pair enumeration,
+                                        # green r1-r3; the identical
+                                        # pair lattice runs in-window
+                                        # inside pure_pack_forward
+                                        # (packs every enumerated
+                                        # pair) and the tplinker
+                                        # decode joins; CI oracle
                   ]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)

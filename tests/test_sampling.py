@@ -199,3 +199,52 @@ def test_sample_weighted_bottomk_properties(spark):
     c = sample_weighted_bottomk(df, k=20, weight_col="w",
                                 salt="other").collect()
     assert {r["doc_id"] for r in c} != {r["doc_id"] for r in a}
+
+
+def test_mix_rates_integer_math():
+    """mix_rates: bottleneck feasibility and no-upsampling invariants.
+
+    With counts en=800/de=100/fr=400 and weights 4:2:1, de is the
+    bottleneck (100 rows must be 2/7 of the total -> T = 350);
+    every stratum's realized target m_s = T*w_s//W must satisfy
+    m_s <= n_s, the bottleneck stratum keeps ~all its rows, and no
+    rate exceeds 1e6 ppm."""
+    from fastie_spark.operators.sampling import mix_rates
+
+    counts = {"en": 800, "de": 100, "fr": 400}
+    rates = mix_rates(counts, {"en": 4, "de": 2, "fr": 1})
+    # T = min(800*7//4, 100*7//2, 400*7//1) = min(1400, 350, 2800) = 350
+    # m = {en: 350*4//7=200, de: 350*2//7=100, fr: 350*1//7=50}
+    assert rates == {"en": 200 * 10**6 // 800,
+                     "de": 100 * 10**6 // 100,   # bottleneck keeps all
+                     "fr": 50 * 10**6 // 400}
+    assert all(0 <= r <= 10**6 for r in rates.values())
+    # zero-weight and zero-count strata rate 0; all-infeasible -> all 0
+    assert mix_rates({"en": 10}, {"en": 0, "zz": 5}) == {"en": 0, "zz": 0}
+    assert mix_rates({}, {"en": 3}) == {"en": 0}
+
+
+def test_mix_corpus_is_deterministic_and_mix_shaped(spark):
+    """mix_corpus: (a) pure function of (data, weights, salt) — same
+    rows across runs and partitionings; (b) realized per-stratum
+    counts concentrate near the integer targets m_s; (c) strata
+    absent from the weights are dropped entirely."""
+    from fastie_spark.operators.sampling import mix_corpus, mix_rates
+
+    rows = ([(i, "en") for i in range(3000)]
+            + [(10_000 + i, "de") for i in range(300)]
+            + [(20_000 + i, "xx") for i in range(50)])
+    d = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    w = {"en": 3, "de": 1}
+    a = sorted(r["doc_id"] for r in mix_corpus(d, w).collect())
+    b = sorted(r["doc_id"] for r in
+               mix_corpus(d.repartition(11), w).collect())
+    assert a == b and a
+    out = mix_corpus(d, w).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    assert "xx" not in got
+    # targets: W=4, T = min(3000*4//3, 300*4//1) = 1200;
+    # m_en = 900, m_de = 300 (bottleneck keeps all)
+    rates = mix_rates({"en": 3000, "de": 300, "xx": 50}, w)
+    assert rates["de"] == 10**6 and got["de"] == 300
+    assert abs(got["en"] - 900) < 900 * 0.15    # hash-threshold draw
