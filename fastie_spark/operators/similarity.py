@@ -573,3 +573,67 @@ def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
                 "s -> s.m)").alias("c"))
         )
     return assigned.select(F.col("id").alias(id_col), "cell")
+
+
+def semdedup(vectors: DataFrame, n_cells: int = 4, tau: int = 5000,
+             n_iters: int = 2, scale: int = 1000, levels: int = 127,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cells: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by clustering embeddings and comparing
+    pairs ONLY within a cluster — the published trick that turns the
+    O(N²) semantic-dedup matrix into k · O((N/k)²).
+
+    Deterministic integer re-expression: cluster with the integer
+    Lloyd quantizer of :func:`ivf_cells`; inside each cell quantize
+    every vector to int8-range unit codes (:func:`quantize_unit_expr`)
+    and mark a vector a duplicate iff the INTEGER code dot-product to
+    ANY lower-id vector in its cell reaches ``tau`` (≈ cosine ·
+    levels² — e.g. 5000 ≈ cos 0.31 at levels=127).  Keep-first in id
+    order: the lowest-id member of each similar group always survives.
+    (SemDeDup proper keeps the member farthest from the centroid; id
+    order is the deterministic stand-in so both engines elect the
+    same survivor.  Chains a~b~c with a≁c keep only a — the
+    conservative transitive variant, same behavior as the paper's
+    within-cluster dedup.)
+
+    Scale shape: the only shuffles are the quantizer's (broadcast
+    centroids, (cell, d) partial aggs) and ONE equi-self-join on
+    ``cell``.  The cell join is the published cost model — n_cells
+    must grow with the corpus so N/k stays bounded (the paper uses
+    ~50k clusters at 100M docs); skewed cells are AQE-splittable
+    because cell is an equi-join key.  Codes are 8× smaller than the
+    float vectors, and only codes shuffle — never raw embeddings.
+
+    Output: ``(id_col, cell, is_dup)`` — full corpus cardinality;
+    filter ``NOT is_dup`` for the surviving set.
+    """
+    if cells is None:
+        cells = ivf_cells(vectors, n_cells=n_cells, n_iters=n_iters,
+                          scale=scale, id_col=id_col, vec_col=vec_col)
+    q = (
+        vectors.select(
+            F.col(id_col).cast("bigint").alias("vid"),
+            F.expr(quantize_unit_expr(vec_col, levels)).alias("qv"))
+        .join(cells.select(F.col(id_col).cast("bigint").alias("vid"),
+                           "cell"), "vid")
+    )
+    lo = q.select(F.col("vid").alias("lo_id"),
+                  F.col("qv").alias("lo_q"), "cell")
+    hi = q.select(F.col("vid").alias("hi_id"),
+                  F.col("qv").alias("hi_q"), "cell")
+    idot = ("aggregate(zip_with(lo_q, hi_q, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)")
+    dup = (
+        lo.join(hi, "cell")
+        .where(F.col("lo_id") < F.col("hi_id"))
+        .where(F.expr(idot) >= F.lit(tau))
+        .select(F.col("hi_id").alias("vid"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        q.join(dup, "vid", "left")
+        .select(F.col("vid").alias(id_col), "cell",
+                F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )

@@ -3085,6 +3085,45 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(vecs, probes, k=ANN_K)
 
 
+SEMDEDUP_TAU = 5000  # integer code-dot threshold ≈ cos 0.31 at levels=127
+
+
+@query("dedup_semantic", oracle=f"""
+WITH {_IVF_CHAIN},
+r AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n2 AS (SELECT vec_id,
+              nullif(sqrt(list_sum(list_transform(v, x -> x * x))), 0.0)
+                AS nrm, v
+       FROM r),
+q2 AS (SELECT vec_id,
+              list_transform(v, x -> coalesce(round(x / nrm * 127)::BIGINT,
+                                              0)) AS qv
+       FROM n2),
+qc AS (SELECT q2.vec_id, q2.qv, a1.cell
+       FROM q2 JOIN a1 ON q2.vec_id = a1.vec_id),
+dup AS (
+  SELECT DISTINCT hi.vec_id
+  FROM qc lo JOIN qc hi
+    ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+  WHERE list_sum(list_transform(list_zip(lo.qv, hi.qv),
+                 z -> z[1] * z[2])) >= {SEMDEDUP_TAU})
+SELECT qc.vec_id::BIGINT AS vec_id, qc.cell::BIGINT AS cell,
+       (dup.vec_id IS NOT NULL) AS is_dup
+FROM qc LEFT JOIN dup ON qc.vec_id = dup.vec_id
+""")
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — embedding-cluster semantic dedup:
+    integer-Lloyd IVF cells bound the pair comparison to within-cluster,
+    int8-range unit codes make the similarity an exact integer dot, and
+    keep-first-by-id elects the survivor.  The oracle replays the whole
+    chain — both Lloyd rounds, the quantization, the within-cell pair
+    scan, the survivor rule — so a drift anywhere breaks the hash."""
+    from fastie_spark.operators.similarity import semdedup
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(vecs, n_cells=IVF_CELLS, tau=SEMDEDUP_TAU,
+                    n_iters=2, scale=IVF_SCALE)
+
+
 # ---------------------------------------------------------------------------
 # F3/F4/F5 — PURE packed FORWARD: masked attention over the levitated
 # layout (pure_model.py:334-372 consuming the pure_pipe.py:138-151 mask)
@@ -4806,6 +4845,14 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # (packs every enumerated
                                         # pair) and the tplinker
                                         # decode joins; CI oracle
+                  # rotated out to fund dedup_semantic (SemDeDup, r4):
+                  "vocab_build",        # A1 sorted stable label ids,
+                                        # green r1-r3; the identical
+                                        # distinct+rank vocab stage
+                                        # runs in-window inside
+                                        # bpe_train (merge-table ids)
+                                        # and train_perceptron (label
+                                        # vocab); CI oracle
                   ]
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)

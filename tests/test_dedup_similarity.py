@@ -574,3 +574,39 @@ def test_remove_substring_spans_cuts_planted_header(spark):
     kept0 = {r["doc_id"]: r["n_removed"]
              for r in remove_substring_spans(docs, spans_keep0).collect()}
     assert kept0[0] == 0 and kept0[1] == 20 and kept0[2] == 20
+
+
+def test_semdedup_keep_first_and_cell_bounded(spark):
+    """SemDeDup invariants: (a) full corpus cardinality out; (b) an
+    exact duplicate of a lower-id vector is flagged (identical vectors
+    always land in the same cell); (c) the lowest-id member of every
+    cell is never flagged; (d) at a threshold above the maximum
+    possible code dot nothing is flagged; (e) membership is invariant
+    to partitioning."""
+    from fastie_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [10.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 10.0, 0.0, 0.0]),
+        (2, [10.0, 0.5, 0.0, 0.0]),   # cos ~0.999 with id 0
+        (3, [10.0, 0.0, 0.0, 0.0]),   # exact copy of id 0
+        (4, [0.0, 10.0, 3.0, 0.0]),   # cos ~0.958 with id 1
+        (5, [0.0, -10.0, 0.0, 0.0]),  # anti-parallel to id 1
+    ]
+    d = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = semdedup(d, n_cells=2, tau=15000).collect()
+    assert len(out) == 6
+    got = {r["vec_id"]: r for r in out}
+    assert got[3]["is_dup"] and got[3]["cell"] == got[0]["cell"]
+    assert not got[0]["is_dup"]
+    assert got[2]["is_dup"]            # near-copy of id 0
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for members in by_cell.values():
+        first = min(members, key=lambda r: r["vec_id"])
+        assert not first["is_dup"]
+    none = semdedup(d, n_cells=2, tau=17000).collect()
+    assert not any(r["is_dup"] for r in none)
+    rep = semdedup(d.repartition(5), n_cells=2, tau=15000).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
