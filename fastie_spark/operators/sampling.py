@@ -301,3 +301,79 @@ def mix_corpus(docs: DataFrame, weights: dict[str, int],
     rates = mix_rates(counts, weights)
     return sample_deterministic(docs, rates, key_col=key_col,
                                 stratum_col=stratum_col, salt=salt)
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 buckets: int = 1024,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much its hashed-token distribution
+    looks like a small high-quality ``target`` corpus, so a weighted
+    draw (:func:`sample_weighted_bottomk` over the output) resamples
+    the raw corpus toward the target domain — data selection via
+    importance resampling.
+
+    Integer-exact re-expression: tokens hash into ``buckets`` bins
+    (portable md5, so the oracle replays the binning); the per-bucket
+    Laplace-smoothed target/raw count ratio in ppm
+
+        ``r_ppm(b) = (1e6 · (ct(b) + 1)) div (cs(b) + 1)``
+
+    stands in for the likelihood ratio, and a document scores the MEAN
+    ratio over its tokens:
+
+        ``weight_ppm(d) = (Σ_tokens r_ppm(bucket)) div n_tokens(d)``
+
+    (DSIR proper sums per-feature LOG ratios; the mean linear ratio is
+    the integer-exact monotone proxy at document grain — same shape as
+    ``bigram_lm_score``'s mean-probability perplexity proxy.  The
+    global ``(Ns+B)/(Nt+B)`` normalizer is deliberately dropped: it
+    rescales every document identically and a weighted draw only needs
+    relative weights.)
+
+    Scale shape: both count tables are partial-agg groupBys at
+    ``buckets`` grain (bounded, broadcastable); scoring is one token
+    explode + one BROADCAST join on the bucket id + a per-doc roll-up.
+    The per-token sum is carried in decimal(38,0) so hot buckets at
+    web scale cannot overflow int64.  Output:
+    ``(id_col, n_tokens, weight_ppm)`` for docs with ≥ 1 token.
+    """
+    def toks(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        t = df.select(*cols, F.explode(F.filter(
+            F.split(F.col(text_col), " "),
+            lambda x: x != "")).alias("t"))
+        return t.withColumn(
+            "b", portable_hash64(F.col("t")) % buckets).drop("t")
+
+    ct = toks(target, False).groupBy("b").agg(
+        F.count("*").cast("bigint").alias("ct"))
+    cs = toks(docs, False).groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cs"))
+    rates = (cs.join(ct, "b", "left")
+             .select("b", F.expr(
+                 "(1000000 * (coalesce(ct, 0) + 1)) div (cs + 1)")
+                 .alias("r_ppm")))
+    return (
+        toks(docs, True)
+        .join(F.broadcast(rates), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.sum(F.col("r_ppm").cast("decimal(38,0)")).alias("s"))
+        .select(id_col, "n_tokens",
+                F.expr("cast(s div n_tokens as bigint)")
+                .alias("weight_ppm"))
+    )
+
+
+def dsir_sample(docs: DataFrame, target: DataFrame, k: int,
+                buckets: int = 1024, text_col: str = "text",
+                id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """The full DSIR pass: importance weights toward ``target`` then a
+    deterministic weighted draw of ``k`` docs without replacement
+    (inclusion odds ∝ weight) via :func:`sample_weighted_bottomk`."""
+    w = dsir_weights(docs, target, buckets=buckets,
+                     text_col=text_col, id_col=id_col)
+    return sample_weighted_bottomk(
+        w, k=k, weight_col="weight_ppm", key_col=id_col, salt=salt)

@@ -3745,6 +3745,47 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=SAMPLE_W_SALT)
 
 
+DSIR_B = 1024
+DSIR_TARGET = ("src0", "src1")
+
+
+@query("dsir_weights", oracle=f"""
+WITH tt AS (
+  SELECT ({duck_hash64_sql("t")} % {DSIR_B}) AS b
+  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents
+        WHERE source IN {DSIR_TARGET}) u
+  WHERE t != ''),
+st AS (
+  SELECT doc_id, ({duck_hash64_sql("t")} % {DSIR_B}) AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents) u
+  WHERE t != ''),
+ctc AS (SELECT b, count(*)::BIGINT AS ct FROM tt GROUP BY b),
+csc AS (SELECT b, count(*)::BIGINT AS cs FROM st GROUP BY b),
+rr AS (SELECT csc.b,
+              ((1000000 * (coalesce(ctc.ct, 0) + 1)) // (csc.cs + 1))
+                AS r_ppm
+       FROM csc LEFT JOIN ctc ON csc.b = ctc.b),
+sc AS (SELECT st.doc_id, count(*)::BIGINT AS n_tokens,
+              sum(rr.r_ppm)::HUGEINT AS s
+       FROM st JOIN rr ON st.b = rr.b GROUP BY st.doc_id)
+SELECT doc_id, n_tokens, (s // n_tokens)::BIGINT AS weight_ppm FROM sc
+""")
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-token importance
+    weights of every raw document toward a high-quality target slice
+    (sources src0/src1) — per-bucket Laplace target/raw count ratios
+    in ppm, mean over the doc's tokens, decimal-carried sums.  The
+    oracle replays the hashing, both count tables, the smoothed
+    ratio, and the roll-up, so the weights are bit-exact; the
+    downstream draw is the already-verified weighted bottom-k."""
+    from fastie_spark.operators.sampling import dsir_weights
+    d = _documents(spark, sf_dir)
+    tgt = d.where(F.col("source").isin(*DSIR_TARGET))
+    return dsir_weights(d, tgt, buckets=DSIR_B)
+
+
 MIX_SALT = "mx1"
 MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2, "zh": 1}  # es absent → rate 0
 
@@ -4845,6 +4886,15 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # (packs every enumerated
                                         # pair) and the tplinker
                                         # decode joins; CI oracle
+                  # rotated out to fund dsir_weights (DSIR importance
+                  # resampling, r4):
+                  "re_metric_counts",   # A2 per-label pred/correct
+                                        # counts, green r1-r3; the
+                                        # strict-relation semantics
+                                        # keep a dedicated pytest
+                                        # (test_strict_relation_
+                                        # semantics) + micro-F1
+                                        # roll-up tests + CI oracle
                   # rotated out to fund dedup_semantic (SemDeDup, r4):
                   "vocab_build",        # A1 sorted stable label ids,
                                         # green r1-r3; the identical

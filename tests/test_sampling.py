@@ -248,3 +248,53 @@ def test_mix_corpus_is_deterministic_and_mix_shaped(spark):
     rates = mix_rates({"en": 3000, "de": 300, "xx": 50}, w)
     assert rates["de"] == 10**6 and got["de"] == 300
     assert abs(got["en"] - 900) < 900 * 0.15    # hash-threshold draw
+
+
+def test_dsir_weights_hand_ratios(spark):
+    """DSIR weights on a hand corpus: the raw corpus holds 3 'good'
+    and 3 'bad' tokens, the target 2 'good' — so the 'good' bucket
+    carries ratio 1e6*(2+1)//(3+1) = 750000 and the 'bad' bucket
+    1e6*(0+1)//(3+1) = 250000; the all-good doc scores exactly 750000
+    and the all-bad doc 250000.  Also: empty-token padding is
+    ignored, output cardinality is docs-with-tokens, and the weights
+    are invariant to partitioning."""
+    from fastie_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "bad bad"), (3, "good  bad"), (4, "")],
+        "doc_id: long, text: string")
+    target = spark.createDataFrame(
+        [(10, "good"), (11, "good")], "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target, buckets=1024).collect()}
+    assert set(out) == {1, 2, 3}                # empty doc drops out
+    assert out[1]["weight_ppm"] == 750_000
+    assert out[2]["weight_ppm"] == 250_000
+    # mixed doc: mean of the two bucket ratios
+    assert out[3]["weight_ppm"] == (750_000 + 250_000) // 2
+    assert out[3]["n_tokens"] == 2              # '  ' → no empty token
+    rep = {r["doc_id"]: r["weight_ppm"] for r in
+           dsir_weights(docs.repartition(5), target,
+                        buckets=1024).collect()}
+    assert rep == {k: v["weight_ppm"] for k, v in out.items()}
+
+
+def test_dsir_sample_prefers_target_like_docs(spark):
+    """The full DSIR pass: drawing k docs resamples toward the target
+    domain — target-like docs are included at a much higher rate than
+    off-domain docs of equal count."""
+    from fastie_spark.operators.sampling import dsir_sample
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(100)]
+        + [(100 + i, "zig zag zog") for i in range(100)],
+        "doc_id: long, text: string")
+    target = spark.createDataFrame(
+        [(900 + i, "alpha beta") for i in range(50)],
+        "doc_id: long, text: string")
+    # weights: on-domain ≈ 339933 ppm vs off-domain 9900 ppm (~34×),
+    # so the inclusion-∝-weight draw is ~97% on-domain in expectation
+    got = dsir_sample(docs, target, k=50, buckets=1024).collect()
+    assert len(got) == 50
+    on_domain = sum(1 for r in got if r["doc_id"] < 100)
+    assert on_domain >= 44
