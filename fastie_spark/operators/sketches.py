@@ -256,3 +256,74 @@ SELECT p.{key} AS {key},
        min(coalesce(g.cnt, 0))::BIGINT AS cms_est
 FROM cms_pc p LEFT JOIN cms_reg g ON g.r = p.r AND g.b = p.b
 GROUP BY p.{key}"""
+
+
+def bloom_bits(df: DataFrame, key_col: str,
+               m_bits: int = 2048, k_hashes: int = 4) -> DataFrame:
+    """Bloom filter (Bloom 1970) as a relational bit set: every key
+    sets ``k_hashes`` positions ``hash('r#key') % m_bits`` (the same
+    portable hash family as the Count-Min rows).  Output: the DISTINCT
+    set-bit positions ``(bit)`` — at most ``m_bits`` rows total, the
+    mergeable grain (filters of two corpus halves merge by
+    union-distinct; a trillion-key standing set reduces to a KB-scale
+    broadcastable table that answers membership with zero false
+    negatives and ~(1-e^{-kn/m})^k false positives).
+
+    Scale shape: one in-row ×k explode + one distinct whose output is
+    bounded by ``m_bits`` regardless of corpus size — the membership
+    twin of the KMV/CMS sketches, and the standing-corpus side of a
+    dedup ingest gate (probe new keys against the broadcast filter
+    BEFORE paying the exact digest anti-join).
+    """
+    bit = _cms_bucket_sql(key_col, "r", m_bits)
+    pos = (f"transform(sequence(0, {k_hashes - 1}), "
+           f"r -> {bit})")
+    return (df.select(F.explode(F.expr(pos)).alias("bit"))
+            .select(F.col("bit").cast("bigint").alias("bit"))
+            .distinct())
+
+
+def bloom_contains(bits: DataFrame, probes: DataFrame,
+                   key_col: str = "key",
+                   m_bits: int = 2048, k_hashes: int = 4) -> DataFrame:
+    """Membership probe against a :func:`bloom_bits` table (same
+    m_bits/k_hashes as at build time): a key is ``maybe_present`` iff
+    ALL ``k_hashes`` of its positions are set.  Inserted keys always
+    probe true (no false negatives); absent keys probe true only with
+    the classic bounded false-positive odds.
+
+    The bit table (≤ m_bits rows) broadcasts; each probe expands its
+    k coordinates in-row and one partial-agg count compares matches
+    to k.  Output: ``(key_col, maybe_present)``.
+    """
+    bit = _cms_bucket_sql(key_col, "r", m_bits)
+    pos = (f"transform(sequence(0, {k_hashes - 1}), "
+           f"r -> {bit})")
+    coords = (probes.select(F.col(key_col),
+                            F.explode(F.expr(pos)).alias("bit"))
+              .select(key_col, F.col("bit").cast("bigint").alias("bit")))
+    hit = F.when(F.col("b2").isNotNull(), 1).otherwise(0)
+    return (coords.join(F.broadcast(bits.select(
+                F.col("bit"), F.col("bit").alias("b2"))), "bit", "left")
+            .groupBy(key_col)
+            .agg((F.sum(hit) == F.lit(k_hashes)).alias("maybe_present")))
+
+
+def bloom_duck_sql(source_sql: str, probes_sql: str, key: str = "key",
+                   m_bits: int = 2048, k_hashes: int = 4) -> str:
+    """DuckDB replay of :func:`bloom_bits` + :func:`bloom_contains`."""
+    bit = _cms_bucket_sql(key, "r", m_bits, duck=True)
+    return f"""
+WITH bl_src AS (SELECT {key} FROM {source_sql}),
+bl_bits AS (
+  SELECT DISTINCT {bit} AS bit
+  FROM bl_src, (SELECT unnest(generate_series(0, {k_hashes - 1})) AS r)),
+bl_p AS (SELECT {key} FROM {probes_sql}),
+bl_pc AS (
+  SELECT {key}, {bit} AS bit
+  FROM bl_p, (SELECT unnest(generate_series(0, {k_hashes - 1})) AS r))
+SELECT p.{key} AS {key},
+       (sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+        = {k_hashes}) AS maybe_present
+FROM bl_pc p LEFT JOIN bl_bits b ON b.bit = p.bit
+GROUP BY p.{key}"""

@@ -49,7 +49,8 @@ from fastie_spark.functions.text import (
 from fastie_spark.functions.redact import pii_scrub_duck_sql
 from fastie_spark.graph import connected_components
 from fastie_spark.linking import link_entities
-from fastie_spark.operators.sketches import cms_duck_sql, kmv_distinct_duck_sql
+from fastie_spark.operators.sketches import (bloom_duck_sql, cms_duck_sql,
+                                              kmv_distinct_duck_sql)
 from fastie_spark.metrics.re_metric import entity_counts
 from fastie_spark.operators.dedup import (
     exact_dedup,
@@ -4603,6 +4604,38 @@ def q_sketch_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(regs, probes, "key", width=CMS_W, depth=CMS_D)
 
 
+BLOOM_M, BLOOM_K = 1024, 3  # sized so absent probes DO collide at
+                            # sf0.01 and the all-k-bits rule is load-
+                            # bearing (false positives occur, negatives
+                            # never)
+
+
+@query("sketch_bloom", oracle=bloom_duck_sql(
+    "(SELECT unnest(string_split(text, ' ')) AS key FROM documents "
+    "WHERE doc_id % 2 = 0) WHERE key <> ''",
+    "(SELECT DISTINCT unnest(string_split(text, ' ')) AS key "
+    "FROM documents WHERE doc_id % 2 = 1) WHERE key <> ''",
+    "key", m_bits=BLOOM_M, k_hashes=BLOOM_K))
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest gate: the standing corpus (even doc_ids)
+    folds into a ≤ m_bits bit table (mergeable by union-distinct,
+    broadcastable); the delta batch's distinct tokens probe it before
+    any exact anti-join would run.  Inserted keys always probe true —
+    the oracle replays bit build + all-k-positions rule bit-exactly,
+    and m=1024 forces real false positives at test scale so the
+    probabilistic path is verified, not just exact membership."""
+    from fastie_spark.operators.sketches import bloom_bits, bloom_contains
+    d = _documents(spark, sf_dir)
+    toks = lambda pred: (d.where(pred).select(  # noqa: E731
+        F.explode(F.split("text", " ")).alias("key"))
+        .where(F.col("key") != ""))
+    bits = bloom_bits(toks(F.col("doc_id") % 2 == 0), "key",
+                      m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    probes = toks(F.col("doc_id") % 2 == 1).distinct()
+    return bloom_contains(bits, probes, "key",
+                          m_bits=BLOOM_M, k_hashes=BLOOM_K)
+
+
 @query("kg_neighbor_agg", oracle=f"""
 WITH {_TRANSE_CHAIN}
 SELECT tn.h AS name, et.d::BIGINT AS d, count(*)::BIGINT AS n_out,
@@ -4886,6 +4919,14 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # (packs every enumerated
                                         # pair) and the tplinker
                                         # decode joins; CI oracle
+                  # rotated out to fund sketch_bloom (Bloom-filter
+                  # ingest gate, r4):
+                  "jsonlines_re_rebase",  # S2 loader + offset rebase,
+                                          # green r1-r3; the W1 offset
+                                          # window runs in-window via
+                                          # sent_offsets, and the
+                                          # loader keeps source-parity
+                                          # pytests + CI oracle
                   # rotated out to fund dsir_weights (DSIR importance
                   # resampling, r4):
                   "re_metric_counts",   # A2 per-label pred/correct

@@ -216,3 +216,38 @@ def test_count_min_registers_merge(spark):
               .groupBy("r", "b").agg(F.sum("cnt").alias("cnt")))
     assert (sorted(map(tuple, whole.collect()))
             == sorted(map(tuple, merged.collect())))
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom filter: (a) every inserted key probes maybe_present —
+    zero false negatives by construction; (b) at a deliberately tiny
+    m, absent keys DO collide to true (the probabilistic path) but
+    most still probe false; (c) bit tables of two halves merged by
+    union-distinct equal the whole corpus' bit table; (d) the bit
+    table never exceeds m_bits rows."""
+    from fastie_spark.operators.sketches import bloom_bits, bloom_contains
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(300)], "key: string")
+    bits = bloom_bits(keys, "key", m_bits=512, k_hashes=3)
+    assert bits.count() <= 512
+    # (a) all inserted keys probe true
+    got = {r["key"]: r["maybe_present"] for r in
+           bloom_contains(bits, keys, "key", m_bits=512,
+                          k_hashes=3).collect()}
+    assert all(got.values()) and len(got) == 300
+    # (b) absent keys: some false positives (m is tiny), most negative
+    absent = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(300)], "key: string")
+    ab = [r["maybe_present"] for r in
+          bloom_contains(bits, absent, "key", m_bits=512,
+                         k_hashes=3).collect()]
+    assert 0 < sum(ab) < 250
+    # (c) mergeable: union-distinct of half filters == whole filter
+    h1 = bloom_bits(keys.where("key < 'key2'"), "key",
+                    m_bits=512, k_hashes=3)
+    h2 = bloom_bits(keys.where("key >= 'key2'"), "key",
+                    m_bits=512, k_hashes=3)
+    merged = sorted(r["bit"] for r in h1.union(h2).distinct().collect())
+    whole = sorted(r["bit"] for r in bits.collect())
+    assert merged == whole
