@@ -122,3 +122,53 @@ def bigram_lm_score(docs: DataFrame, train: DataFrame | None = None,
         .select(id_col, "n_bigrams",
                 F.expr("s div n_bigrams").cast("bigint").alias("lm_ppm"))
     )
+
+
+def ccnet_buckets(docs: DataFrame, train: DataFrame | None = None,
+                  q_low: int = 33, q_high: int = 66,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  group_col: str = "lang") -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): score
+    every document with the integer bigram LM
+    (:func:`bigram_lm_score`), then split EACH LANGUAGE into fluency
+    tertiles — ``head`` (most target-LM-like; CCNet trains on
+    Wikipedia and keeps head+middle for LLM corpora), ``middle``,
+    ``tail``.
+
+    Thresholds are EXACT per-language ceil-rank percentiles computed
+    from the bounded (lang, lm_ppm) value histogram — the same trick
+    as ``token_count_quantiles``: lm_ppm has at most 1e6 distinct
+    values, so the cumulative window runs over a tiny frame, never
+    over documents.  ``bucket = head if lm_ppm ≥ t(q_high) else
+    middle if lm_ppm ≥ t(q_low) else tail`` with
+    ``t(q) = min{v : cum_docs(≤v)·100 ≥ total·q}`` — all-integer, so
+    both engines elect identical buckets (ties at a threshold all
+    land on the same side).
+
+    Scale shape: LM scoring shuffles token pairs (AQE-splittable hot
+    bigrams); the histogram is one partial-agg groupBy at
+    (lang, ppm) grain; thresholds (one row per language) broadcast
+    back onto the scored frame.  Output:
+    ``(id_col, group_col, lm_ppm, bucket)``.
+    """
+    scored = bigram_lm_score(docs, train=train, text_col=text_col,
+                             id_col=id_col)
+    scored = scored.join(docs.select(id_col, group_col), id_col)
+    hist = (scored.groupBy(group_col, "lm_ppm")
+            .agg(F.count("*").alias("c")))
+    from pyspark.sql import Window
+    cum = (hist.withColumn("cum", F.sum("c").over(
+        Window.partitionBy(group_col).orderBy("lm_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", F.sum("c").over(
+            Window.partitionBy(group_col))))
+    th = (cum.groupBy(group_col).agg(
+        F.min(F.when(F.col("cum") * 100 >= F.col("total") * q_low,
+                     F.col("lm_ppm"))).alias("t_low"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("total") * q_high,
+                     F.col("lm_ppm"))).alias("t_high")))
+    return (scored.join(F.broadcast(th), group_col)
+            .select(id_col, group_col, "lm_ppm",
+                    F.when(F.col("lm_ppm") >= F.col("t_high"), "head")
+                    .when(F.col("lm_ppm") >= F.col("t_low"), "middle")
+                    .otherwise("tail").alias("bucket")))

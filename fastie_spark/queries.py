@@ -4550,6 +4550,67 @@ def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams", "lm_ppm")
 
 
+_LM_CHAIN = """
+lm_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents),
+lm_bg AS (
+  SELECT doc_id, l[i] AS x, l[i + 1] AS y
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM lm_t WHERE len(l) >= 2)),
+lm_bc AS (SELECT x, y, count(*)::BIGINT AS bc FROM lm_bg GROUP BY x, y),
+lm_cx AS (SELECT x, count(*)::BIGINT AS cx FROM lm_bg GROUP BY x),
+lm_v AS (SELECT count(DISTINCT t)::BIGINT AS v
+         FROM (SELECT unnest(l) AS t FROM lm_t)),
+lm_sc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum((1000000 * (coalesce(b.bc, 0) + 1))
+             // (coalesce(c.cx, 0) + v.v)) AS s
+  FROM lm_bg g
+  LEFT JOIN lm_bc b ON b.x = g.x AND b.y = g.y
+  LEFT JOIN lm_cx c ON c.x = g.x, lm_v v
+  GROUP BY g.doc_id)
+"""
+
+
+@query("ccnet_buckets", oracle=f"""
+WITH {_LM_CHAIN},
+cb_s AS (
+  SELECT s.doc_id::BIGINT AS doc_id, d.lang,
+         (s.s // s.n_bigrams)::BIGINT AS lm_ppm
+  FROM lm_sc s JOIN documents d ON s.doc_id = d.doc_id),
+cb_h AS (SELECT lang, lm_ppm, count(*)::BIGINT AS c
+         FROM cb_s GROUP BY lang, lm_ppm),
+cb_c AS (
+  SELECT lang, lm_ppm,
+         sum(c) OVER (PARTITION BY lang ORDER BY lm_ppm) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM cb_h),
+cb_t AS (
+  SELECT lang,
+         min(CASE WHEN cum * 100 >= total * 33 THEN lm_ppm END) AS t_low,
+         min(CASE WHEN cum * 100 >= total * 66 THEN lm_ppm END) AS t_high
+  FROM cb_c GROUP BY lang)
+SELECT s.doc_id, s.lang, s.lm_ppm,
+       CASE WHEN s.lm_ppm >= t.t_high THEN 'head'
+            WHEN s.lm_ppm >= t.t_low THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM cb_s s JOIN cb_t t ON s.lang = t.lang
+""")
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): the
+    integer bigram-LM fluency score cut into EXACT per-language
+    ceil-rank tertiles via the bounded (lang, ppm) value histogram —
+    the published CCNet output shape (LLM corpora keep head+middle).
+    The oracle replays LM training, scoring, the per-language
+    cumulative histogram, threshold election, and the tie rule."""
+    from fastie_spark.operators.quality import ccnet_buckets
+    d = _documents(spark, sf_dir)
+    return ccnet_buckets(d).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang", "lm_ppm", "bucket")
+
+
 @query("sketch_distinct_kmv", oracle=kmv_distinct_duck_sql(
     "(SELECT lang, unnest(string_split(text, ' ')) || '#' "
     "|| (doc_id % 97)::VARCHAR AS v FROM documents)",
@@ -4919,6 +4980,14 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # (packs every enumerated
                                         # pair) and the tplinker
                                         # decode joins; CI oracle
+                  # rotated out to fund ccnet_buckets (CCNet tertile
+                  # split, r4):
+                  "event_extract",      # EE stage, green r1-r3; the
+                                        # reference's EE task is an
+                                        # empty 0-byte stub — the
+                                        # engine's trigger-join + CASE
+                                        # roles keep the EE pytests +
+                                        # CI oracle
                   # rotated out to fund sketch_bloom (Bloom-filter
                   # ingest gate, r4):
                   "jsonlines_re_rebase",  # S2 loader + offset rebase,

@@ -194,3 +194,36 @@ def test_bigram_lm_score_train_score_separation(spark):
     # fully unseen context: (1e6*1)//(0+4)=250000
     assert got[2] == 250_000
     assert got[1] < got[0]
+
+
+def test_ccnet_buckets_tertiles_are_ordered_and_exhaustive(spark):
+    """CCNet bucketing invariants: (a) every scored doc gets exactly
+    one bucket; (b) within a language the buckets are ORDERED — every
+    head doc scores >= every middle doc >= every tail doc; (c) bucket
+    sizes are near-tertiles (exact thirds up to score ties); (d) the
+    assignment is invariant to partitioning."""
+    from fastie_spark.operators.quality import ccnet_buckets
+
+    # 30 docs per lang with a fluency gradient: doc i repeats a common
+    # phrase i times then pads with rare tokens, so lm scores spread
+    rows = []
+    for lang in ("en", "de"):
+        for i in range(30):
+            common = " ".join(["the cat sat"] * (1 + i % 10))
+            rare = " ".join(f"{lang}rare{i}x{j}" for j in range(5))
+            rows.append((len(rows), lang, common + " " + rare))
+    d = spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+    out = ccnet_buckets(d).collect()
+    assert len(out) == 60
+    for lang in ("en", "de"):
+        by = {}
+        for r in out:
+            if r["lang"] == lang:
+                by.setdefault(r["bucket"], []).append(r["lm_ppm"])
+        assert set(by) == {"head", "middle", "tail"}
+        assert min(by["head"]) >= max(by["middle"]) >= min(by["middle"])
+        assert min(by["middle"]) >= max(by["tail"])
+        assert 4 <= len(by["head"]) <= 16        # ~10 up to ties
+        assert 4 <= len(by["tail"]) <= 16
+    rep = ccnet_buckets(d.repartition(7)).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
