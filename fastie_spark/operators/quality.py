@@ -172,3 +172,103 @@ def ccnet_buckets(docs: DataFrame, train: DataFrame | None = None,
                     F.when(F.col("lm_ppm") >= F.col("t_high"), "head")
                     .when(F.col("lm_ppm") >= F.col("t_low"), "middle")
                     .otherwise("tail").alias("bucket")))
+
+
+def doc_embed_expr(tokens_col: str = "l", dim: int = 8) -> str:
+    """Spark-SQL expr: in-row hashed bag-of-tokens document embedding
+    ``x_d = Σ_tokens (H('e'||d||'#'||tok) % 2001 − 1000)`` — the SUM of
+    the engine's per-token integer embeddings (model_ner.embed_tokens
+    family), computed shuffle-free from the token array."""
+    from fastie_spark.functions.hashing import spark_hash64_sql
+    coef = (spark_hash64_sql(
+        "concat('e', cast(dd as string), '#', t)") + " % 2001 - 1000")
+    return (f"transform(sequence(0, {dim - 1}), dd -> "
+            f"aggregate({tokens_col}, cast(0 as bigint), "
+            f"(acc, t) -> acc + ({coef})))")
+
+
+class QualityClassifier:
+    """fastText-style model-based quality filter (the GPT-3 / Llama
+    'quality classifier' curation stage, Brown et al. 2020 §A /
+    Touvron et al. 2023): a binary linear classifier over hashed
+    bag-of-token document embeddings, trained to recognize a
+    high-quality target slice and then scored over the whole corpus —
+    keep iff score > 0.
+
+    Deterministic distributed training, same discipline as
+    ``PerceptronTrainer``: integer features and weights, BATCH
+    perceptron updates (``w += Σ_{mistakes} y·x`` once per epoch — an
+    order-independent sum, so any partitioning trains bit-identical
+    weights and the oracle replays whole epochs in SQL).  The doc
+    embedding is computed IN-ROW (no shuffle); each epoch is one
+    filter + posexplode + ``groupBy(d).sum`` whose result is ``dim``
+    rows — the only thing ever collected.  Weights are a dim-length
+    driver vector inlined as a literal into the scoring expression
+    (at transformer-scale dims you'd broadcast a table instead; at
+    web scale add per-doc feature clipping to bound |x| — int64 holds
+    corpus-sized sums here).
+    """
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+        self.weights = [0] * dim
+        #: per-epoch (epoch, n_mistakes)
+        self.history: list[tuple[int, int]] = []
+
+    def _score_expr(self) -> str:
+        ws = ", ".join(f"cast({w} as bigint)" for w in self.weights)
+        return (f"aggregate(zip_with(x, array({ws}), (a, b) -> a * b), "
+                f"cast(0 as bigint), (acc, v) -> acc + v)")
+
+    def _features(self, docs: DataFrame, label_col: str,
+                  text_col: str, id_col: str) -> DataFrame:
+        return docs.select(
+            F.col(id_col),
+            F.col(label_col).cast("int").alias("y"),
+            F.expr(doc_embed_expr(
+                f"filter(split({text_col}, ' '), t -> t != '')",
+                self.dim)).alias("x"))
+
+    def fit(self, docs: DataFrame, label_col: str = "y",
+            epochs: int = 2, text_col: str = "text",
+            id_col: str = "doc_id") -> "QualityClassifier":
+        """Train ``epochs`` batch-perceptron rounds.  The corpus is
+        featurized ONCE (persisted doc-embedding frame); every epoch
+        scores it under the current literal weights, selects the
+        mistakes, and reduces their signed features to a dim-row
+        gradient."""
+        from pyspark import StorageLevel
+
+        feats = self._features(docs, label_col, text_col, id_col) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        feats.count()  # the single featurization pass
+        for epoch in range(epochs):
+            mist = (feats.withColumn("score", F.expr(self._score_expr()))
+                    .where((F.col("score") > 0) != (F.col("y") == 1))
+                    .withColumn("sgn", F.when(F.col("y") == 1, 1)
+                                .otherwise(-1)))
+            rows = (mist.select("sgn", F.posexplode("x").alias("d", "v"))
+                    .groupBy("d")
+                    .agg(F.sum(F.col("sgn") * F.col("v")).alias("g"),
+                         F.count("*").alias("n"))
+                    .collect())
+            n_mist = 0
+            for r in rows:
+                self.weights[r["d"]] += int(r["g"])
+                n_mist = max(n_mist, int(r["n"]))
+            self.history.append((epoch, n_mist))
+        feats.unpersist()
+        return self
+
+    def transform(self, docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+        """Score under the trained weights: ``(id_col, score, keep)``
+        with ``keep = score > 0`` — the filter decision."""
+        feats = docs.select(
+            F.col(id_col),
+            F.expr(doc_embed_expr(
+                f"filter(split({text_col}, ' '), t -> t != '')",
+                self.dim)).alias("x"))
+        return (feats.withColumn("score", F.expr(self._score_expr()))
+                .select(id_col, F.col("score").cast("bigint").alias("score"),
+                        (F.col("score") > 0).alias("keep")))

@@ -4665,6 +4665,62 @@ def q_sketch_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(regs, probes, "key", width=CMS_W, depth=CMS_D)
 
 
+QCLF_DIM = 8
+
+
+@query("quality_classifier", oracle=f"""
+WITH qc_t AS (
+  SELECT doc_id,
+         CASE WHEN source IN {DSIR_TARGET} THEN 1 ELSE 0 END AS y,
+         list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents),
+qc_x AS (
+  SELECT doc_id, y,
+         list_transform(generate_series(0, {QCLF_DIM - 1}), dd ->
+           coalesce(list_sum(list_transform(l, t ->
+             ({duck_hash64_sql("'e' || dd || '#' || t")}
+              % 2001 - 1000))), 0)) AS x
+  FROM qc_t),
+qc_w1 AS (
+  SELECT dd.dd AS d, sum(x[dd.dd + 1])::BIGINT AS w
+  FROM qc_x, generate_series(0, {QCLF_DIM - 1}) dd(dd)
+  WHERE y = 1 GROUP BY dd.dd),
+qc_s1 AS (
+  SELECT q.doc_id, q.y, q.x, sum(w1.w * q.x[w1.d + 1]) AS score
+  FROM qc_x q, qc_w1 w1 GROUP BY q.doc_id, q.y, q.x),
+qc_m2 AS (
+  SELECT x, CASE WHEN y = 1 THEN 1 ELSE -1 END AS sgn
+  FROM qc_s1 WHERE (score > 0) != (y = 1)),
+qc_g2 AS (
+  SELECT dd.dd AS d, sum(sgn * x[dd.dd + 1])::BIGINT AS g
+  FROM qc_m2, generate_series(0, {QCLF_DIM - 1}) dd(dd)
+  GROUP BY dd.dd),
+qc_w2 AS (
+  SELECT w1.d, (w1.w + coalesce(g2.g, 0))::BIGINT AS w
+  FROM qc_w1 w1 LEFT JOIN qc_g2 g2 ON g2.d = w1.d),
+qc_s2 AS (
+  SELECT q.doc_id, sum(w2.w * q.x[w2.d + 1])::BIGINT AS score
+  FROM qc_x q, qc_w2 w2 GROUP BY q.doc_id)
+SELECT doc_id, score, (score > 0) AS keep FROM qc_s2
+""")
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3/Llama classifier
+    stage): a binary batch perceptron over in-row hashed bag-of-token
+    doc embeddings trains TWO epochs against the src0/src1 target
+    slice, then scores the whole corpus (keep = score > 0).  Epoch 1
+    starts from zero weights (all scores 0, tie → negative), so its
+    update is exactly the positive-class feature sum; epoch 2 is a
+    real mistake-driven round.  The oracle unrolls featurization and
+    both epochs in SQL — integer end-to-end, weights and scores
+    bit-equal across engines."""
+    from fastie_spark.operators.quality import QualityClassifier
+    d = _documents(spark, sf_dir).withColumn(
+        "y", F.col("source").isin(*DSIR_TARGET).cast("int"))
+    clf = QualityClassifier(dim=QCLF_DIM).fit(d, label_col="y",
+                                              epochs=2)
+    return clf.transform(d)
+
+
 BLOOM_M, BLOOM_K = 1024, 3  # sized so absent probes DO collide at
                             # sf0.01 and the all-k-bits rule is load-
                             # bearing (false positives occur, negatives
@@ -4980,6 +5036,16 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # (packs every enumerated
                                         # pair) and the tplinker
                                         # decode joins; CI oracle
+                  # rotated out to fund quality_classifier (model-
+                  # based filtering, r4):
+                  "dedup_delta",        # incremental digest anti-join,
+                                        # green r3; the sha-digest
+                                        # grouping runs in-window via
+                                        # dedup_exact (rotated back
+                                        # this round) and the ingest-
+                                        # gate shape is now also
+                                        # driver-checked via
+                                        # sketch_bloom; CI oracle
                   # rotated out to fund ccnet_buckets (CCNet tertile
                   # split, r4):
                   "event_extract",      # EE stage, green r1-r3; the

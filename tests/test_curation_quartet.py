@@ -227,3 +227,28 @@ def test_ccnet_buckets_tertiles_are_ordered_and_exhaustive(spark):
         assert 4 <= len(by["tail"]) <= 16
     rep = ccnet_buckets(d.repartition(7)).collect()
     assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
+
+
+def test_quality_classifier_learns_separable_corpus(spark):
+    """The batch perceptron must actually LEARN: on a linearly
+    separable corpus (disjoint vocabularies) two epochs drive training
+    mistakes down and the trained filter keeps the target-like docs
+    and drops the off-domain ones.  Also: weights are deterministic
+    under repartitioning (batch updates are order-independent sums)."""
+    from fastie_spark.operators.quality import QualityClassifier
+
+    rows = ([(i, 1, "clean prose sentence tokens") for i in range(40)]
+            + [(100 + i, 0, "zz9 qq8 vv7 kk6") for i in range(40)])
+    d = spark.createDataFrame(rows, "doc_id: long, y: int, text: string")
+    clf = QualityClassifier(dim=8).fit(d, label_col="y", epochs=3)
+    # epoch 1 starts from zero weights: every positive doc is a
+    # mistake; later epochs must improve
+    assert clf.history[0][1] == 40
+    assert clf.history[-1][1] < 40
+    got = {r["doc_id"]: r["keep"] for r in clf.transform(d).collect()}
+    pos_kept = sum(got[i] for i in range(40))
+    neg_kept = sum(got[100 + i] for i in range(40))
+    assert pos_kept == 40 and neg_kept == 0     # separable -> exact
+    clf2 = QualityClassifier(dim=8).fit(d.repartition(7), label_col="y",
+                                        epochs=3)
+    assert clf2.weights == clf.weights
