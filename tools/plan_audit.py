@@ -77,6 +77,18 @@ AUDIT = [
     ("quality_repetition", "bigram counters: partial-agg, no window"),
     ("sketch_distinct_kmv", "KMV sketch: two-level bounded k-smallest"),
     ("kg_neighbor_agg", "GNN layer: edge ⋈ embeddings + (node,dim) agg"),
+    ("text_search_bm25", "BM25 rank: stored index, bounded top-k"),
+    ("quality_lm", "bigram-LM scoring: count-table equi-joins"),
+    ("sketch_freq_cms", "Count-Min: bounded registers, bcast probes"),
+    ("sample_weighted", "weighted bottom-k: hash-priority draw"),
+    ("bpe_encode", "corpus BPE: vocab-grain segmentation join"),
+    ("dedup_substring_apply", "substring cut: keep-one seam, in-row"),
+    ("sample_mix", "domain mixing: counts → rates → hash filter"),
+    ("dedup_semantic", "SemDeDup: IVF cells + in-cell code-dot scan"),
+    ("dsir_weights", "DSIR: bucket ratios, bcast join, doc roll-up"),
+    ("sketch_bloom", "Bloom gate: bounded bit set, bcast probe join"),
+    ("ccnet_buckets", "CCNet tertiles: LM score + tiny histogram win"),
+    ("quality_classifier", "trained doc filter: in-row embed, literal w"),
 ]
 
 
