@@ -237,3 +237,80 @@ def test_pagerank_checkpoint_resume(spark, tmp_path):
     got = pagerank_integer(bogus, n_iters=4, checkpoint_dir=root,
                            resume=True, checkpoint_every=2)
     assert sorted((r["node"], r["rank"]) for r in got.collect()) == want
+
+
+def _curation_stages(calls):
+    """The Dolma-style curation chain as snapshot stages: CCNet
+    LM-tertile filter (drop tail) → domain-mixture downsample → exact
+    dedup survivors → GPT sequence packing."""
+    from fastie_spark.operators.dedup import exact_dedup
+    from fastie_spark.operators.quality import ccnet_buckets
+    from fastie_spark.operators.sampling import mix_corpus, pack_sequences
+
+    def quality(df):
+        calls.append("quality")
+        keep = (ccnet_buckets(df)
+                .where(F.col("bucket") != "tail").select("doc_id"))
+        return df.join(keep, "doc_id")
+
+    def mix(df):
+        calls.append("mix")
+        return mix_corpus(df, {"en": 2, "de": 1, "fr": 1}, salt="cur")
+
+    def dedup(df):
+        calls.append("dedup")
+        surv = exact_dedup(df).select(
+            F.col("keep_doc_id").alias("doc_id"))
+        return df.join(surv, "doc_id")
+
+    def pack(df):
+        calls.append("pack")
+        toks = df.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "),
+                            lambda t: t != "")).alias("n_tokens"))
+        return pack_sequences(toks, budget=32, n_shards=4, salt="cur")
+
+    return [Stage("quality", quality), Stage("mix", mix),
+            Stage("dedup", dedup), Stage("pack", pack)]
+
+
+def test_curation_pipeline_kill_resume_hash_equal(spark, tmp_path):
+    """The CURATION half of the engine through the same
+    snapshot-per-stage runner as the flagship extraction chain:
+    quality-tertile filter → language mixture → dedup survivors →
+    sequence packing, killed after two stages and resumed — resumed
+    output bit-equal to the uninterrupted run, and every stage
+    demonstrably reduced/reshaped the corpus (manifest rows)."""
+    rows = []
+    for i in range(240):
+        lang = ("en", "de", "fr")[i % 3]
+        base = " ".join(["the cat sat"] * (1 + i % 8))
+        rare = " ".join(f"r{i % 20}x{j}" for j in range(3))
+        rows.append((i, lang, base + " " + rare))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id: long, lang: string, text: string") \
+        .repartition(8).write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+
+    calls_u: list[str] = []
+    u_out = PipelineRunner(spark, str(tmp_path / "uroot"), run_id="u") \
+        .run(docs, _curation_stages(calls_u))
+    want = sorted(map(tuple, u_out.collect()))
+    assert calls_u == ["quality", "mix", "dedup", "pack"] and want
+
+    calls_i: list[str] = []
+    stages_i = _curation_stages(calls_i)
+    iroot = str(tmp_path / "iroot")
+    PipelineRunner(spark, iroot, run_id="i1").run(docs, stages_i[:2])
+    assert calls_i == ["quality", "mix"]
+    calls_i.clear()
+    r_out = PipelineRunner(spark, iroot, run_id="i2").run(docs, stages_i)
+    assert calls_i == ["dedup", "pack"]
+    assert sorted(map(tuple, r_out.collect())) == want
+
+    man = {r["stage"]: r["n_rows"]
+           for r in PipelineRunner(spark, iroot).manifest().collect()}
+    assert man["quality"] < 240          # tail tertile dropped
+    assert man["mix"] < man["quality"]   # bottleneck mixture downsampled
+    assert man["dedup"] < man["mix"]     # duplicate classes collapsed
