@@ -252,10 +252,11 @@ class QualityClassifier:
                     .agg(F.sum(F.col("sgn") * F.col("v")).alias("g"),
                          F.count("*").alias("n"))
                     .collect())
-            n_mist = 0
+            # every dim group counts each mistake doc exactly once, so
+            # any group's n IS the epoch mistake count
+            n_mist = int(rows[0]["n"]) if rows else 0
             for r in rows:
                 self.weights[r["d"]] += int(r["g"])
-                n_mist = max(n_mist, int(r["n"]))
             self.history.append((epoch, n_mist))
         feats.unpersist()
         return self

@@ -2,13 +2,16 @@
 distribution profiles — the training-data curation layer.
 
 A 100 TB corpus is never consumed whole: pipelines draw reproducible
-samples (per-language mixing ratios), carve train/dev/test splits that
-must NOT leak near-duplicates across the boundary, and monitor the
-length distribution per stratum.  All three are deterministic
-functions of the data (portable md5-based hashing, integer rank
-quantiles) so any engine, any partitioning, any re-run produces the
-same rows — the property random() sampling and approximate quantile
-sketches give up.
+samples (per-language mixing ratios, weighted bottom-k draws,
+bottleneck-feasible domain mixtures, DSIR importance resampling
+toward a target domain), carve train/dev/test splits that must NOT
+leak near-duplicates across the boundary, monitor the length
+distribution per stratum, and pack the surviving docs into fixed
+token-budget training chunks.  Every operator here is a deterministic
+function of the data (portable md5-based hashing, integer rank
+quantiles, integer ratio arithmetic) so any engine, any partitioning,
+any re-run produces the same rows — the property random() sampling
+and approximate quantile sketches give up.
 
 The reference frames splits as static dataset members
 (``fastie/dataset/base_dataset.py`` DataBundle train/dev/test); at
