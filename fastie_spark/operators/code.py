@@ -41,6 +41,8 @@ Scale notes (10^12 files):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -195,3 +197,97 @@ def line_churn(prev: DataFrame, cur: DataFrame) -> DataFrame:
                  .cast("bigint").alias("n_removed"),
                  F.sum(F.least("np", "nc")).cast("bigint")
                  .alias("n_unchanged")))
+
+
+def code_quality_stats(src: DataFrame,
+                       max_line_len: int = 120,
+                       max_avg_line_len: int = 80,
+                       min_alnum_ppm: int = 700_000,
+                       autogen_pattern: str =
+                       "auto-?generated|do not edit") -> DataFrame:
+    """Per-file code-quality statistics + keep decision — the
+    Codex/StarCoder source-file filters (Chen et al. 2021 §2.2 /
+    BigCode: drop files with over-long lines, high average line
+    length, low alphanumeric fraction, or auto-generated markers).
+
+    Everything is in-row over ``content`` (zero shuffle, JVM-side
+    string/array expressions; scales linearly with input splits at
+    10^12 files) and integer-exact: the average-line-length rule is
+    the cross-multiplied ``total_chars <= max_avg * n_lines`` and the
+    alphanumeric fraction is ppm fixed-point — no float ever enters,
+    so any engine replays the decision bit-for-bit.
+
+    Reference parity: fastIE has no file-level quality gate (its unit
+    is the pre-tokenized sentence); this is the ingest-side corpus
+    filter the 100 TB training-data pipeline runs BEFORE extraction.
+
+    Output: (repo, path, lang, n_lines, max_line_len, n_chars,
+    alnum_ppm, autogen, keep) — n_chars excludes newlines.
+    """
+    lines = "split(content, chr(10))"
+    n_chars = "length(replace(content, chr(10), ''))"
+    return src.select(
+        "repo", "path", "lang",
+        F.expr(f"size({lines})").cast("bigint").alias("n_lines"),
+        F.expr(f"array_max(transform({lines}, l -> length(l)))")
+         .cast("bigint").alias("max_line_len"),
+        F.expr(n_chars).cast("bigint").alias("n_chars"),
+        F.expr(f"case when {n_chars} = 0 then 0 else "
+               f"length(regexp_replace(content, '[^A-Za-z0-9]', ''))"
+               f" * 1000000 div {n_chars} end")
+         .cast("bigint").alias("alnum_ppm"),
+        F.lower("content").rlike(autogen_pattern).alias("autogen"),
+    ).withColumn(
+        "keep",
+        (F.col("max_line_len") <= max_line_len)
+        & (F.col("n_chars") <= max_avg_line_len * F.col("n_lines"))
+        & (F.col("alnum_ppm") >= min_alnum_ppm)
+        & ~F.col("autogen"))
+
+
+#: SPDX ids classified as permissive (keep for training) — lowercase.
+PERMISSIVE_LICENSES = ("mit", "apache-2.0", "bsd-2-clause",
+                       "bsd-3-clause", "isc", "unlicense")
+#: lowercase SPDX prefixes classified as copyleft (drop).
+COPYLEFT_PREFIXES = ("gpl", "agpl", "lgpl")
+
+
+def license_scan(src: DataFrame,
+                 permissive: tuple[str, ...] = PERMISSIVE_LICENSES,
+                 copyleft_prefixes: tuple[str, ...] = COPYLEFT_PREFIXES,
+                 ) -> DataFrame:
+    """Per-file license detection + permissive/copyleft routing — the
+    license-compliance gate every public code-corpus pipeline runs
+    (The Stack / StarCoder keep permissive-licensed files only).
+
+    Detection is two in-row passes, both shuffle-free JVM regex:
+    first the machine-readable ``SPDX-License-Identifier: <id>`` tag
+    (the authoritative signal when present), then a header-phrase
+    fallback for the three most common hand-written headers; files
+    with neither are ``NOASSERTION``.  Family classification is a
+    broadcastable CASE over the id: permissive allow-list, copyleft
+    prefix match, else unknown.  ``keep`` = permissive only — the
+    conservative training-data rule.
+
+    Output: (repo, path, lang, license, family, keep).
+    """
+    spdx = F.regexp_extract(
+        "content", r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1)
+    lic = (F.when(spdx != "", spdx)
+           .when(F.col("content").contains("Apache License"),
+                 F.lit("Apache-2.0"))
+           .when(F.col("content").contains("MIT License"), F.lit("MIT"))
+           .when(F.col("content").contains("GNU General Public License"),
+                 F.lit("GPL-3.0-only"))
+           .otherwise(F.lit("NOASSERTION")))
+    low = F.lower(F.col("license"))
+    family = (F.when(low.isin(*[p.lower() for p in permissive]),
+                     F.lit("permissive"))
+              .when(reduce(lambda a, b: a | b,
+                           (low.startswith(p)
+                            for p in copyleft_prefixes)),
+                    F.lit("copyleft"))
+              .otherwise(F.lit("unknown")))
+    return (src.select("repo", "path", "lang", lic.alias("license"))
+            .withColumn("family", family)
+            .withColumn("keep", F.col("family") == "permissive"))

@@ -380,3 +380,51 @@ def dsir_sample(docs: DataFrame, target: DataFrame, k: int,
                      text_col=text_col, id_col=id_col)
     return sample_weighted_bottomk(
         w, k=k, weight_col="weight_ppm", key_col=id_col, salt=salt)
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  key_col: str = "doc_id", salt: str = "",
+                  fanout: int = 32) -> DataFrame:
+    """Deterministic per-group document cap — the C4/Gopher "at most
+    N documents per host" rule (Raffel et al. 2020 §2.2), here "per
+    repo": groups larger than ``cap`` keep exactly ``cap`` members,
+    chosen by the portable hash priority
+
+        priority = portable_hash64(key || '#cap#' || salt)
+
+    so the survivors are a uniform, engine/partitioning/re-run
+    independent draw (same discipline as ``sample_deterministic``),
+    NOT head-of-scan order — scan order would bias survivors toward
+    whatever the writer emitted first.
+
+    Scale shape: the known-hot group (one repo holding 30% of a
+    10^12-file corpus) never meets a single-task window.  Selection
+    is the two-level bounded k-smallest of
+    ``sample_weighted_bottomk``: a per-(group, priority-shard)
+    partial top-``cap``, then a final top-``cap`` over the
+    <= fanout·cap survivors per group.
+
+    Output: ``(group_col, key_col, priority, rank)`` with rank
+    1..min(cap, |group|) — join back on ``key_col`` to apply.
+    """
+    from pyspark.sql import Window
+
+    from fastie_spark.functions.hashing import spark_hash64_sql
+
+    h_sql = spark_hash64_sql(
+        f"concat(cast({key_col} as string), '#cap#{salt}')")
+    scored = df.select(F.col(group_col), F.col(key_col),
+                       F.expr(h_sql).alias("priority"))
+    order = [F.col("priority").asc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy(group_col, "_shard").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        scored.withColumn("_shard", F.pmod("priority", F.lit(fanout)))
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= cap)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= cap)
+        .select(group_col, key_col,
+                F.col("priority").cast("bigint").alias("priority"),
+                F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -251,3 +251,94 @@ def test_bloom_no_false_negatives_and_merge(spark):
     merged = sorted(r["bit"] for r in h1.union(h2).distinct().collect())
     whole = sorted(r["bit"] for r in bits.collect())
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# code-quality gate + license scan (Codex/StarCoder curation rules)
+# ---------------------------------------------------------------------------
+
+
+def test_code_quality_stats_rules_bind(spark):
+    from fastie_spark.operators.code import code_quality_stats
+    src = _src(spark, [
+        # clean: 2 short alnum lines
+        ("a", "ok", "c1", "def foo\nreturn 1"),
+        # one 150-char line breaches max_line_len
+        ("a", "long", "c2", "short\n" + "x" * 150),
+        # autogen marker, case-insensitive
+        ("a", "gen", "c3", "Auto-Generated DO NOT EDIT\ncode here"),
+        # punctuation soup: alnum fraction below threshold
+        ("a", "punct", "c4", "### $$$ %%% !!!\n;;; ::: @@@"),
+        # empty file: n_chars 0, alnum_ppm 0 -> dropped
+        ("a", "empty", "c5", ""),
+    ])
+    got = {r.path: r for r in code_quality_stats(src).collect()}
+    ok = got["ok"]
+    assert (ok.n_lines, ok.max_line_len, ok.n_chars) == (2, 8, 15)
+    # 'def foo' + 'return 1' alnum chars = 6 + 7 = 13 of 15
+    assert ok.alnum_ppm == 13 * 1_000_000 // 15
+    assert ok.keep and not ok.autogen
+    assert not got["long"].keep and got["long"].max_line_len == 150
+    assert got["gen"].autogen and not got["gen"].keep
+    assert got["punct"].alnum_ppm == 0 and not got["punct"].keep
+    assert got["empty"].alnum_ppm == 0 and not got["empty"].keep
+
+
+def test_code_quality_avg_line_rule_is_integer_exact(spark):
+    from fastie_spark.operators.code import code_quality_stats
+    # 2 lines of exactly 80 alnum chars each: n_chars == 80*n_lines
+    # passes (<=); one more char fails — the cross-multiplied integer
+    # rule, no float rounding at the boundary
+    at = "a" * 80 + "\n" + "b" * 80
+    over = at + "c"
+    src = _src(spark, [("r", "at", "c1", at), ("r", "over", "c2", over)])
+    got = {r.path: r.keep for r in code_quality_stats(src).collect()}
+    assert got == {"at": True, "over": False}
+
+
+def test_license_scan_spdx_beats_header_and_families_route(spark):
+    from fastie_spark.operators.code import license_scan
+    src = _src(spark, [
+        ("a", "mit", "c1", "SPDX-License-Identifier: MIT\ncode"),
+        # SPDX tag wins over a conflicting header phrase
+        ("a", "both", "c2",
+         "SPDX-License-Identifier: AGPL-3.0-only\nMIT License text"),
+        ("a", "apache_hdr", "c3",
+         "Licensed under the Apache License, Version 2.0."),
+        ("a", "gpl_hdr", "c4",
+         "under the GNU General Public License v3"),
+        ("a", "none", "c5", "just some code"),
+    ])
+    got = {r.path: (r.license, r.family, r.keep)
+           for r in license_scan(src).collect()}
+    assert got["mit"] == ("MIT", "permissive", True)
+    assert got["both"] == ("AGPL-3.0-only", "copyleft", False)
+    assert got["apache_hdr"] == ("Apache-2.0", "permissive", True)
+    assert got["gpl_hdr"] == ("GPL-3.0-only", "copyleft", False)
+    assert got["none"] == ("NOASSERTION", "unknown", False)
+
+
+def test_cap_per_group_binds_and_is_partitioning_independent(spark):
+    from fastie_spark.operators.sampling import cap_per_group
+    rows = [Row(g="hot", k=f"h{i:03d}") for i in range(100)] + \
+           [Row(g="cold", k=f"c{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    kept = cap_per_group(df, "g", cap=10, key_col="k", salt="s")
+    got = kept.collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r)
+    # cap binds on the hot group only; small groups keep everything
+    assert len(by_g["hot"]) == 10 and len(by_g["cold"]) == 3
+    assert sorted(r.rank for r in by_g["hot"]) == list(range(1, 11))
+    # survivors are priority-elected (uniform), not scan-order head
+    assert {r.k for r in by_g["hot"]} != {f"h{i:03d}" for i in range(10)}
+    # pure function of (data, salt): any partitioning draws the same
+    again = cap_per_group(df.repartition(7), "g", cap=10,
+                          key_col="k", salt="s")
+    assert sorted((r.g, r.k, r.rank) for r in again.collect()) == \
+        sorted((r.g, r.k, r.rank) for r in got)
+    # a different salt elects a different hot-group sample
+    other = cap_per_group(df, "g", cap=10, key_col="k", salt="s2")
+    assert {r.k for r in other.collect() if r.g == "hot"} != \
+        {r.k for r in by_g["hot"]}
