@@ -89,6 +89,9 @@ AUDIT = [
     ("sketch_bloom", "Bloom gate: bounded bit set, bcast probe join"),
     ("ccnet_buckets", "CCNet tertiles: LM score + tiny histogram win"),
     ("quality_classifier", "trained doc filter: in-row embed, literal w"),
+    ("code_quality", "file-quality gate: in-row rules, shuffle-free"),
+    ("license_scan", "license routing: in-row regex CASE, map-only"),
+    ("sample_cap_per_repo", "per-repo cap: two-level bounded k-smallest"),
 ]
 
 
