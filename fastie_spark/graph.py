@@ -735,3 +735,68 @@ def write_partitioned(df: DataFrame, path: str,
     if cols:
         w = w.partitionBy(*cols)
     w.parquet(path)
+
+
+def predicate_signatures(triples: DataFrame, pred: str = "p",
+                         s_label: str = "s_label",
+                         o_label: str = "o_label") -> DataFrame:
+    """Induce per-predicate type signatures from the KG itself: the
+    DOMINANT (subject-label, object-label) pair per predicate, with
+    its support as ppm of the predicate\'s triples — the ontology a
+    freshly-constructed KG does not have yet (the typing/validation
+    half of the quality loop ``mine_rules`` opens: mined rules type
+    compositions, signatures type individual predicates).
+
+    Scale: one partial-aggregated groupBy collapses the corpus to
+    (pred x label-pair) count rows — bounded by |preds|·|labels|², a
+    broadcast-sized frame regardless of triple count; the dominant
+    election is a window over that tiny frame (ties break on
+    ascending labels, deterministic).
+
+    Output: (pred, exp_s_label, exp_o_label, n_dominant, support_ppm).
+    """
+    from pyspark.sql import Window
+
+    counts = (triples.groupBy(pred, s_label, o_label)
+              .agg(F.count("*").alias("n")))
+    totals = counts.groupBy(pred).agg(F.sum("n").alias("tot"))
+    w = Window.partitionBy(pred).orderBy(
+        F.col("n").desc(), F.col(s_label).asc(), F.col(o_label).asc())
+    dom = (counts.withColumn("_rk", F.row_number().over(w))
+           .where(F.col("_rk") == 1))
+    return (dom.join(totals, pred)
+            .select(F.col(pred),
+                    F.col(s_label).alias("exp_s_label"),
+                    F.col(o_label).alias("exp_o_label"),
+                    F.col("n").cast("bigint").alias("n_dominant"),
+                    F.expr("n * 1000000 div tot").cast("bigint")
+                    .alias("support_ppm")))
+
+
+def validate_triples(triples: DataFrame,
+                     signatures: DataFrame | None = None,
+                     pred: str = "p", s_label: str = "s_label",
+                     o_label: str = "o_label") -> DataFrame:
+    """Type-constraint validation: flag every triple whose argument
+    labels deviate from the predicate\'s (induced or declared)
+    signature — extraction errors surface as minority label pairs,
+    and this is the relational gate that catches them before the KG
+    is materialized.
+
+    ``signatures`` defaults to :func:`predicate_signatures` over the
+    input (self-validation: the majority types the minority); pass a
+    declared ontology table to validate against a fixed schema
+    instead.  The join is broadcast (signatures are |preds|-sized),
+    so validation adds zero shuffles to a corpus-scale triple frame.
+
+    Output: the violating triples, each annotated with the expected
+    labels — route to a quarantine table, not silently dropped.
+    """
+    if signatures is None:
+        signatures = predicate_signatures(triples, pred, s_label,
+                                          o_label)
+    j = triples.join(
+        F.broadcast(signatures.select(pred, "exp_s_label",
+                                      "exp_o_label")), pred)
+    return j.where((F.col(s_label) != F.col("exp_s_label"))
+                   | (F.col(o_label) != F.col("exp_o_label")))

@@ -397,3 +397,41 @@ def test_cc_delta_equals_full_rebuild_random_graph(spark):
     assert set(inc) >= set(full) - {x for x in full
                                     if x not in nodes0 and
                                     all(x not in e for e in delta)}
+
+
+def test_predicate_signatures_and_validation(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.graph import predicate_signatures, validate_triples
+    rows = [
+        # 'calls': dominant (FUNC, FUNC) 3-of-4, one (FUNC, LIB) deviant
+        Row(s="f1", s_label="FUNC", p="calls", o="g1", o_label="FUNC"),
+        Row(s="f2", s_label="FUNC", p="calls", o="g2", o_label="FUNC"),
+        Row(s="f3", s_label="FUNC", p="calls", o="g3", o_label="FUNC"),
+        Row(s="f4", s_label="FUNC", p="calls", o="np", o_label="LIB"),
+        # 'uses': exact 1-1 tie -> deterministic ascending-label break
+        Row(s="a", s_label="CLASS", p="uses", o="x", o_label="LIB"),
+        Row(s="b", s_label="FUNC", p="uses", o="y", o_label="LIB"),
+    ]
+    t = spark.createDataFrame(rows)
+    sig = {r.p: (r.exp_s_label, r.exp_o_label, r.n_dominant,
+                 r.support_ppm)
+           for r in predicate_signatures(t).collect()}
+    assert sig["calls"] == ("FUNC", "FUNC", 3, 750000)
+    # tie at n=1 breaks on ascending (s_label, o_label): CLASS < FUNC
+    assert sig["uses"] == ("CLASS", "LIB", 1, 500000)
+    viol = validate_triples(t).collect()
+    got = {(r.s, r.p, r.o) for r in viol}
+    assert ("f4", "calls", "np") in got
+    assert ("b", "uses", "y") in got and len(got) == 2
+    # every violation carries the expected labels for quarantine triage
+    assert all(r.exp_s_label is not None and r.exp_o_label is not None
+               for r in viol)
+    # declared-ontology path: a schema that blesses LIB objects flips
+    # the verdict without re-inducing from the data
+    schema = spark.createDataFrame(
+        [Row(p="calls", exp_s_label="FUNC", exp_o_label="LIB")])
+    v2 = validate_triples(t.where(F.col("p") == "calls"),
+                          signatures=schema).collect()
+    assert {(r.s, r.o) for r in v2} == {("f1", "g1"), ("f2", "g2"),
+                                        ("f3", "g3")}
