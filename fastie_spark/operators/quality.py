@@ -273,3 +273,59 @@ class QualityClassifier:
         return (feats.withColumn("score", F.expr(self._score_expr()))
                 .select(id_col, F.col("score").cast("bigint").alias("score"),
                         (F.col("score") > 0).alias("keep")))
+
+
+def line_repetition_stats(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          delim: str = r"\n",
+                          max_dup_line_ppm: int = 300_000,
+                          max_dup_char_ppm: int = 200_000) -> DataFrame:
+    """Gopher's duplicate-line repetition signals (Rae et al. 2021
+    Table A1): per doc, the fraction of line occurrences that are
+    duplicates of an earlier identical line and the fraction of
+    characters inside those duplicate occurrences — the within-doc
+    boilerplate detector that word-bigram counters
+    (:func:`bigram_repetition`) miss.  Run once with the line
+    delimiter and once with a paragraph delimiter for both Gopher
+    grains.
+
+    Definitions (integer-exact, ppm fixed-point): for each distinct
+    line value with ``cnt`` occurrences, ``cnt - 1`` occurrences are
+    duplicates; ``dup_line_ppm = Σ(cnt-1)·1e6 div n_lines`` and
+    ``dup_char_ppm`` weights each duplicate occurrence by its char
+    length.  ``keep`` applies Gopher's 0.30 / 0.20 cuts.
+
+    Scale: entirely IN-ROW (no shuffle, no explode) via nested
+    higher-order functions — O(distinct·n_lines) per doc, bounded by
+    the ingest-time document size cap, and linear in input splits at
+    corpus scale.  Empty lines (repeated delimiters) are dropped
+    before counting.
+
+    Output: (id_col, n_lines, distinct_lines, dup_line_ppm,
+    dup_char_ppm, keep) for docs with >= 1 non-empty line.
+    """
+    l = f"filter(split({text_col}, '{delim}'), x -> x != '')"
+    dup_lines = (f"aggregate(transform(array_distinct({l}), "
+                 f"v -> size(filter({l}, x -> x = v)) - 1), "
+                 f"cast(0 as bigint), (a, v) -> a + v)")
+    dup_chars = (f"aggregate(transform(array_distinct({l}), "
+                 f"v -> (size(filter({l}, x -> x = v)) - 1) "
+                 f"* cast(length(v) as bigint)), "
+                 f"cast(0 as bigint), (a, v) -> a + v)")
+    n_chars = (f"aggregate({l}, cast(0 as bigint), "
+               f"(a, x) -> a + length(x))")
+    out = (docs
+           .where(F.expr(f"size({l})") > 0)
+           .select(
+               F.col(id_col),
+               F.expr(f"size({l})").cast("bigint").alias("n_lines"),
+               F.expr(f"size(array_distinct({l}))").cast("bigint")
+                .alias("distinct_lines"),
+               F.expr(f"{dup_lines} * 1000000 div size({l})")
+                .cast("bigint").alias("dup_line_ppm"),
+               F.expr(f"case when {n_chars} = 0 then 0 else "
+                      f"{dup_chars} * 1000000 div {n_chars} end")
+                .cast("bigint").alias("dup_char_ppm")))
+    return out.withColumn(
+        "keep", (F.col("dup_line_ppm") <= max_dup_line_ppm)
+        & (F.col("dup_char_ppm") <= max_dup_char_ppm))

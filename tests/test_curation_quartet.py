@@ -252,3 +252,34 @@ def test_quality_classifier_learns_separable_corpus(spark):
     clf2 = QualityClassifier(dim=8).fit(d.repartition(7), label_col="y",
                                         epochs=3)
     assert clf2.weights == clf.weights
+
+
+def test_line_repetition_stats_gopher_cuts(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.operators.quality import line_repetition_stats
+    docs = spark.createDataFrame([
+        # 4 lines, 'dup' twice: dup_lines=1/4, dup chars 3 of 13
+        Row(doc_id=0, text="dup\nunique1\ndup\nunique22"),
+        # all 3 lines identical: 2/3 dup lines and chars -> dropped
+        Row(doc_id=1, text="same\nsame\nsame"),
+        # no duplicates
+        Row(doc_id=2, text="a\nb\nc"),
+        # empty lines (doubled delimiters) are dropped before counting
+        Row(doc_id=3, text="x\n\n\nx\n"),
+        # all-empty doc vanishes from the output
+        Row(doc_id=4, text="\n\n"),
+    ])
+    got = {r.doc_id: r for r in line_repetition_stats(docs).collect()}
+    assert 4 not in got
+    r0 = got[0]
+    assert (r0.n_lines, r0.distinct_lines) == (4, 3)
+    assert r0.dup_line_ppm == 1_000_000 // 4
+    assert r0.dup_char_ppm == 3 * 1_000_000 // (3 + 7 + 3 + 8)
+    assert r0.keep  # 25% lines / ~14% chars: under the 30/20 cuts
+    r1 = got[1]
+    assert r1.dup_line_ppm == 2 * 1_000_000 // 3 and not r1.keep
+    assert got[2].dup_line_ppm == 0 and got[2].keep
+    r3 = got[3]
+    assert (r3.n_lines, r3.dup_line_ppm) == (2, 500_000)
+    assert not r3.keep  # 50% dup lines breaches the 30% cut

@@ -92,6 +92,8 @@ AUDIT = [
     ("code_quality", "file-quality gate: in-row rules, shuffle-free"),
     ("license_scan", "license routing: in-row regex CASE, map-only"),
     ("sample_cap_per_repo", "per-repo cap: two-level bounded k-smallest"),
+    ("kg_validate", "type validation: induced sigs, bcast join"),
+    ("quality_gopher", "dup-line cuts: nested HOFs, shuffle-free"),
 ]
 
 
