@@ -738,3 +738,92 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 3,
             .alias("n_bench_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS local similarity)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism detector): hash every k-token
+    gram, slide a window of ``w`` consecutive gram hashes over each
+    document, and select the minimum hash per window (ties → leftmost
+    position).  The selected set is position-robust: any verbatim
+    shared run of at least ``k + w - 1`` tokens is GUARANTEED to
+    contribute at least one common fingerprint, while the expected
+    density is only ``2/(w+1)`` of all grams — the local-similarity
+    sketch that whole-doc MinHash misses (it sees global resemblance)
+    and substring dedup pays more for (it extends every anchor).
+
+    Scale: gram hashing is in-row (let-binding idiom — the token
+    array binds once); selection is ONE bounded window per doc
+    (frame of ``w`` rows, per-doc sort bounded by the ingest-time
+    document cap); only 8-byte hashes shuffle, never text.  The
+    (hash, pos) minimum is encoded as a zero-padded string key so
+    lexicographic MIN is the numeric order and both engines elect
+    identical fingerprints.  Documents with fewer than ``w`` full
+    windows keep their single partial window so every doc with >= k
+    tokens has >= 1 fingerprint.
+
+    Output: distinct ``(id_col, h, pos)`` — selected gram hash and
+    its 1-based token position.
+    """
+    sh_expr = (
+        f"element_at(transform(array(filter(split({text_col}, ' '), "
+        f"x -> x != '')), toks -> "
+        f"transform(sequence(1, greatest(size(toks) - {k - 1}, 0)), "
+        f"s -> {spark_hash64_sql(f'array_join(slice(toks, s, {k}), chr(32))')})"
+        f"), 1)"
+    )
+    g = (docs.select(F.col(id_col), F.posexplode(F.expr(sh_expr))
+                     .alias("p0", "h"))
+         .select(id_col, (F.col("p0") + 1).alias("p"), "h"))
+    key = F.concat(F.lpad(F.col("h").cast("string"), 20, "0"),
+                   F.lpad(F.col("p").cast("string"), 9, "0"))
+    wv = (Window.partitionBy(id_col).orderBy("p")
+          .rowsBetween(Window.currentRow, w - 1))
+    wc = Window.partitionBy(id_col)
+    sel = (g.withColumn("_k", F.min(key).over(wv))
+           .withColumn("_n", F.count("*").over(wc))
+           .where(F.col("p") <= F.greatest(F.col("_n") - (w - 1),
+                                           F.lit(1))))
+    return (sel.select(
+        F.col(id_col),
+        F.substring("_k", 1, 20).cast("bigint").alias("h"),
+        F.substring("_k", 21, 9).cast("bigint").alias("pos"))
+        .distinct())
+
+
+def winnow_matches(docs: DataFrame, k: int = 4, w: int = 4,
+                   min_shared: int = 2, max_df: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-document local-similarity pairs by shared winnowing
+    fingerprints — the MOSS match step: docs sharing ``min_shared``
+    or more selected fingerprints.  ``max_df`` drops fingerprints
+    present in more than that many docs BEFORE the self-join (the
+    standard hot-key guard: ubiquitous boilerplate grams would
+    otherwise emit df² pair rows); the drop count is logged.
+
+    Output: ``(a, b, n_shared)`` with a < b, n_shared = count of
+    distinct shared fingerprint hashes.
+    """
+    fp = (winnow_fingerprints(docs, k, w, text_col, id_col)
+          .select(F.col(id_col).alias("doc"), "h").distinct())
+    if max_df is not None:
+        from pyspark import StorageLevel
+        hot = (fp.groupBy("h").agg(F.count("*").alias("nd"))
+               .where(F.col("nd") > max_df)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        log.info("winnow_matches: max_df=%d drops %d hot fingerprints",
+                 max_df, hot.count())
+        fp = fp.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    a = fp.select(F.col("doc").alias("a"), "h")
+    b = fp.select(F.col("doc").alias("b"), "h")
+    return (a.join(b, "h").where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

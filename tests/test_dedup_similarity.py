@@ -610,3 +610,64 @@ def test_semdedup_keep_first_and_cell_bounded(spark):
     assert not any(r["is_dup"] for r in none)
     rep = semdedup(d.repartition(5), n_cells=2, tau=15000).collect()
     assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS) local-similarity fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_and_density(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.operators.dedup import (winnow_fingerprints,
+                                              winnow_matches)
+    shared = "q w e r t y u"  # 7 tokens = k + w - 1: guaranteed hit
+    docs = spark.createDataFrame([
+        # the shared run sits at DIFFERENT positions — position-robust
+        Row(doc_id=1, text="aa bb cc " + shared + " dd"),
+        Row(doc_id=2, text=shared + " zz yy xx ww vv uu tt"),
+        Row(doc_id=3, text="nn oo pp qq rr ss tt uu vv ww"),
+    ])
+    pairs = {(r.a, r.b) for r in
+             winnow_matches(docs, k=4, w=4, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # density: far fewer fingerprints than grams (expected ~2/(w+1))
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    n_grams = sum(max(len(r.text.split()) - 3, 0) for r in docs.collect())
+    assert fp.count() < n_grams
+    # short doc (>= k tokens, < k+w-1): partial window still emits one
+    short = spark.createDataFrame([Row(doc_id=9, text="a b c d e")])
+    assert winnow_fingerprints(short, k=4, w=4).count() >= 1
+
+
+def test_winnow_max_df_guard_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from fastie_spark.operators.dedup import winnow_matches
+    boiler = "l i c e n s e h e a d e r"   # shared by ALL docs
+    rows = [Row(doc_id=i, text=boiler + f" u{i} v{i} w{i} x{i}")
+            for i in range(8)]
+    # docs 6 and 7 additionally share a unique run
+    rows[6] = Row(doc_id=6, text=boiler + " m1 m2 m3 m4 m5 m6 m7")
+    rows[7] = Row(doc_id=7, text="m1 m2 m3 m4 m5 m6 m7 " + boiler)
+    docs = spark.createDataFrame(rows)
+    # ungated: the boilerplate fingerprints pair everyone with everyone
+    allp = winnow_matches(docs, k=4, w=4, min_shared=1)
+    assert allp.count() == 8 * 7 // 2
+    # max_df drops the ubiquitous fingerprints: the all-pairs clique
+    # collapses, while the unique m-run pair (guaranteed: 7 tokens
+    # >= k+w-1) always survives.  (Selection is window-context-
+    # dependent, so a boilerplate gram elected in only a FEW docs may
+    # legitimately survive a df guard — the guard bounds join fanout,
+    # it is not a boilerplate remover.)
+    got = winnow_matches(docs, k=4, w=4, min_shared=1, max_df=4)
+    surv = {(r.a, r.b) for r in got.collect()}
+    assert (6, 7) in surv
+    assert len(surv) < 8 * 7 // 2 // 2
+    # pure function of the data: partitioning does not change the set
+    again = winnow_matches(docs.repartition(5), k=4, w=4,
+                           min_shared=1, max_df=4)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, got.collect()))

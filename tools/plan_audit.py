@@ -94,6 +94,7 @@ AUDIT = [
     ("sample_cap_per_repo", "per-repo cap: two-level bounded k-smallest"),
     ("kg_validate", "type validation: induced sigs, bcast join"),
     ("quality_gopher", "dup-line cuts: nested HOFs, shuffle-free"),
+    ("dedup_winnow", "winnowing: per-doc window election, hash join"),
 ]
 
 
