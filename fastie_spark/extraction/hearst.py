@@ -1,0 +1,135 @@
+"""Hearst-pattern taxonomy induction (engine addition, north_rule KG).
+
+The reference extracts typed relations with trained models; a
+KG-construction pipeline also needs the classic *unsupervised* path:
+lexico-syntactic Hearst patterns (Hearst, COLING 1992) that read
+``isa`` (hypernym) edges directly off surface text — the technique
+behind WebIsA / Microsoft Concept Graph scale taxonomies.  Four
+pattern families over single-token NPs:
+
+* ``H such as A, B and C``        → isa(A,H), isa(B,H), isa(C,H)
+* ``H including A, B``            → isa(A,H), isa(B,H)
+* ``H especially A``              → isa(A,H)
+* ``A, B and|or other H``         → isa(A,H), isa(B,H)
+
+List extension is a *closed form*, not a sequential scan: member ``k``
+of a forward list (first member at trigger offset ``s``) is valid iff
+its position is in bounds and every separator at offset ``s + 2j - 1``
+for ``j = 1..k`` is one of ``,`` / ``and`` / ``or`` (backward lists
+accept only ``,``).  Unrolling ``k = 0..max_list-1`` in the plan keeps
+the whole extractor in-row — higher-order ``filter``/``transform``
+over the token array, one ``explode``, zero keyed shuffles before the
+consumer's own aggregation — and makes it SQL-replayable term by term
+(queries.py:kg_hearst oracle).  ``max_list`` is the same bounded
+deterministic decode cap the model stack uses
+(handshake_tagger.py:180-186).
+
+All token probes go through ``try_element_at`` (NULL out of bounds,
+the exact semantics of DuckDB ``list_extract``) so the predicates are
+ANSI-safe without relying on conjunction short-circuiting.
+
+At 100 TB this is the ideal operator shape: a map-only pass whose
+output (short isa edges) is orders of magnitude smaller than its
+input; the corpus body never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: separators accepted inside a forward pattern list
+_FWD_SEPS = "(',','and','or')"
+
+PATTERNS = ("such_as", "including", "especially", "and_other")
+
+
+def _at(tok: str, expr: str) -> str:
+    """1-based NULL-safe token probe at 0-based position ``expr``."""
+    return f"try_element_at({tok}, ({expr}) + 1)"
+
+
+def _forward_terms(tok: str, trig: str, start_off: int, pattern: str,
+                   max_list: int) -> list[str]:
+    """SQL array expressions for members k=0.. of a forward list.
+
+    ``trig`` is a boolean SQL fragment over the 0-based trigger
+    position ``i`` (i ranges 1..n-2, so one token of left context
+    always exists); the hypernym sits at ``i - 1`` and member k at
+    ``i + start_off + 2k`` with separators at ``i + start_off + 2j - 1``.
+    """
+    n = f"size({tok})"
+    terms = []
+    for k in range(max_list):
+        conds = [f"i + {start_off + 2 * k} < {n}"]
+        conds += [f"{_at(tok, f'i + {start_off + 2 * j - 1}')} IN "
+                  f"{_FWD_SEPS}" for j in range(1, k + 1)]
+        terms.append(
+            f"transform(filter(sequence(1, greatest({n} - 2, 1)), "
+            f"i -> {trig} AND {' AND '.join(conds)}), "
+            f"i -> struct("
+            f"{_at(tok, f'i + {start_off + 2 * k}')} AS hyponym, "
+            f"{_at(tok, 'i - 1')} AS hypernym, "
+            f"'{pattern}' AS pattern))")
+    return terms
+
+
+def _backward_terms(tok: str, trig: str, max_list: int) -> list[str]:
+    """Members k=0.. of a backward list (``A, B and other H``):
+    hypernym at ``i + 2``, member k at ``i - 1 - 2k``, comma
+    separators at ``i - 2j``."""
+    terms = []
+    for k in range(max_list):
+        conds = [f"i - {1 + 2 * k} >= 0"]
+        conds += [f"{_at(tok, f'i - {2 * j}')} = ','"
+                  for j in range(1, k + 1)]
+        terms.append(
+            f"transform(filter(sequence(1, greatest(size({tok}) - 2, 1)), "
+            f"i -> {trig} AND {' AND '.join(conds)}), "
+            f"i -> struct("
+            f"{_at(tok, f'i - {1 + 2 * k}')} AS hyponym, "
+            f"{_at(tok, 'i + 2')} AS hypernym, "
+            f"'and_other' AS pattern))")
+    return terms
+
+
+def hearst_patterns(sentences: DataFrame, tokens_col: str = "tokens",
+                    max_list: int = 3) -> DataFrame:
+    """Sentence rows → one row per extracted ``isa`` pair.
+
+    Output: input key columns (everything except ``tokens_col``) +
+    ``(hyponym, hypernym, pattern)``.  NPs are single tokens (no
+    chunker in the engine — the stand-in convention every extraction
+    stage here uses); within one sentence the emission order is
+    pattern-family then k then trigger position (deterministic, but
+    consumers should treat it as a set).
+    """
+    tok = f"`{tokens_col}`"
+    n = f"size({tok})"
+    terms: list[str] = []
+    terms += _forward_terms(
+        tok,
+        f"({_at(tok, 'i')} = 'such' AND {_at(tok, 'i + 1')} = 'as')",
+        start_off=2, pattern="such_as", max_list=max_list)
+    terms += _forward_terms(
+        tok, f"{_at(tok, 'i')} = 'including'",
+        start_off=1, pattern="including", max_list=max_list)
+    terms += _forward_terms(
+        tok, f"{_at(tok, 'i')} = 'especially'",
+        start_off=1, pattern="especially", max_list=max_list)
+    terms += _backward_terms(
+        tok,
+        f"({_at(tok, 'i')} IN ('and', 'or') "
+        f"AND {_at(tok, 'i + 1')} = 'other' AND i + 2 < {n})",
+        max_list=max_list)
+    pairs = " , ".join(terms)
+    keys = [c for c in sentences.columns if c != tokens_col]
+    return (
+        sentences
+        .withColumn("_p", F.expr(f"concat({pairs})"))
+        .select(*keys, F.explode("_p").alias("m"))
+        .select(*keys,
+                F.col("m.hyponym").alias("hyponym"),
+                F.col("m.hypernym").alias("hypernym"),
+                F.col("m.pattern").alias("pattern"))
+    )

@@ -5090,6 +5090,81 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                           min_shared=WIN_MIN, max_df=WIN_DF)
 
 
+_HEARST_ML = 3  # list-extension cap (binds: the such-as list is cut at 3)
+
+
+def _hearst_oracle() -> str:
+    """Generic closed-form Hearst scan in SQL, unrolled exactly like
+    the operator (member k of each family is its own SELECT)."""
+    fwd = [("such_as", "s[i] = 'such' AND s[i + 1] = 'as'", 2),
+           ("including", "s[i] = 'including'", 1),
+           ("especially", "s[i] = 'especially'", 1)]
+    blocks = []
+    for pat, trig, s0 in fwd:
+        for k in range(_HEARST_ML):
+            conds = [f"i + {s0 + 2 * k} <= len(s)"]
+            conds += [f"s[i + {s0 + 2 * j - 1}] IN (',', 'and', 'or')"
+                      for j in range(1, k + 1)]
+            blocks.append(
+                f"SELECT doc_id, s[i + {s0 + 2 * k}] AS hyponym, "
+                f"s[i - 1] AS hypernym, '{pat}' AS pattern FROM pos "
+                f"WHERE ({trig}) AND {' AND '.join(conds)}")
+    for k in range(_HEARST_ML):
+        conds = [f"i - {1 + 2 * k} >= 1"]
+        conds += [f"s[i - {2 * j}] = ','" for j in range(1, k + 1)]
+        blocks.append(
+            f"SELECT doc_id, s[i - {1 + 2 * k}] AS hyponym, "
+            f"s[i + 2] AS hypernym, 'and_other' AS pattern FROM pos "
+            f"WHERE s[i] IN ('and', 'or') AND s[i + 1] = 'other' "
+            f"AND i + 2 <= len(s) AND {' AND '.join(conds)}")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sent AS (SELECT doc_id,
+  [t[1], 'such', 'as', t[2], ',', t[3], 'and', t[4],
+   t[5], 'including', t[6], ',', t[7],
+   t[8], ',', t[9], 'and', 'other', t[10],
+   t[3], 'especially', t[5]] AS s FROM sp),
+pos AS (SELECT doc_id, s, unnest(generate_series(2, len(s) - 1)) AS i
+        FROM sent),
+m AS ({union})
+SELECT hyponym, hypernym, pattern, count(*)::BIGINT AS n
+FROM m GROUP BY 1, 2, 3
+"""
+
+
+@query("kg_hearst", oracle=_hearst_oracle())
+def q_kg_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern taxonomy induction (extraction/hearst.py): the
+    unsupervised ``isa``-edge path of KG construction — map-only
+    closed-form pattern scan, one explode, one partial-agg rollup.
+    The corpus vocabulary has no natural pattern markers, so the query
+    derives a deterministic pattern-bearing sentence from each doc's
+    own tokens (both engines build it identically): it plants a
+    3-member ``such as`` list (the cap BINDS), an ``including`` list
+    whose extension is STOPPED by an invalid separator, a 1-member
+    ``especially``, and a comma-run ``and other`` backward list whose
+    third member is rejected — every closed-form branch of the
+    operator fires.  The oracle replays the generic scan (all four
+    families × all k), not the planted layout."""
+    from fastie_spark.extraction.hearst import hearst_patterns
+    sent = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.expr(
+            "transform(array(split(text, ' ')), t -> array("
+            "element_at(t, 1), 'such', 'as', element_at(t, 2), ',', "
+            "element_at(t, 3), 'and', element_at(t, 4), "
+            "element_at(t, 5), 'including', element_at(t, 6), ',', "
+            "element_at(t, 7), "
+            "element_at(t, 8), ',', element_at(t, 9), 'and', 'other', "
+            "element_at(t, 10), "
+            "element_at(t, 3), 'especially', element_at(t, 5)))[0]"
+        ).alias("tokens"))
+    return (hearst_patterns(sent, max_list=_HEARST_ML)
+            .groupBy("hyponym", "hypernym", "pattern")
+            .agg(F.count("*").alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

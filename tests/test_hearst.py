@@ -1,0 +1,60 @@
+"""Hearst-pattern taxonomy induction (extraction/hearst.py)."""
+
+from fastie_spark.extraction.hearst import hearst_patterns
+
+
+def _run(spark, sents, max_list=3):
+    df = spark.createDataFrame(
+        sents, "doc_key string, tokens array<string>")
+    return {tuple(r) for r in
+            hearst_patterns(df, max_list=max_list).collect()}
+
+
+def test_hearst_all_families_and_stop_rules(spark):
+    got = _run(spark, [
+        ("d1", "engines such as spark , flink and trino shine".split()),
+        ("d2", "tools including duckdb , polars maybe pandas".split()),
+        ("d3", "formats especially parquet".split()),
+        ("d4", "orc , avro and other formats exist".split()),
+        ("d5", "spark or other engines".split()),
+    ])
+    assert got == {
+        ("d1", "spark", "engines", "such_as"),
+        ("d1", "flink", "engines", "such_as"),
+        ("d1", "trino", "engines", "such_as"),
+        # 'maybe' is not a list separator — extension stops after two
+        ("d2", "duckdb", "tools", "including"),
+        ("d2", "polars", "tools", "including"),
+        ("d3", "parquet", "formats", "especially"),
+        ("d4", "orc", "formats", "and_other"),
+        ("d4", "avro", "formats", "and_other"),
+        ("d5", "spark", "engines", "and_other"),
+    }
+
+
+def test_hearst_boundary_cases_emit_nothing(spark):
+    got = _run(spark, [
+        ("d6", "such as x".split()),      # trigger at 0: no hypernym
+        ("d7", "a b and other".split()),  # hypernym out of bounds
+        ("d8", "x such as".split()),      # no member after trigger
+        ("d9", ["and", "other"]),         # too short for anything
+    ])
+    assert got == set()
+
+
+def test_hearst_max_list_cap_binds(spark):
+    sent = "one , two , three , four and other many".split()
+    got3 = _run(spark, [("d", sent)], max_list=3)
+    got9 = _run(spark, [("d", sent)], max_list=9)
+    assert {g[1] for g in got3} == {"four", "three", "two"}
+    # the backward comma run really has 4 members — only the cap cut it
+    assert {g[1] for g in got9} == {"four", "three", "two", "one"}
+
+
+def test_hearst_forward_cap_and_mixed_separators(spark):
+    sent = "x such as a , b or c and d done".split()
+    got = _run(spark, [("d", sent)], max_list=3)
+    # members a, b, c (cap=3); 'd' is a real 4th member cut by the cap
+    assert {g[1] for g in got} == {"a", "b", "c"}
+    got4 = _run(spark, [("d", sent)], max_list=4)
+    assert {g[1] for g in got4} == {"a", "b", "c", "d"}

@@ -95,6 +95,7 @@ AUDIT = [
     ("kg_validate", "type validation: induced sigs, bcast join"),
     ("quality_gopher", "dup-line cuts: nested HOFs, shuffle-free"),
     ("dedup_winnow", "winnowing: per-doc window election, hash join"),
+    ("kg_hearst", "Hearst isa edges: in-row closed-form scan, map-only"),
 ]
 
 
