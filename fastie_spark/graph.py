@@ -561,6 +561,67 @@ def mine_rules(facts: DataFrame, min_support: int = 1,
     )
 
 
+def align_predicates(facts: DataFrame, min_shared: int = 1,
+                     scale: int = 1_000_000,
+                     subj: str = "subj", pred: str = "pred",
+                     obj: str = "obj") -> DataFrame:
+    """Predicate alignment — synonym/implication detection between KG
+    predicates by fact-set overlap (the PATTY/relation-canonicalization
+    step of open KG construction: extractors emit ``from_nation`` and
+    ``ships_to`` for the same real-world relation; alignment finds
+    them).  For every predicate pair (p1 < p2) sharing ≥ ``min_shared``
+    (subj, obj) endpoint pairs:
+
+        (p1, p2, n1, n2, shared, jaccard_ppm, imp12_ppm, imp21_ppm)
+
+    ``jaccard_ppm`` = |F1 ∩ F2| / |F1 ∪ F2| — symmetric synonymy;
+    ``imp12_ppm``   = |F1 ∩ F2| / |F1|      — p1 ⇒ p2 implication
+    (a sub-predicate aligns by containment long before Jaccard fires —
+    the directed form mirrors dedup.py:containment_pairs).  All
+    integer ppm (cross-engine hashable).
+
+    Plan shape: fact-set dedup (one partial-agg shuffle), a self-equi-
+    join on the (x, z) endpoint pair, and a (p1, p2) partial agg.  The
+    join key's fanout is bounded by the number of predicates asserting
+    the same endpoint pair — a catalog-sized constant, not a data-scale
+    quantity — so no hub guard is needed (contrast mine_rules, whose
+    mid-entity key IS data-scale).  Per-predicate totals are a
+    predicate-grain frame, broadcast into the final projection.
+    """
+    f = (facts.select(F.col(subj).alias("x"), F.col(pred).alias("p"),
+                      F.col(obj).alias("z"))
+         .where(F.col("x").isNotNull() & F.col("z").isNotNull())
+         .distinct())
+    npred = f.groupBy("p").agg(F.count("*").alias("n"))
+    shared = (
+        f.select("x", F.col("p").alias("p1"), "z")
+        .join(f.select("x", F.col("p").alias("p2"), "z"), ["x", "z"])
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    s = F.col("shared")
+    return (
+        shared
+        .join(F.broadcast(npred.select(F.col("p").alias("p1"),
+                                       F.col("n").alias("n1"))), "p1")
+        .join(F.broadcast(npred.select(F.col("p").alias("p2"),
+                                       F.col("n").alias("n2"))), "p2")
+        .select(
+            "p1", "p2",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            s.cast("bigint").alias("shared"),
+            F.expr(f"(shared * CAST({scale} AS BIGINT)) DIV "
+                   "(n1 + n2 - shared)").alias("jaccard_ppm"),
+            F.expr(f"(shared * CAST({scale} AS BIGINT)) DIV n1")
+             .alias("imp12_ppm"),
+            F.expr(f"(shared * CAST({scale} AS BIGINT)) DIV n2")
+             .alias("imp21_ppm"),
+        )
+    )
+
+
 def alias_edges_from_mentions(mentions: DataFrame,
                               surface_col: str = "surface") -> DataFrame:
     """Alias-similarity edges between mention surfaces: two surfaces are

@@ -5165,6 +5165,76 @@ def q_kg_hearst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n")))
 
 
+@query("kg_pred_align", oracle=f"""
+WITH f0 AS ({KG_FACTS_SQL}),
+f AS (SELECT DISTINCT x, p, z FROM (
+  SELECT x, p, z FROM f0
+  UNION ALL SELECT 'O:'||o_orderkey, 'ships_to', 'N:'||c_nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 3 = 0
+  UNION ALL SELECT 'C:'||c_custkey, 'located_in', 'N:'||c_nationkey
+    FROM customer)),
+np AS (SELECT p, count(*) AS n FROM f GROUP BY p),
+sh AS (SELECT a.p AS p1, b.p AS p2, count(*) AS shared
+       FROM f a JOIN f b ON a.x = b.x AND a.z = b.z AND a.p < b.p
+       GROUP BY 1, 2 HAVING count(*) >= 1)
+SELECT p1, p2, n1.n::BIGINT AS n1, n2.n::BIGINT AS n2,
+       shared::BIGINT AS shared,
+       (shared * 1000000 // (n1.n + n2.n - shared))::BIGINT
+         AS jaccard_ppm,
+       (shared * 1000000 // n1.n)::BIGINT AS imp12_ppm,
+       (shared * 1000000 // n2.n)::BIGINT AS imp21_ppm
+FROM sh JOIN np n1 ON sh.p1 = n1.p JOIN np n2 ON sh.p2 = n2.p
+""")
+def q_kg_pred_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate alignment (graph.align_predicates) — the relation-
+    canonicalization step of open KG construction: which predicates
+    assert the same (subj, obj) fact sets?  The KG plants two
+    near-synonyms: ``ships_to`` = ``from_nation`` restricted to every
+    third order (strict subset — the p2 ⇒ p1 implication hits 1.0
+    while Jaccard stays partial) and ``located_in`` = the customer
+    half of ``in_nation`` (partial overlap in BOTH ratios, since
+    in_nation also covers suppliers).  Endpoint-pair self-join +
+    predicate-grain broadcast totals; the join-key fanout is bounded
+    by the predicate catalog, not data scale."""
+    from fastie_spark.graph import align_predicates
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    oc = orders.join(customer,
+                     orders["o_custkey"] == customer["c_custkey"])
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(supplier, ("S", "s_suppkey"), "in_nation",
+                          ("N", "s_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
+                          ("P", "l_partkey")))
+        .unionByName(fact(lineitem, ("P", "l_partkey"), "supplied_by",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(oc, ("O", "o_orderkey"), "from_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(oc.where(F.col("o_orderkey") % 3 == 0),
+                          ("O", "o_orderkey"), "ships_to",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(customer, ("C", "c_custkey"), "located_in",
+                          ("N", "c_nationkey")))
+    )
+    return align_predicates(facts)
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

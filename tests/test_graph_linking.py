@@ -260,6 +260,28 @@ def test_mine_rules_hub_guard_bounds_fanout(spark):
     assert mine_rules(df, min_support=2, max_fanout=10).count() == 0
 
 
+def test_align_predicates_hand_kg(spark):
+    """Synonym pair with known ratios: lives_in asserts 4 endpoint
+    pairs, resides_in 3 of those plus 1 of its own → shared 3,
+    union 5, jaccard 600000 ppm; resides_in ⇒ lives_in at 750000.
+    Duplicate fact rows fold (set semantics); the disjoint predicate
+    `owns` never pairs; min_shared=4 drops the pair entirely."""
+    from fastie_spark.graph import align_predicates
+
+    lives = [("a", "x"), ("b", "x"), ("c", "y"), ("d", "z")]
+    resides = [("a", "x"), ("b", "x"), ("c", "y"), ("e", "w")]
+    facts = ([(s, "lives_in", o) for s, o in lives]
+             + [(s, "resides_in", o) for s, o in resides]
+             + [("a", "owns", "k")]
+             + [("a", "lives_in", "x"), ("a", "resides_in", "x")])
+    df = spark.createDataFrame(
+        facts, "subj: string, pred: string, obj: string")
+    got = [tuple(r) for r in align_predicates(df).collect()]
+    assert got == [("lives_in", "resides_in", 4, 4, 3,
+                    600000, 750000, 750000)]
+    assert align_predicates(df, min_shared=4).count() == 0
+
+
 def test_khop_and_triangles_random_graph_parity(spark):
     """Seeded Erdős–Rényi graph: khop_distances must equal a plain
     Python BFS and triangle_counts a brute-force triple loop — the

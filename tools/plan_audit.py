@@ -96,6 +96,7 @@ AUDIT = [
     ("quality_gopher", "dup-line cuts: nested HOFs, shuffle-free"),
     ("dedup_winnow", "winnowing: per-doc window election, hash join"),
     ("kg_hearst", "Hearst isa edges: in-row closed-form scan, map-only"),
+    ("kg_pred_align", "predicate alignment: endpoint self-join, bcast totals"),
 ]
 
 
