@@ -5235,6 +5235,53 @@ def q_kg_pred_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_predicates(facts)
 
 
+# unigram aliases of the bigram phrase, plus a control with no container
+GAZ_COREF = [("merge", "OP"), ("group", "OP"), ("spark", "ENGINE"),
+             ("merge group", "PHASE")]
+
+@query("kg_coref", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ_COREF, "ments", chunked=False)},
+md AS (SELECT DISTINCT doc_id, surface FROM ments),
+pr AS (SELECT a.doc_id, a.surface, b.surface AS c
+       FROM md a JOIN md b ON a.doc_id = b.doc_id
+       WHERE b.surface <> a.surface
+         AND instr(' ' || b.surface || ' ', ' ' || a.surface || ' ') > 0),
+rk AS (SELECT doc_id, surface, c,
+              row_number() OVER (PARTITION BY doc_id, surface
+                  ORDER BY len(string_split(c, ' ')) DESC, c ASC) AS r
+       FROM pr)
+SELECT md.doc_id, md.surface,
+       coalesce(rk.c, md.surface) AS canonical,
+       (rk.c IS NOT NULL) AS resolved
+FROM md LEFT JOIN rk
+  ON rk.doc_id = md.doc_id AND rk.surface = md.surface AND rk.r = 1
+""")
+def q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level alias resolution (linking.resolve_doc_aliases) — the
+    coreference-lite mention normalization between extraction and
+    cross-doc linking.  Mentions come from the gazetteer detector with
+    BOTH the bigram phrase and its unigram aliases registered: in docs
+    where "merge group" occurs, "merge" and "group" resolve to it
+    (word-run containment, longest-first election); "spark" is the
+    no-container control that must resolve to itself.  Doc-key
+    equi-join + bounded per-(doc, surface) window — never cross-doc."""
+    from fastie_spark.linking import resolve_doc_aliases
+    s = _doc_sentences(spark, sf_dir)
+    gaz = _gaz_df(spark, GAZ_COREF)
+    ments = gazetteer_join_mentions(s, gaz, max_len=2,
+                                    out_col="ent_pred").select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.explode("ent_pred").alias("m"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.expr(
+            "slice(tokens, m.start + 1, m.end - m.start)"))
+        .alias("surface"))
+    return resolve_doc_aliases(ments, doc_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

@@ -38,3 +38,43 @@ def test_cc_empty_edge_set_terminates_quickly(spark):
     # regression: NULL aggregate no longer defeats the fixpoint check
     # (previously burned all 25 max_iter rounds, ~20 s)
     assert time.time() - t0 < 15
+
+
+def test_resolve_doc_aliases_longest_container_wins(spark):
+    from fastie_spark.linking import resolve_doc_aliases
+    rows = [
+        # d1: chain — both short forms jump straight to the longest
+        ("d1", "merge"), ("d1", "merge group"),
+        ("d1", "merge group phase"),
+        # d1: tie between two 2-token containers -> lexicographic min
+        ("d1", "scan"), ("d1", "scan fast"), ("d1", "scan easy"),
+        # d1: no container
+        ("d1", "spark"),
+        # d2: same surface as d1 but no container HERE (doc-local)
+        ("d2", "merge"),
+        # substring but NOT a word run must not match
+        ("d3", "par"), ("d3", "parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_key string, surface string")
+    got = {(r.doc_key, r.surface): (r.canonical, r.resolved)
+           for r in resolve_doc_aliases(df).collect()}
+    assert got[("d1", "merge")] == ("merge group phase", True)
+    assert got[("d1", "merge group")] == ("merge group phase", True)
+    assert got[("d1", "merge group phase")] == ("merge group phase", False)
+    assert got[("d1", "scan")] == ("scan easy", True)
+    assert got[("d1", "spark")] == ("spark", False)
+    assert got[("d2", "merge")] == ("merge", False)
+    assert got[("d3", "par")] == ("par", False)
+    assert len(got) == 10
+
+
+def test_resolve_doc_aliases_acronyms_opt_in(spark):
+    from fastie_spark.linking import resolve_doc_aliases
+    rows = [("d", "mg"), ("d", "merge group")]
+    df = spark.createDataFrame(rows, "doc_key string, surface string")
+    off = {r.surface: r.canonical
+           for r in resolve_doc_aliases(df).collect()}
+    assert off == {"mg": "mg", "merge group": "merge group"}
+    on = {r.surface: r.canonical
+          for r in resolve_doc_aliases(df, acronyms=True).collect()}
+    assert on == {"mg": "merge group", "merge group": "merge group"}

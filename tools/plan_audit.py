@@ -97,6 +97,7 @@ AUDIT = [
     ("dedup_winnow", "winnowing: per-doc window election, hash join"),
     ("kg_hearst", "Hearst isa edges: in-row closed-form scan, map-only"),
     ("kg_pred_align", "predicate alignment: endpoint self-join, bcast totals"),
+    ("kg_coref", "doc-level alias resolution: doc-key join, bounded window"),
 ]
 
 
