@@ -394,6 +394,62 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
     return dist
 
 
+def propagate_labels(edges: DataFrame, seeds: DataFrame,
+                     n_rounds: int = 2, src: str = "src",
+                     dst: str = "dst", node_col: str = "node",
+                     label_col: str = "label") -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan et al. 2007, the clamped variant) — type a KG or
+    similarity graph from a small seed set: each round every non-seed
+    node takes the MAJORITY label among its labeled neighbors
+    (synchronous update), seeds stay clamped, and a node with no
+    labeled neighbor keeps whatever it had.  Ties break to the
+    lexicographically smallest label, so with fixed ``n_rounds`` the
+    result is bit-deterministic under any partitioning and the oracle
+    can unroll the rounds (``kg_label_prop``).
+
+    Per round, all relational: one equi-join of the symmetric edge
+    list against the CURRENT labeled set, a (node, label) partial-agg
+    count, a per-node max, and the max-count/min-label election as a
+    count-equality join + min agg — no window ever holds a node's
+    neighbor list, so hub nodes cost partial-agg work only.  Fixed
+    small ``n_rounds`` → linear lineage, one job (the
+    :func:`pagerank_integer` argument); the edge list is materialized
+    once.  Output: (node, label, is_seed) covering every graph node
+    and every seed (label NULL where propagation never reached).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    sd = (seeds.select(F.col(node_col).alias("node"),
+                       F.col(label_col).alias("slabel")).distinct())
+    nodes = (e.select(F.col("u").alias("node")).distinct()
+             .unionByName(sd.select("node")).distinct())
+    labels = (nodes.join(sd, "node", "left")
+              .select("node", F.col("slabel").alias("label"),
+                      F.col("slabel").isNotNull().alias("is_seed")))
+    for _ in range(n_rounds):
+        cnt = (
+            e.join(labels.where(F.col("label").isNotNull())
+                   .select(F.col("node").alias("u"), "label"), "u")
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        mx = cnt.groupBy("node").agg(F.max("c").alias("mx"))
+        elect = (cnt.join(mx, "node")
+                 .where(F.col("c") == F.col("mx"))
+                 .groupBy("node").agg(F.min("label").alias("elab")))
+        labels = (
+            labels.join(elect, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.col("label"))
+                 .otherwise(F.coalesce("elab", "label")).alias("label"),
+                "is_seed")
+        )
+    return labels
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Per-node triangle counts over the undirected simple graph —

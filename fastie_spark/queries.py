@@ -5282,6 +5282,67 @@ def q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_doc_aliases(ments, doc_col="doc_id")
 
 
+LPA_ROUNDS = 2
+
+
+def _lpa_round_cte(i: int) -> str:
+    """One synchronous LPA round as CTEs (count → max → elect → fold)."""
+    p = f"l{i - 1}"
+    return f"""
+c{i} AS (SELECT s.w AS n, l.label, count(*) AS c
+  FROM sym s JOIN {p} l ON l.n = s.u WHERE l.label IS NOT NULL
+  GROUP BY 1, 2),
+m{i} AS (SELECT n, max(c) AS mx FROM c{i} GROUP BY n),
+e{i} AS (SELECT c{i}.n, min(c{i}.label) AS elab
+  FROM c{i} JOIN m{i} ON c{i}.n = m{i}.n AND c{i}.c = m{i}.mx
+  GROUP BY c{i}.n),
+l{i} AS (SELECT {p}.n,
+  CASE WHEN {p}.is_seed THEN {p}.label
+       ELSE coalesce(e{i}.elab, {p}.label) END AS label, {p}.is_seed
+  FROM {p} LEFT JOIN e{i} ON e{i}.n = {p}.n)"""
+
+
+@query("kg_label_prop", oracle=f"""
+WITH {_bucket_cte(CC_LSH_PLANES)},
+edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+sym AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+sd AS (SELECT vec_id AS n, label FROM embeddings WHERE vec_id % 5 = 0),
+nd AS (SELECT u AS n FROM sym UNION SELECT n FROM sd),
+l0 AS (SELECT nd.n, sd.label, (sd.label IS NOT NULL) AS is_seed
+       FROM nd LEFT JOIN sd ON sd.n = nd.n),
+{','.join(_lpa_round_cte(i) for i in range(1, LPA_ROUNDS + 1))}
+SELECT n::BIGINT AS vec_id, coalesce(label, -1)::BIGINT AS label,
+       is_seed
+FROM l{LPA_ROUNDS}
+""")
+def q_kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (graph.propagate_labels): semi-supervised
+    node typing over the LSH similarity graph — every fifth embedding
+    keeps its gold label as a clamped seed, {LPA_ROUNDS} synchronous
+    majority rounds type the rest (ties → smallest label, unreached
+    nodes → -1).  Per round one edge⋈labels equi-join + bounded
+    partial aggs (no neighbor-list window); the oracle unrolls both
+    rounds CTE-by-CTE over the identical bucket-restricted edge
+    set."""
+    from fastie_spark.graph import propagate_labels
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    seeds = (vecs.where(F.col("vec_id") % 5 == 0)
+             .select(F.col("vec_id").alias("node"), "label"))
+    out = propagate_labels(edges, seeds, n_rounds=LPA_ROUNDS)
+    return out.select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.coalesce("label", F.lit(-1)).cast("bigint").alias("label"),
+        "is_seed")
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

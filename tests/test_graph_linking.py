@@ -457,3 +457,32 @@ def test_predicate_signatures_and_validation(spark):
                           signatures=schema).collect()
     assert {(r.s, r.o) for r in v2} == {("f1", "g1"), ("f2", "g2"),
                                         ("f3", "g3")}
+
+
+def test_propagate_labels_hand_graph(spark):
+    """Clamping (seed b keeps Y next to seed a), deterministic
+    tie-break (c sees X and Y → min X), synchronous rounds (d is
+    reached only in round 2, e never), and majority vote (m sees
+    2×P vs 1×Q → P)."""
+    from fastie_spark.graph import propagate_labels
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("m", "p1"), ("m", "p2"), ("m", "q1")]
+    seeds = [("a", "X"), ("b", "Y"),
+             ("p1", "P"), ("p2", "P"), ("q1", "Q")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame(seeds, "node string, label string")
+
+    r1 = {r.node: (r.label, r.is_seed)
+          for r in propagate_labels(e, s, n_rounds=1).collect()}
+    assert r1["a"] == ("X", True) and r1["b"] == ("Y", True)
+    assert r1["c"] == ("X", False)        # tie X/Y → min
+    assert r1["d"] == (None, False)       # synchronous: not yet reached
+    assert r1["m"] == ("P", False)        # majority 2P vs 1Q
+
+    r2 = {r.node: r.label
+          for r in propagate_labels(e, s, n_rounds=2).collect()}
+    assert r2["d"] == "X"                 # reached via c's round-1 label
+    assert r2["e"] is None                # still out of reach
+    assert r2["b"] == "Y"                 # clamped forever
+    assert len(r2) == 9                   # a b c d e m p1 p2 q1

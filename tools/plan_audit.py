@@ -98,6 +98,7 @@ AUDIT = [
     ("kg_hearst", "Hearst isa edges: in-row closed-form scan, map-only"),
     ("kg_pred_align", "predicate alignment: endpoint self-join, bcast totals"),
     ("kg_coref", "doc-level alias resolution: doc-key join, bounded window"),
+    ("kg_label_prop", "label propagation: per-round edge join + partial aggs"),
 ]
 
 
