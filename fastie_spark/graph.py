@@ -346,6 +346,61 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
     return ranks.select("node", F.col("r").alias("rank"))
 
 
+def hits_integer(edges: DataFrame, n_iters: int = 2,
+                 scale: int = 1_000_000, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """Deterministic integer HITS (Kleinberg 1999) — the second KG
+    salience measure next to :func:`pagerank_integer`: authorities are
+    pointed AT by good hubs, hubs point AT good authorities.  PageRank
+    ranks global prestige; HITS separates the two roles, which is what
+    a KG wants for (entity, relation-source) asymmetry — e.g. orders
+    are pure hubs, nations pure authorities.
+
+    Float HITS normalizes by an L2 norm (order-dependent fold); here
+    each round rescales by the MAX raw score with floor division:
+
+        a'ᵢ(v) = Σ_{(u,v)∈E} hᵢ₋₁(u);   aᵢ = a'ᵢ·scale ∕ max(a')
+        h'ᵢ(u) = Σ_{(u,v)∈E} aᵢ(v);     hᵢ = h'ᵢ·scale ∕ max(h')
+
+    (∕ = floor div, missing scores = 0) — bit-exact under any
+    partitioning, SQL-replayable round by round (``kg_hits`` oracle).
+    The max is a broadcast single-row aggregate folded into the plan
+    (no driver collect), so fixed ``n_iters`` keeps linear lineage and
+    the whole recurrence runs as one job.  Per half-round: one
+    equi-join of a (node, long) vector against the edge list + one
+    partial agg — payloads never shuffle.  Output: (node, hub, auth).
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select("v")).distinct())
+    h = nodes.withColumn("h", F.lit(scale).cast("bigint"))
+
+    def norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("mx"))
+        return (raw.crossJoin(F.broadcast(mx))
+                .select("node",
+                        F.expr(f"({col} * CAST({scale} AS BIGINT)) "
+                               "DIV mx").alias(col)))
+
+    a = None
+    for _ in range(n_iters):
+        a_raw = (e.join(h.withColumnRenamed("node", "u"), "u")
+                 .groupBy(F.col("v").alias("node"))
+                 .agg(F.sum("h").alias("a")))
+        a = norm(a_raw, "a")
+        h_raw = (e.join(a.withColumnRenamed("node", "v"), "v")
+                 .groupBy(F.col("u").alias("node"))
+                 .agg(F.sum("a").alias("h")))
+        h = norm(h_raw, "h")
+    return (nodes
+            .join(h, "node", "left").join(a, "node", "left")
+            .select("node",
+                    F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+                    F.coalesce("a", F.lit(0)).cast("bigint")
+                    .alias("auth")))
+
+
 def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
                    src: str = "src", dst: str = "dst",
                    directed: bool = False,

@@ -5343,6 +5343,73 @@ def q_kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_seed")
 
 
+HITS_ROUNDS = 2
+
+
+def _hits_round_cte(i: int) -> str:
+    p = f"h{i - 1}"
+    return f"""
+ar{i} AS (SELECT e.v AS n, sum(h) AS a FROM e
+  JOIN {p} ON {p}.n = e.u GROUP BY e.v),
+a{i} AS (SELECT n, (a * 1000000 // (SELECT max(a) FROM ar{i}))::BIGINT
+  AS a FROM ar{i}),
+hr{i} AS (SELECT e.u AS n, sum(a) AS h FROM e
+  JOIN a{i} ON a{i}.n = e.v GROUP BY e.u),
+h{i} AS (SELECT n, (h * 1000000 // (SELECT max(h) FROM hr{i}))::BIGINT
+  AS h FROM hr{i})"""
+
+
+@query("kg_hits", oracle=f"""
+WITH f AS ({KG_FACTS_SQL}),
+e AS (SELECT DISTINCT x AS u, z AS v FROM f),
+nd AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+h0 AS (SELECT n, 1000000::BIGINT AS h FROM nd),
+{','.join(_hits_round_cte(i) for i in range(1, HITS_ROUNDS + 1))}
+SELECT nd.n AS node,
+       coalesce(h{HITS_ROUNDS}.h, 0)::BIGINT AS hub,
+       coalesce(a{HITS_ROUNDS}.a, 0)::BIGINT AS auth
+FROM nd LEFT JOIN h{HITS_ROUNDS} ON h{HITS_ROUNDS}.n = nd.n
+LEFT JOIN a{HITS_ROUNDS} ON a{HITS_ROUNDS}.n = nd.n
+""")
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS (graph.hits_integer) over the multi-predicate KG's
+    directed entity graph: orders are pure hubs (only out-edges),
+    nations pure authorities — the role separation PageRank's single
+    prestige score collapses.  {HITS_ROUNDS} fixed rounds, max-rescaled
+    integer updates, broadcast single-row max folded into the plan (no
+    driver collect); the oracle unrolls every half-round."""
+    from fastie_spark.graph import hits_integer
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("src"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("dst"))
+
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(supplier, ("S", "s_suppkey"), "in_nation",
+                          ("N", "s_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
+                          ("P", "l_partkey")))
+        .unionByName(fact(lineitem, ("P", "l_partkey"), "supplied_by",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(
+            orders.join(customer,
+                        orders["o_custkey"] == customer["c_custkey"]),
+            ("O", "o_orderkey"), "from_nation", ("N", "c_nationkey")))
+    )
+    return hits_integer(facts, n_iters=HITS_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

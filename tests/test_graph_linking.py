@@ -486,3 +486,36 @@ def test_propagate_labels_hand_graph(spark):
     assert r2["e"] is None                # still out of reach
     assert r2["b"] == "Y"                 # clamped forever
     assert len(r2) == 9                   # a b c d e m p1 p2 q1
+
+
+def test_hits_integer_matches_eager_loop(spark):
+    """Distributed HITS equals a driver-side eager replay of the same
+    integer recurrence; role separation holds (pure hubs get auth 0,
+    the most-pointed-at node wins authority)."""
+    from fastie_spark.graph import hits_integer
+
+    E = [(0, 10), (1, 10), (2, 10), (2, 11), (3, 2)]
+    edges = spark.createDataFrame(E, "src: long, dst: long")
+    got = {r.node: (r.hub, r.auth)
+           for r in hits_integer(edges, n_iters=2,
+                                 scale=1000).collect()}
+
+    nodes = sorted({u for e in E for u in e})
+    h = {n: 1000 for n in nodes}
+    a = {}
+    for _ in range(2):
+        raw_a = {}
+        for u, v in E:
+            raw_a[v] = raw_a.get(v, 0) + h[u]
+        mx = max(raw_a.values())
+        a = {v: r * 1000 // mx for v, r in raw_a.items()}
+        raw_h = {}
+        for u, v in E:
+            raw_h[u] = raw_h.get(u, 0) + a.get(v, 0)
+        mx = max(raw_h.values())
+        h = {u: r * 1000 // mx for u, r in raw_h.items()}
+    want = {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+    assert got == want
+    assert got[10][1] == max(v[1] for v in got.values())  # top authority
+    assert got[0] == (got[1][0], 0)                       # pure twin hubs
+    assert got[2][0] == max(v[0] for v in got.values())   # top hub

@@ -99,6 +99,7 @@ AUDIT = [
     ("kg_pred_align", "predicate alignment: endpoint self-join, bcast totals"),
     ("kg_coref", "doc-level alias resolution: doc-key join, bounded window"),
     ("kg_label_prop", "label propagation: per-round edge join + partial aggs"),
+    ("kg_hits", "integer HITS: half-round joins, bcast max rescale"),
 ]
 
 
