@@ -5410,6 +5410,62 @@ def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_integer(facts, n_iters=HITS_ROUNDS)
 
 
+# two homonym entities behind one alias + a fuzzy-alias family member:
+# context overlap must pick the engine/plug reading per document
+DISAMB_CAT = [
+    ("spark", "E:spark_engine", ["join", "scan", "table", "query"]),
+    ("spark", "E:spark_plug", ["vector", "line", "value", "key"]),
+    ("sort", "E:sort_op", ["order", "merge"]),
+    ("sorts", "E:sort_family", ["order", "merge", "group"]),
+]
+_DISAMB_CAT_SQL = ", ".join(
+    "('%s', '%s', [%s])" % (a, e, ", ".join(f"'{w}'" for w in p))
+    for a, e, p in DISAMB_CAT)
+
+
+@query("entity_disambiguate", oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+m AS (SELECT doc_id, s.surface, l AS ctx
+      FROM sp, (VALUES ('spark'), ('sort')) s(surface)
+      WHERE list_contains(l, s.surface)),
+cat(alias, entity, profile) AS (VALUES {_DISAMB_CAT_SQL}),
+cand AS (SELECT m.doc_id, m.surface, c.entity,
+    len(list_intersect(m.ctx, c.profile)) AS overlap,
+    levenshtein(m.surface, c.alias) AS distance
+  FROM m JOIN cat c ON substr(m.surface, 1, 2) = substr(c.alias, 1, 2)
+  WHERE levenshtein(m.surface, c.alias) <= 1),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, surface
+         ORDER BY overlap DESC, distance ASC, entity ASC) AS rn
+       FROM cand)
+SELECT doc_id, surface, entity, overlap::BIGINT AS overlap,
+       distance::BIGINT AS distance
+FROM rk WHERE rn = 1
+""")
+def q_entity_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-based disambiguation (linking.disambiguate_mentions):
+    one alias, several entities — per document the candidate whose
+    token profile overlaps the doc context most wins (overlap DESC,
+    edit distance ASC, entity ASC).  The catalog plants a homonym pair
+    behind "spark" (engine-vocabulary vs plug-vocabulary profiles) and
+    a fuzzy family member "sorts" whose RICHER profile can beat the
+    exact alias "sort" — overlap dominating distance is exactly what
+    this operator adds over entity_link.  In-row array_intersect
+    scoring (no context explode), broadcast dimension catalog."""
+    from fastie_spark.linking import disambiguate_mentions
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id"), F.split("text", " ").alias("ctx"))
+    m = (docs.select(
+            "doc_id", "ctx",
+            F.explode(F.array(F.lit("spark"), F.lit("sort")))
+            .alias("surface"))
+         .where(F.expr("array_contains(ctx, surface)")))
+    cat = spark.createDataFrame(
+        DISAMB_CAT,
+        "alias string, entity string, profile array<string>")
+    return disambiguate_mentions(
+        m, cat, doc_col="doc_id", context_col="ctx", max_distance=1)
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

@@ -78,3 +78,34 @@ def test_resolve_doc_aliases_acronyms_opt_in(spark):
     on = {r.surface: r.canonical
           for r in resolve_doc_aliases(df, acronyms=True).collect()}
     assert on == {"mg": "merge group", "merge group": "merge group"}
+
+
+def test_disambiguate_mentions_context_beats_distance(spark):
+    from fastie_spark.linking import disambiguate_mentions
+    ments = [
+        # d1 talks engine vocabulary, d2 plug vocabulary
+        ("d1", "spark", ["join", "scan", "row"]),
+        ("d2", "spark", ["vector", "line", "row"]),
+        # overlap must dominate edit distance: 'sorts' (dist 1) has the
+        # richer profile and beats exact-alias 'sort'
+        ("d3", "sort", ["order", "merge", "group"]),
+        # no candidate within max_distance → excluded
+        ("d4", "zzz", ["join"]),
+    ]
+    cat = [
+        ("spark", "E:engine", ["join", "scan", "table"]),
+        ("spark", "E:plug", ["vector", "line", "value"]),
+        ("sort", "E:sort_op", ["order", "merge"]),
+        ("sorts", "E:sort_family", ["order", "merge", "group"]),
+    ]
+    m = spark.createDataFrame(
+        ments, "doc_key string, surface string, context array<string>")
+    c = spark.createDataFrame(
+        cat, "alias string, entity string, profile array<string>")
+    got = {(r.doc_key, r.surface): (r.entity, r.overlap, r.distance)
+           for r in disambiguate_mentions(m, c).collect()}
+    assert got == {
+        ("d1", "spark"): ("E:engine", 2, 0),
+        ("d2", "spark"): ("E:plug", 2, 0),
+        ("d3", "sort"): ("E:sort_family", 3, 1),
+    }

@@ -100,6 +100,7 @@ AUDIT = [
     ("kg_coref", "doc-level alias resolution: doc-key join, bounded window"),
     ("kg_label_prop", "label propagation: per-round edge join + partial aggs"),
     ("kg_hits", "integer HITS: half-round joins, bcast max rescale"),
+    ("entity_disambiguate", "context disambiguation: in-row intersect score"),
 ]
 
 
