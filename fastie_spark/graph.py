@@ -972,3 +972,262 @@ def validate_triples(triples: DataFrame,
                                       "exp_o_label")), pred)
     return j.where((F.col(s_label) != F.col("exp_s_label"))
                    | (F.col(o_label) != F.col("exp_o_label")))
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components + condensation layering (directed KG /
+# call-graph analytics: mutual-recursion groups, dependency depth)
+# ---------------------------------------------------------------------------
+
+
+def _changed_count(old: DataFrame, new: DataFrame, key: str,
+                   val: str) -> int:
+    """Rows whose ``val`` differs between two keyed frames — the exact
+    fixpoint test for label frames whose labels are strings (the
+    decimal-sum monotonicity trick in :func:`connected_components`
+    needs numeric labels)."""
+    o = old.select(F.col(key).alias("k"), F.col(val).alias("a"))
+    n = new.select(F.col(key).alias("k"), F.col(val).alias("b"))
+    return (o.join(n, "k", "full")
+            .where(~(F.col("a").eqNullSafe(F.col("b")))).count())
+
+
+def strongly_connected_components(edges: DataFrame, src: str = "src",
+                                  dst: str = "dst",
+                                  max_passes: int = 25,
+                                  max_iter: int = 25,
+                                  trim_rounds: int = 3,
+                                  n_partitions: int | None = None,
+                                  checkpoint_dir: str | None = None
+                                  ) -> DataFrame:
+    """Directed edge list → (node, scc); scc = min node id in the
+    strongly connected component (mutual-reachability class).
+
+    This is the forward–backward **coloring** algorithm with a trim
+    prologue — the standard distributed SCC method (Orzan 2004;
+    Slota/Rajamanickam/Madduri IPDPS'14 "BFS and Coloring-Based
+    Parallel Algorithms for Strongly Connected Components"; the shape
+    GraphFrames/Pregel implementations use), expressed as DataFrame
+    joins.  The reference has no graph stage at all — this serves the
+    north rule's canonicalization/graph-materialize layer where edge
+    DIRECTION matters: mutual-recursion groups in a call graph,
+    mutually-containing document clusters, cyclic entity references.
+
+    Per pass over the remaining subgraph:
+
+    1. **trim** (≤ ``trim_rounds``): nodes with in-degree 0 or
+       out-degree 0 lie on no cycle → singleton SCCs, removed in
+       bulk.  This is the published mitigation for the coloring
+       algorithm's worst case (long chains would otherwise cost one
+       pass per node); each round is two partial-agg degree counts +
+       an anti-join, never a propagation loop.
+    2. **forward color**: ``color(v) = min({v} ∪ ancestors(v))`` by
+       min-label propagation along edge direction, with pointer
+       jumping (``color(v) ← color(color(v))`` is sound because
+       "reaches" is transitive), so convergence is O(log n) rounds
+       like the CC loop.  Every color class contains its root
+       (``color(r) = r``: anything reaching r reaches the whole
+       class, so a smaller ancestor would have recolored the class).
+    3. **backward mark**: the SCC of root r is
+       ``{v : color(v) = r ∧ v →* r}`` — backward reachability from
+       all roots simultaneously, RESTRICTED to same-color edges (one
+       frontier join per round, monotone growing set).
+    4. marked nodes are assigned ``scc = color`` and removed with all
+       incident edges; unmarked color-class members go around again.
+
+    Scale shape: every step is a keyed equi-join / partial-agg on
+    (node, label) pairs — two short values per node regardless of
+    input width; no step materializes a reachability closure.  Label
+    frames truncate lineage per round (``localCheckpoint``, or
+    reliable parquet snapshots under ``checkpoint_dir`` for the
+    cluster-durable form, same contract as
+    :func:`connected_components`).  Passes are bounded by the number
+    of distinct "color generations"; on real graphs (one giant SCC +
+    trimmable periphery) 2–3 passes suffice — the planted worst cases
+    in tests/test_graph_linking.py exercise chain, cycle-chain and
+    nested-cycle shapes.
+
+    Self-loops are ignored for cycle detection (a self-loop never
+    merges two nodes) but their endpoints still appear as nodes.
+    """
+    spark = edges.sparkSession
+    if n_partitions is None:
+        n_partitions = max(
+            8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    snaps = _Snapshots(spark, checkpoint_dir)
+
+    e_all = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+             .distinct())
+    e_all = snaps.save(e_all.repartition(n_partitions, "s"), "scc_edges")
+    nodes = (e_all.select(F.col("s").alias("node"))
+             .union(e_all.select(F.col("d").alias("node")))
+             .distinct())
+    rem_nodes = snaps.save(nodes.repartition(n_partitions, "node"),
+                           "scc_nodes_0000")
+    rem_edges = e_all.where(F.col("s") != F.col("d"))
+    assigned_parts: list[DataFrame] = []
+
+    for pss in range(max_passes):
+        if rem_nodes.limit(1).count() == 0:
+            break
+
+        # -- 1. trim: degree-0 nodes are singleton SCCs ----------------
+        for tr in range(trim_rounds):
+            outd = rem_edges.select(F.col("s").alias("node")).distinct()
+            ind = rem_edges.select(F.col("d").alias("node")).distinct()
+            cyclic = outd.join(ind, "node")           # may lie on a cycle
+            trimmed = rem_nodes.join(cyclic, "node", "left_anti")
+            n_trim = trimmed.limit(1).count()
+            if n_trim == 0:
+                break
+            assigned_parts.append(
+                trimmed.select("node", F.col("node").alias("scc"))
+                .localCheckpoint())
+            rem_nodes = snaps.save(
+                rem_nodes.join(trimmed, "node", "left_anti"),
+                f"scc_trim_{pss:04d}_{tr:04d}")
+            rem_edges = (rem_edges
+                         .join(rem_nodes.select(F.col("node").alias("s")),
+                               "s")
+                         .join(rem_nodes.select(F.col("node").alias("d")),
+                               "d")
+                         .localCheckpoint())
+        if rem_nodes.limit(1).count() == 0:
+            break
+
+        # -- 2. forward min-color with pointer jumping -----------------
+        color = rem_nodes.withColumn("color", F.col("node"))
+        for it in range(max_iter):
+            nbr = (rem_edges
+                   .join(color.select(F.col("node").alias("s"),
+                                      F.col("color").alias("c_s")), "s")
+                   .select(F.col("d").alias("node"),
+                           F.col("c_s").alias("color")))
+            new = (color.select("node", "color").union(nbr)
+                   .groupBy("node").agg(F.min("color").alias("color")))
+            parent = new.select(F.col("node").alias("p_node"),
+                                F.col("color").alias("p_color"))
+            new = (new.join(parent, new["color"] == parent["p_node"],
+                            "left")
+                   .select("node",
+                           F.least("color",
+                                   F.coalesce("p_color", "color"))
+                           .alias("color")))
+            new = snaps.save(new.repartition(n_partitions, "node"),
+                             f"scc_color_{pss:04d}_{it:04d}")
+            if _changed_count(color, new, "node", "color") == 0:
+                color = new
+                break
+            color = new
+
+        # -- 3. backward mark from roots within color classes ----------
+        marked = (color.where(F.col("node") == F.col("color"))
+                  .localCheckpoint())
+        n_marked = marked.count()
+        # color lookup on the backward-frontier's source side
+        col_s = color.select(F.col("node").alias("s"),
+                             F.col("color").alias("color_s"))
+        for it in range(max_iter):
+            frontier = (rem_edges
+                        .join(marked.select(F.col("node").alias("d"),
+                                            F.col("color").alias("c_m")),
+                              "d")
+                        .join(col_s, "s")
+                        .where(F.col("color_s") == F.col("c_m"))
+                        .select(F.col("s").alias("node"),
+                                F.col("color_s").alias("color")))
+            new_marked = marked.union(frontier).distinct()
+            new_marked = snaps.save(
+                new_marked.repartition(n_partitions, "node"),
+                f"scc_mark_{pss:04d}_{it:04d}")
+            n_new = new_marked.count()
+            marked = new_marked
+            if n_new == n_marked:
+                break
+            n_marked = n_new
+
+        assigned_parts.append(
+            marked.select("node", F.col("color").alias("scc"))
+            .localCheckpoint())
+        rem_nodes = snaps.save(
+            rem_nodes.join(marked.select("node"), "node", "left_anti"),
+            f"scc_nodes_{pss + 1:04d}")
+        rem_edges = (rem_edges
+                     .join(rem_nodes.select(F.col("node").alias("s")),
+                           "s")
+                     .join(rem_nodes.select(F.col("node").alias("d")),
+                           "d")
+                     .localCheckpoint())
+
+    if rem_nodes.limit(1).count() != 0:
+        raise ValueError(
+            "strongly_connected_components: max_passes exhausted with "
+            "nodes still unassigned — raise max_passes")
+    if not assigned_parts:
+        return (e_all.select(F.col("s").alias("node"),
+                             F.col("s").alias("scc")).limit(0))
+    out = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def condensation_layers(edges: DataFrame, scc: DataFrame,
+                        src: str = "src", dst: str = "dst",
+                        max_iter: int = 50,
+                        n_partitions: int | None = None) -> DataFrame:
+    """Condense a directed graph by its SCC map and assign each
+    component its **longest-path layer** (dependency depth): sources
+    (no incoming condensed edge) are layer 0; every other component
+    sits one past its deepest predecessor — the parallel build-order /
+    topological-generation query over a call graph, well-defined
+    because the condensation is a DAG.
+
+    ``layer(c) = max(layer(p) + 1)`` by iterative max-plus
+    propagation; layers are monotone non-decreasing and bounded by the
+    component count, so the exact fixpoint test is the strictly
+    increasing ``Σ layer`` (one aggregate per round, the
+    :func:`connected_components` trick — valid here because layers
+    ARE numeric).  Rounds = DAG depth; each round is one equi-join +
+    partial-agg max on (component, layer) pairs.  ``max_iter`` guards
+    against a non-DAG ``scc`` argument (a cycle would diverge).
+
+    Output: (scc, layer, n_members) — one row per component.
+    """
+    spark = edges.sparkSession
+    if n_partitions is None:
+        n_partitions = max(
+            8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    m_s = scc.select(F.col("node").alias("s"), F.col("scc").alias("cs"))
+    m_d = scc.select(F.col("node").alias("d"), F.col("scc").alias("cd"))
+    cedges = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+              .join(m_s, "s").join(m_d, "d")
+              .select("cs", "cd").where(F.col("cs") != F.col("cd"))
+              .distinct()
+              .repartition(n_partitions, "cd")
+              .localCheckpoint())
+    members = scc.groupBy("scc").agg(F.count("*").alias("n_members"))
+    layers = (members.select("scc")
+              .withColumn("layer", F.lit(0).cast("bigint"))
+              .localCheckpoint())
+    prev_sum = None
+    for _ in range(max_iter):
+        from_pred = (cedges
+                     .join(layers.select(F.col("scc").alias("cs"),
+                                         F.col("layer").alias("l_p")),
+                           "cs")
+                     .select(F.col("cd").alias("scc"),
+                             (F.col("l_p") + 1).alias("layer")))
+        new = (layers.union(from_pred)
+               .groupBy("scc").agg(F.max("layer").alias("layer"))
+               .localCheckpoint())
+        cur_sum = new.agg(F.sum("layer")).collect()[0][0] or 0
+        layers = new
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise ValueError(
+            "condensation_layers did not converge — is `scc` really "
+            "the SCC map of `edges` (condensation must be a DAG)?")
+    return layers.join(members, "scc").select("scc", "layer", "n_members")

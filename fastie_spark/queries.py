@@ -5467,6 +5467,120 @@ def q_entity_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# directed graph analytics over the code call graph (r4): strongly
+# connected components (mutual recursion groups) + condensation
+# topological layering (parallel build order / dependency depth).
+# The call-order digraph derives deterministically from the production
+# content: consecutive extracted call args within a doc, lang-qualified
+# nodes, every 3rd adjacency kept (sparsifier) — ~150 nodes / ~740
+# edges at sf0.01 with 13 SCCs (5 per-language cores + singletons).
+# ---------------------------------------------------------------------------
+
+_CALL_EDGE_SQL = """
+calls AS (
+  SELECT lang,
+         regexp_extract_all(text, '(?:scan|join|merge) ([a-z]+)', 1)
+           AS args
+  FROM documents),
+cpos AS (SELECT lang, args, generate_subscripts(args, 1) AS i FROM calls),
+e0 AS (
+  SELECT DISTINCT lang || ':' || args[i] AS s,
+                  lang || ':' || args[i+1] AS d
+  FROM cpos
+  WHERE i < len(args) AND args[i] <> args[i+1] AND i % 3 = 1)
+"""
+
+_SCC_SQL = f"""
+{_CALL_EDGE_SQL},
+cnodes AS (SELECT s AS n FROM e0 UNION SELECT d FROM e0),
+reach(s, d) AS (
+  SELECT s, d FROM e0
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e0 e ON r.d = e.s),
+scc AS (
+  SELECT n.n AS node,
+         coalesce(min(r1.d) FILTER (WHERE r2.s IS NOT NULL), n.n) AS scc
+  FROM cnodes n
+  LEFT JOIN reach r1 ON r1.s = n.n
+  LEFT JOIN reach r2 ON r2.s = r1.d AND r2.d = n.n
+  GROUP BY n.n)
+"""
+
+
+def _call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic call-order digraph (matches ``_CALL_EDGE_SQL``
+    verbatim: DuckDB's 1-based subscripts ⇔ posexplode's 0-based)."""
+    d = _documents(spark, sf_dir)
+    calls = d.select(
+        "lang",
+        F.expr("regexp_extract_all(text, '(?:scan|join|merge) "
+               "([a-z]+)', 1)").alias("args"))
+    pos = calls.select("lang", "args",
+                       F.posexplode("args").alias("i", "a"))
+    nxt = F.col("args")[F.col("i") + 1]
+    return (pos.where((F.col("i") + 1 < F.size("args"))
+                      & (F.col("a") != nxt)
+                      & (F.col("i") % 3 == 0))
+            .select(F.concat("lang", F.lit(":"), "a").alias("src"),
+                    F.concat("lang", F.lit(":"), nxt).alias("dst"))
+            .distinct())
+
+
+@query("kg_scc", oracle=f"""
+WITH RECURSIVE {_SCC_SQL}
+SELECT node, scc FROM scc
+""")
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed call graph —
+    mutual-recursion groups (graph.strongly_connected_components:
+    forward–backward coloring with trim, the Orzan/Slota distributed
+    SCC method).  Every step is a keyed equi-join on (node, label)
+    pairs; the oracle materializes the full recursive-CTE closure and
+    takes each node's min mutual-reach peer — any propagation,
+    marking, or trim error diverges from it."""
+    from fastie_spark.graph import strongly_connected_components
+    return strongly_connected_components(
+        _call_edges(spark, sf_dir), n_partitions=8)
+
+
+@query("kg_toposort", oracle=f"""
+WITH RECURSIVE {_SCC_SQL},
+ce AS (
+  SELECT DISTINCT s1.scc AS cs, s2.scc AS cd
+  FROM e0
+  JOIN scc s1 ON s1.node = e0.s
+  JOIN scc s2 ON s2.node = e0.d
+  WHERE s1.scc <> s2.scc),
+rl(c, l) AS (
+  SELECT cd, 1 FROM ce
+  UNION
+  SELECT e.cd, r.l + 1 FROM rl r JOIN ce e ON e.cs = r.c),
+comps AS (SELECT scc, count(*)::BIGINT AS n_members FROM scc
+          GROUP BY scc),
+lay AS (SELECT c, max(l) AS layer FROM rl GROUP BY c)
+SELECT comps.scc, coalesce(lay.layer, 0)::BIGINT AS layer,
+       comps.n_members
+FROM comps LEFT JOIN lay ON lay.c = comps.scc
+""")
+def q_kg_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation topological layering — dependency depth / parallel
+    build order: collapse each SCC, longest-path layer per component
+    over the (provably acyclic) condensed DAG by max-plus propagation
+    (graph.condensation_layers; Σ-layer exact fixpoint, rounds = DAG
+    depth).  The oracle recursively enumerates every condensed path
+    length and takes the max per component — a wrong SCC map, missed
+    condensed edge, or short-circuited round all break the hash."""
+    from fastie_spark.graph import (condensation_layers,
+                                    strongly_connected_components)
+    e = _call_edges(spark, sf_dir).localCheckpoint()
+    m = strongly_connected_components(e, n_partitions=8)
+    return (condensation_layers(e, m, n_partitions=8)
+            .select("scc", F.col("layer").cast("bigint").alias("layer"),
+                    F.col("n_members").cast("bigint")
+                    .alias("n_members")))
+
+
+# ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).
 # Every operator must keep fresh driver evidence, so the entries moved

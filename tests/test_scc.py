@@ -1,0 +1,107 @@
+"""Strongly connected components + condensation layering vs a
+brute-force transitive-closure reference (the same mutual-reachability
+definition the DuckDB oracle of ``kg_scc`` materializes).
+
+Graph shapes chosen to hit each algorithm phase:
+
+* pure chain — everything falls to the trim prologue (no coloring
+  pass should be needed, but we assert only the result);
+* bridged cycles + tail — trim peels the tail, coloring must separate
+  two same-color cycles (the bridge makes the downstream cycle share
+  the upstream cycle's color, so pass 2 exists);
+* cycle-of-cycles — the coloring algorithm's multi-pass case: one
+  color generation per cycle layer;
+* random digraph — 30 nodes, seeded, checked against brute force.
+"""
+
+import itertools
+import random
+
+from fastie_spark.graph import (condensation_layers,
+                                strongly_connected_components)
+
+
+def brute_scc(edges):
+    nodes = sorted({x for e in edges for x in e})
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in edges:
+            add = reach[d] - reach[s]
+            if add:
+                reach[s] |= add
+                changed = True
+    return {n: min(m for m in nodes if m in reach[n] and n in reach[m])
+            for n in nodes}
+
+
+def brute_layers(edges, sccmap):
+    ce = {(sccmap[s], sccmap[d]) for s, d in edges
+          if sccmap[s] != sccmap[d]}
+    comps = sorted(set(sccmap.values()))
+    layer = {c: 0 for c in comps}
+    for _ in range(len(comps) + 1):
+        new = dict(layer)
+        for cs, cd in ce:
+            new[cd] = max(new[cd], layer[cs] + 1)
+        if new == layer:
+            break
+        layer = new
+    members = {c: sum(1 for v in sccmap.values() if v == c)
+               for c in comps}
+    return {c: (layer[c], members[c]) for c in comps}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    m = strongly_connected_components(df)
+    got = {r["node"]: r["scc"] for r in m.collect()}
+    want = brute_scc(edges)
+    assert got == want
+    lay = {r["scc"]: (r["layer"], r["n_members"])
+           for r in condensation_layers(df, m).collect()}
+    assert lay == brute_layers(edges, want)
+
+
+def test_scc_chain_all_trimmed(spark):
+    _check(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+
+
+def test_scc_bridged_cycles_with_tail(spark):
+    _check(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                   ("c", "x"), ("x", "y"), ("y", "z"), ("z", "x"),
+                   ("z", "t1"), ("t1", "t2")])
+
+
+def test_scc_cycle_chain_needs_multiple_passes(spark):
+    # a↔b → c↔d → e↔f: all six share forward color "a", so pass 1 can
+    # only extract {a,b}; {c,d} and {e,f} need later color generations
+    _check(spark, [("a", "b"), ("b", "a"), ("b", "c"),
+                   ("c", "d"), ("d", "c"), ("d", "e"),
+                   ("e", "f"), ("f", "e")])
+
+
+def test_scc_selfloop_and_isolated_pair(spark):
+    _check(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+                   ("s", "s"), ("p", "q")])
+
+
+def test_scc_random_digraph_matches_brute_force(spark):
+    rnd = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [(a, b) for a, b in itertools.permutations(nodes, 2)
+             if rnd.random() < 0.06]
+    _check(spark, edges)
+
+
+def test_condensation_rejects_cyclic_scc_map(spark):
+    # feeding an identity "scc map" over a cyclic graph must raise,
+    # not loop forever
+    import pytest
+    e = spark.createDataFrame([("a", "b"), ("b", "a")],
+                              "src string, dst string")
+    fake = spark.createDataFrame([("a", "a"), ("b", "b")],
+                                 "node string, scc string")
+    with pytest.raises(ValueError, match="converge"):
+        condensation_layers(e, fake, max_iter=5)
