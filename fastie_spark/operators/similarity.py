@@ -637,3 +637,118 @@ def semdedup(vectors: DataFrame, n_cells: int = 4, tau: int = 5000,
         .select(F.col("vid").alias(id_col), "cell",
                 F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
     )
+
+
+def _pq_subvectors(vectors: DataFrame, m: int, dims: int, scale: int,
+                   id_col: str, vec_col: str,
+                   out_id: str = "id") -> DataFrame:
+    """(id, sub, w): the vector quantized to int64 and split into
+    ``m`` contiguous sub-vectors of ``dims // m`` dims — one in-row
+    explode, no shuffle."""
+    dsub = dims // m
+    return (vectors.select(
+        F.col(id_col).cast("bigint").alias(out_id),
+        F.expr(f"transform(cast({vec_col} as array<double>), "
+               f"x -> cast(round(x * {scale}) as bigint))").alias("w"))
+        .select(out_id, F.expr(
+            f"explode(transform(sequence(0, {m - 1}), s -> "
+            f"named_struct('sub', s, 'w', slice(w, s * {dsub} + 1, "
+            f"{dsub}))))").alias("x"))
+        .select(out_id, F.col("x.sub").alias("sub"),
+                F.col("x.w").alias("w")))
+
+
+def pq_encode(vectors: DataFrame, m: int = 4, n_codes: int = 4,
+              n_iters: int = 2, scale: int = 1000, dims: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou/Douze/Schmid, PAMI'11): split each
+    vector into ``m`` sub-vectors, train an independent ``n_codes``-way
+    codebook per subspace with the same deterministic INTEGER Lloyd
+    rounds as :func:`ivf_cells`, and encode every vector as ``m``
+    small codes.
+
+    Index compression is the point: the stored index is ``m`` code ids
+    per vector (m·log2(n_codes) bits) instead of ``dims`` floats —
+    with production parameters (m=8, n_codes=256) that is 8 bytes vs
+    512, the difference between an in-memory ANN index and none at
+    100 TB.  Expressible codebook capacity is ``n_codes**m`` cells vs
+    IVF's ``n_cells`` — same training cost, exponentially finer grid.
+
+    All subspaces train in ONE set of DataFrame ops (``sub`` is just
+    another key column: init join, assign window, update partial-agg
+    all key on it), so the plan does not grow with ``m``.  Init takes
+    the ``n_codes`` smallest-id vectors' sub-vectors per subspace
+    (rank-based code ids, like the IVF oracle); assignment argmin has
+    the (d2, code) tie-break; centroid update is the relational
+    floor-mean.  Returns ``(codes, codebook)`` where ``codes`` =
+    (id, sub, code) and ``codebook`` = (sub, code, c) is the one that
+    PRODUCED the final assignment (what ADC scoring must use).
+    """
+    spark = vectors.sparkSession
+    q = (vectors.select(F.col(id_col).cast("bigint").alias("id"))
+         .orderBy("id").limit(n_codes))
+    seeds = q.select(
+        "id",
+        (F.row_number().over(Window.orderBy("id")) - 1).alias("code"))
+    sub = _pq_subvectors(vectors, m, dims, scale, id_col, vec_col)
+    sub = sub.repartition(
+        spark.sparkContext.defaultParallelism, "id").localCheckpoint()
+    codebook = (sub.join(F.broadcast(seeds), "id")
+                .select("sub", "code", F.col("w").alias("c")))
+    dist = ("aggregate(zip_with(w, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)")
+    assigned = used_cb = None
+    for _ in range(n_iters):
+        scored = sub.join(F.broadcast(codebook), "sub")
+        win = Window.partitionBy("id", "sub").orderBy("d2", "code")
+        assigned = (scored.withColumn("d2", F.expr(dist))
+                    .withColumn("rn", F.row_number().over(win))
+                    .where(F.col("rn") == 1)
+                    .select("id", "sub", "w", "code"))
+        used_cb = codebook
+        codebook = (assigned
+                    .select("sub", "code",
+                            F.posexplode("w").alias("d", "val"))
+                    .groupBy("sub", "code", "d")
+                    .agg(F.floor(F.sum("val") / F.count("*"))
+                         .cast("bigint").alias("m_"))
+                    .groupBy("sub", "code")
+                    .agg(F.expr(
+                        "transform(sort_array(collect_list("
+                        "struct(d, m_))), s -> s.m_)").alias("c")))
+    return assigned.select("id", "sub", "code"), used_cb
+
+
+def pq_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
+            m: int = 4, n_codes: int = 4, n_iters: int = 2,
+            scale: int = 1000, dims: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> DataFrame:
+    """PQ ANN search by asymmetric distance computation (ADC): the
+    probe keeps its RAW quantized sub-vectors; each index vector is
+    represented only by its ``m`` codes, scored as
+    ``sim = Σ_sub dot(probe_sub, codebook[sub, code])``.
+
+    The classic PQ lookup-table shape, relationally: the LUT
+    (probe × sub × code → partial dot) has |probes|·m·n_codes rows —
+    broadcast-sized by construction — so the corpus side only streams
+    its (id, sub, code) rows through a broadcast-hash join and a
+    partial-aggregating sum; the full vectors are never touched after
+    encoding.  Integer end-to-end → bit-exact, oracle-replayable;
+    ranking ties break (sim DESC, neighbor_id ASC) as everywhere.
+    """
+    codes, cb = pq_encode(vectors, m, n_codes, n_iters, scale, dims,
+                          id_col, vec_col)
+    psub = _pq_subvectors(probes, m, dims, scale, id_col, vec_col,
+                          out_id="probe_id")
+    lut = (psub.join(F.broadcast(cb), "sub")
+           .select("probe_id", "sub", "code",
+                   F.expr("aggregate(zip_with(w, c, (x, y) -> x * y), "
+                          "cast(0 as bigint), (a, v) -> a + v)")
+                   .alias("partial")))
+    part = (codes.join(F.broadcast(lut), ["sub", "code"])
+            .where(F.col("id") != F.col("probe_id")))
+    scored = (part.groupBy("probe_id", F.col("id").alias("neighbor_id"))
+              .agg(F.sum("partial").alias("sim")))
+    return _topk_per_probe(scored, k)

