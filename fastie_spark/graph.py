@@ -1096,23 +1096,30 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             break
 
         # -- 2. forward min-color with pointer jumping -----------------
-        color = rem_nodes.withColumn("color", F.col("node"))
-        for it in range(max_iter):
+        # two propagation rounds per convergence check (the CC loop's
+        # iters_per_check trick): propagation is monotone, so an extra
+        # round never changes the fixpoint, and the changed-count join
+        # is the dominant per-round cost near convergence
+        def color_round(cur: DataFrame) -> DataFrame:
             nbr = (rem_edges
-                   .join(color.select(F.col("node").alias("s"),
-                                      F.col("color").alias("c_s")), "s")
+                   .join(cur.select(F.col("node").alias("s"),
+                                    F.col("color").alias("c_s")), "s")
                    .select(F.col("d").alias("node"),
                            F.col("c_s").alias("color")))
-            new = (color.select("node", "color").union(nbr)
+            new = (cur.select("node", "color").union(nbr)
                    .groupBy("node").agg(F.min("color").alias("color")))
             parent = new.select(F.col("node").alias("p_node"),
                                 F.col("color").alias("p_color"))
-            new = (new.join(parent, new["color"] == parent["p_node"],
-                            "left")
-                   .select("node",
-                           F.least("color",
-                                   F.coalesce("p_color", "color"))
-                           .alias("color")))
+            return (new.join(parent, new["color"] == parent["p_node"],
+                             "left")
+                    .select("node",
+                            F.least("color",
+                                    F.coalesce("p_color", "color"))
+                            .alias("color")))
+
+        color = rem_nodes.withColumn("color", F.col("node"))
+        for it in range(max_iter):
+            new = color_round(color_round(color))
             new = snaps.save(new.repartition(n_partitions, "node"),
                              f"scc_color_{pss:04d}_{it:04d}")
             if _changed_count(color, new, "node", "color") == 0:
@@ -1127,16 +1134,19 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
         # color lookup on the backward-frontier's source side
         col_s = color.select(F.col("node").alias("s"),
                              F.col("color").alias("color_s"))
-        for it in range(max_iter):
+        def mark_round(cur: DataFrame) -> DataFrame:
             frontier = (rem_edges
-                        .join(marked.select(F.col("node").alias("d"),
-                                            F.col("color").alias("c_m")),
+                        .join(cur.select(F.col("node").alias("d"),
+                                         F.col("color").alias("c_m")),
                               "d")
                         .join(col_s, "s")
                         .where(F.col("color_s") == F.col("c_m"))
                         .select(F.col("s").alias("node"),
                                 F.col("color_s").alias("color")))
-            new_marked = marked.union(frontier).distinct()
+            return cur.union(frontier).distinct()
+
+        for it in range(max_iter):
+            new_marked = mark_round(mark_round(marked))
             new_marked = snaps.save(
                 new_marked.repartition(n_partitions, "node"),
                 f"scc_mark_{pss:04d}_{it:04d}")
