@@ -1241,3 +1241,63 @@ def condensation_layers(edges: DataFrame, scc: DataFrame,
             "condensation_layers did not converge — is `scc` really "
             "the SCC map of `edges` (condensation must be a DAG)?")
     return layers.join(members, "scc").select("scc", "layer", "n_members")
+
+
+# ---------------------------------------------------------------------------
+# temporal KG: versioned fact intervals + as-of snapshots (the
+# slowly-changing-dimension face of continuous re-extraction)
+# ---------------------------------------------------------------------------
+
+
+def fact_intervals(facts: DataFrame, s: str = "s", p: str = "p",
+                   o: str = "o", seq: str = "seq") -> DataFrame:
+    """Versioned facts → SCD2 validity intervals, the time-travel
+    layer of a continuously re-extracted KG: as commits land, the
+    extractor re-emits (s, p, o) with a monotonically increasing
+    version ``seq``; downstream consumers need "what did the KG say
+    at version T" without storing one full snapshot per version.
+
+    Semantics (last-writer-wins, single-valued predicates):
+
+    * per (s, p, seq) the canonical object is elected ``max_by(o, o)``
+      (deterministic: version-internal conflicts resolve to the max
+      object — the same election the oracle replays);
+    * consecutive versions with the same object COALESCE into one run
+      (gaps-and-islands: a change-flag lag comparison, prefix-sum run
+      ids);
+    * each run becomes one row (s, p, o, valid_from, valid_to):
+      ``valid_from`` = first version of the run, ``valid_to`` = first
+      version of the NEXT run (half-open, NULL while current).
+
+    Scale shape: every window partitions by the fact key (s, p) —
+    bounded by versions-per-fact, never corpus-wide; the output is one
+    row per VALUE CHANGE, not per version, which is what makes the
+    history table storable at 10^12-file scale (churn grain, not
+    snapshot grain).
+    """
+    from pyspark.sql import Window
+    per_ver = (facts.groupBy(F.col(s).alias("s"), F.col(p).alias("p"),
+                             F.col(seq).alias("seq"))
+               .agg(F.max(o).alias("o")))
+    w = Window.partitionBy("s", "p").orderBy("seq")
+    runs = (per_ver
+            .withColumn("chg", F.when(
+                F.col("o").eqNullSafe(F.lag("o").over(w)), 0).otherwise(1))
+            .withColumn("run", F.sum("chg").over(w)))
+    iv = (runs.groupBy("s", "p", "run", "o")
+          .agg(F.min("seq").alias("valid_from")))
+    w2 = Window.partitionBy("s", "p").orderBy("valid_from")
+    return (iv.withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select("s", "p", "o", "valid_from", "valid_to"))
+
+
+def facts_asof(intervals: DataFrame, t) -> DataFrame:
+    """The KG snapshot at version ``t``: facts whose validity interval
+    covers it (``valid_from <= t < valid_to``, open current rows
+    included).  A pure filter over the interval table — partition
+    pruning applies if the table is stored bucketed by (s, p)."""
+    return (intervals
+            .where((F.col("valid_from") <= F.lit(t))
+                   & (F.col("valid_to").isNull()
+                      | (F.col("valid_to") > F.lit(t))))
+            .select("s", "p", "o", "valid_from"))

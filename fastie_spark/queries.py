@@ -5467,6 +5467,87 @@ def q_entity_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# temporal KG (r4): versioned fact validity intervals (SCD2 churn
+# grain) + as-of snapshot — the time-travel layer of continuous
+# re-extraction.  Version seq = doc_id (the commit ordinal of the
+# flagship corpus); fact key = (subj, pred), last-writer-wins objects.
+# ---------------------------------------------------------------------------
+
+ASOF_T = 250  # mid-corpus version for the snapshot query
+
+_FACT_HISTORY_SQL = f"""
+pv AS (SELECT subj_text AS s, pred AS p, doc_id AS seq,
+              max(obj_text) AS o
+       FROM base GROUP BY 1, 2, 3),
+hr1 AS (SELECT *, CASE WHEN o = lag(o) OVER (PARTITION BY s, p
+                                             ORDER BY seq)
+                       THEN 0 ELSE 1 END AS chg
+        FROM pv),
+hr2 AS (SELECT *, sum(chg) OVER (PARTITION BY s, p ORDER BY seq)
+              AS run
+        FROM hr1),
+hiv AS (SELECT s, p, run, o, min(seq) AS valid_from FROM hr2
+        GROUP BY 1, 2, 3, 4),
+hist AS (SELECT s, p, o, valid_from,
+                lead(valid_from) OVER (PARTITION BY s, p
+                                       ORDER BY valid_from) AS valid_to
+         FROM hiv)
+"""
+
+
+@query("kg_history", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+{_FACT_HISTORY_SQL}
+SELECT s, p, o, valid_from::BIGINT AS valid_from,
+       valid_to::BIGINT AS valid_to
+FROM hist
+""")
+def q_kg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-fact validity intervals (graph.fact_intervals): the
+    flagship triples re-keyed as (subj, pred) facts versioned by
+    doc_id; per version a last-writer-wins object election, same-value
+    runs coalesced gaps-and-islands style, one (valid_from, valid_to)
+    row per VALUE CHANGE — the churn-grain history table that makes
+    KG time travel storable at corpus scale.  Every window partitions
+    by the fact key, never corpus-wide."""
+    from fastie_spark.graph import fact_intervals
+    t = _triples(spark, sf_dir)
+    facts = t.select(F.col("subj_text").alias("s"),
+                     F.col("pred").alias("p"),
+                     F.col("obj_text").alias("o"),
+                     F.col("doc_id").alias("seq"))
+    return (fact_intervals(facts)
+            .select("s", "p", "o",
+                    F.col("valid_from").cast("bigint").alias("valid_from"),
+                    F.col("valid_to").cast("bigint").alias("valid_to")))
+
+
+@query("kg_asof", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+{_FACT_HISTORY_SQL}
+SELECT s, p, o, valid_from::BIGINT AS valid_from
+FROM hist
+WHERE valid_from <= {ASOF_T}
+  AND (valid_to IS NULL OR valid_to > {ASOF_T})
+""")
+def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG time travel: the fact snapshot as of version {ASOF_T}
+    (graph.facts_asof) — a pure interval filter over kg_history's
+    output, returning for every (subj, pred) the object the KG
+    asserted at that version."""
+    from fastie_spark.graph import fact_intervals, facts_asof
+    t = _triples(spark, sf_dir)
+    facts = t.select(F.col("subj_text").alias("s"),
+                     F.col("pred").alias("p"),
+                     F.col("obj_text").alias("o"),
+                     F.col("doc_id").alias("seq"))
+    return (facts_asof(fact_intervals(facts), ASOF_T)
+            .select("s", "p", "o",
+                    F.col("valid_from").cast("bigint")
+                    .alias("valid_from")))
+
+
+# ---------------------------------------------------------------------------
 # product-quantization ANN (r4): per-subspace integer-Lloyd codebooks,
 # m-code index, ADC lookup-table scoring — the compressed-index path
 # between scalar quantization (ann_quantized_topk) and IVF

@@ -519,3 +519,48 @@ def test_hits_integer_matches_eager_loop(spark):
     assert got[10][1] == max(v[1] for v in got.values())  # top authority
     assert got[0] == (got[1][0], 0)                       # pure twin hubs
     assert got[2][0] == max(v[0] for v in got.values())   # top hub
+
+
+def test_fact_intervals_scd2_semantics(spark):
+    """SCD2 history: last-writer-wins inside a version, same-value run
+    coalescing, half-open boundaries, NULL-open current rows."""
+    from fastie_spark.graph import fact_intervals, facts_asof
+
+    facts = spark.createDataFrame(
+        [
+            # key (a,calls): v -> v -> w -> v  (middle run coalesces)
+            ("a", "calls", "v", 1), ("a", "calls", "v", 2),
+            ("a", "calls", "w", 4), ("a", "calls", "v", 7),
+            # version-internal conflict at seq 3: max(o) elects "z"
+            ("b", "calls", "y", 3), ("b", "calls", "z", 3),
+            # single-version key stays open forever
+            ("c", "uses", "u", 5),
+        ],
+        "s string, p string, o string, seq long")
+    iv = {(r["s"], r["p"], r["o"], r["valid_from"]): r["valid_to"]
+          for r in fact_intervals(facts).collect()}
+    assert iv == {
+        ("a", "calls", "v", 1): 4,
+        ("a", "calls", "w", 4): 7,
+        ("a", "calls", "v", 7): None,
+        ("b", "calls", "z", 3): None,
+        ("c", "uses", "u", 5): None,
+    }
+
+    # tiling: every version >= first_seen is covered by EXACTLY one row
+    hist = fact_intervals(facts)
+    for t in range(1, 9):
+        snap = facts_asof(hist, t).collect()
+        keys = [(r["s"], r["p"]) for r in snap]
+        assert len(keys) == len(set(keys))  # at most one fact per key
+        expect_keys = {("a", "calls")} if t >= 1 else set()
+        if t >= 3:
+            expect_keys.add(("b", "calls"))
+        if t >= 5:
+            expect_keys.add(("c", "uses"))
+        assert set(keys) == expect_keys, t
+    # the value the snapshot asserts tracks the change log
+    at6 = {(r["s"], r["p"]): r["o"] for r in facts_asof(hist, 6).collect()}
+    assert at6[("a", "calls")] == "w"
+    at7 = {(r["s"], r["p"]): r["o"] for r in facts_asof(hist, 7).collect()}
+    assert at7[("a", "calls")] == "v"
