@@ -5466,6 +5466,49 @@ def q_entity_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, cat, doc_col="doc_id", context_col="ctx", max_distance=1)
 
 
+@query("code_resolve", oracle=f"""
+WITH {_SRC_SQL},
+dm AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, 'merge [a-z]+')) AS m
+  FROM src),
+defs AS (
+  SELECT split_part(m, ' ', 2) AS symbol, repo AS def_repo,
+         count(DISTINCT path) AS nf
+  FROM dm GROUP BY 1, 2),
+cat AS (
+  SELECT symbol, def_repo FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol
+                                 ORDER BY nf DESC, def_repo) AS rn
+    FROM defs)
+  WHERE rn = 1),
+um AS (
+  SELECT repo,
+         unnest(regexp_extract_all(content, '(?:scan|join) [a-z]+')) AS m
+  FROM src),
+uses AS (
+  SELECT repo AS src_repo, split_part(m, ' ', 2) AS symbol,
+         count(*) AS n_uses
+  FROM um GROUP BY 1, 2)
+SELECT u.src_repo, c.def_repo AS dst_repo, u.symbol,
+       u.n_uses::BIGINT AS n_uses
+FROM uses u JOIN cat c ON c.symbol = u.symbol
+WHERE u.src_repo <> c.def_repo
+""")
+def q_code_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo symbol resolution (code.resolve_symbols): ``merge X``
+    defines X, ``scan/join X`` uses it; uses resolve to the repo
+    defining the symbol most widely (max defining files, tie →
+    smallest repo) — the popularity election of entity linking on the
+    code grain.  Output: the repo dependency edge list.  Both sides
+    pre-aggregate (uses to (repo, symbol), defs to a broadcast
+    symbol-grain catalog) so the resolution join never moves file
+    rows."""
+    from fastie_spark.operators.code import resolve_symbols
+    src = _source_view(spark, sf_dir)
+    return resolve_symbols(src, ["merge"], ["scan", "join"])
+
+
 # ---------------------------------------------------------------------------
 # temporal KG (r4): versioned fact validity intervals (SCD2 churn
 # grain) + as-of snapshot — the time-travel layer of continuous
@@ -5715,8 +5758,10 @@ def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes each node's min mutual-reach peer — any propagation,
     marking, or trim error diverges from it."""
     from fastie_spark.graph import strongly_connected_components
+    # the call-graph node set is vocabulary-bounded (~150 nodes at any
+    # sf), so the loop's shuffles are sized for that, not for the corpus
     return strongly_connected_components(
-        _call_edges(spark, sf_dir), n_partitions=8)
+        _call_edges(spark, sf_dir), n_partitions=4)
 
 
 @query("kg_toposort", oracle=f"""
@@ -5749,8 +5794,8 @@ def q_kg_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastie_spark.graph import (condensation_layers,
                                     strongly_connected_components)
     e = _call_edges(spark, sf_dir).localCheckpoint()
-    m = strongly_connected_components(e, n_partitions=8)
-    return (condensation_layers(e, m, n_partitions=8)
+    m = strongly_connected_components(e, n_partitions=4)
+    return (condensation_layers(e, m, n_partitions=4)
             .select("scc", F.col("layer").cast("bigint").alias("layer"),
                     F.col("n_members").cast("bigint")
                     .alias("n_members")))
@@ -6153,6 +6198,14 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # superset of the per-triple
                                         # scoring path
                   ]
+# Late-r4 additions past the cap (kg_hearst .. entity_disambiguate,
+# ann_pq_topk, kg_scc, kg_toposort, kg_history, kg_asof) register
+# AFTER the 50-entry window and are NOT rotated in: every current
+# window slot except the flagship gets its FIRST driver check this
+# round, so displacing one would leave it never-driver-checked — the
+# worse trade.  The tail entries' evidence is the CI-gated
+# full-registry oracle (tests/test_full_registry_oracle.py, every
+# pytest run at sf0.001) plus tools/check_queries.py at sf0.01.
 for _n in _OVER_CAP_TAIL:
     QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:

@@ -342,3 +342,34 @@ def test_cap_per_group_binds_and_is_partitioning_independent(spark):
     other = cap_per_group(df, "g", cap=10, key_col="k", salt="s2")
     assert {r.k for r in other.collect() if r.g == "hot"} != \
         {r.k for r in by_g["hot"]}
+
+
+def test_resolve_symbols_election_and_self_drop(spark):
+    """Symbol resolution: defs elect by (defining files DESC, repo
+    ASC); uses resolve through the catalog; intra-repo uses drop."""
+    from fastie_spark.operators.code import resolve_symbols
+
+    rows = [
+        # repoA defines x in TWO files, repoB in one -> x belongs to A
+        ("repoA", "f1", "c1", "py", "merge x end"),
+        ("repoA", "f2", "c2", "py", "merge x end"),
+        ("repoB", "f3", "c3", "py", "merge x also merge y end"),
+        # y defined once each in B and C -> tie -> lexicographic B
+        ("repoC", "f4", "c4", "py", "merge y end"),
+        # uses: B uses x twice (cross-repo), A uses x (self -> drop),
+        # C uses y (resolves to B), A uses unknown z (no def -> drop)
+        ("repoB", "f5", "c5", "py", "scan x join x end"),
+        ("repoA", "f6", "c6", "py", "scan x end"),
+        ("repoC", "f7", "c7", "py", "join y end"),
+        ("repoA", "f8", "c8", "py", "scan z end"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    got = {(r["src_repo"], r["dst_repo"], r["symbol"]): r["n_uses"]
+           for r in resolve_symbols(src, ["merge"],
+                                    ["scan", "join"]).collect()}
+    assert got == {
+        ("repoB", "repoA", "x"): 2,
+        ("repoC", "repoB", "y"): 1,
+    }

@@ -101,6 +101,10 @@ AUDIT = [
     ("kg_label_prop", "label propagation: per-round edge join + partial aggs"),
     ("kg_hits", "integer HITS: half-round joins, bcast max rescale"),
     ("entity_disambiguate", "context disambiguation: in-row intersect score"),
+    ("ann_pq_topk", "PQ ANN: per-sub Lloyd codebooks, bcast ADC LUT"),
+    ("kg_history", "SCD2 fact intervals: fact-key windows only"),
+    ("kg_asof", "as-of snapshot: interval filter over history"),
+    ("kg_toposort", "SCC + condensation layers: keyed label loops"),
 ]
 
 
