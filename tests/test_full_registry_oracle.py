@@ -21,8 +21,9 @@ def test_every_registered_query_matches_its_oracle():
     out = subprocess.run(
         [sys.executable, "tools/check_queries.py",
          "/root/testdata/sf0.001"],
-        capture_output=True, text=True, timeout=500, cwd=".",
+        capture_output=True, text=True, timeout=900, cwd=".",
     )
     tail = out.stdout.strip().splitlines()[-1]
-    assert f"{len(QUERIES)}/{len(QUERIES)} ok; failures: []" in tail, (
+    assert (f"{len(QUERIES)}/{len(QUERIES)} ok "
+            f"(registry {len(QUERIES)}); failures: []") in tail, (
         out.stdout[-3000:] + out.stderr[-2000:])

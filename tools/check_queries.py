@@ -49,9 +49,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    n_checked = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -94,8 +96,8 @@ def main():
         else:
             failures.append(name)
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} ok; "
-          f"failures: {failures}")
+    print(f"\n{n_checked - len(failures)}/{n_checked} ok "
+          f"(registry {len(QUERIES)}); failures: {failures}")
     spark.stop()
     sys.exit(1 if failures else 0)
 

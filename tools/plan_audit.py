@@ -105,6 +105,7 @@ AUDIT = [
     ("kg_history", "SCD2 fact intervals: fact-key windows only"),
     ("kg_asof", "as-of snapshot: interval filter over history"),
     ("kg_toposort", "SCC + condensation layers: keyed label loops"),
+    ("code_resolve", "symbol resolution: pre-agg sides, bcast catalog"),
 ]
 
 
