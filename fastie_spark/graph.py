@@ -1301,3 +1301,81 @@ def facts_asof(intervals: DataFrame, t) -> DataFrame:
                    & (F.col("valid_to").isNull()
                       | (F.col("valid_to") > F.lit(t))))
             .select("s", "p", "o", "valid_from"))
+
+
+def merge_fact_intervals(standing: DataFrame, delta: DataFrame,
+                         s: str = "s", p: str = "p", o: str = "o",
+                         seq: str = "seq") -> DataFrame:
+    """Fold a DELTA batch of versioned facts into a standing SCD2
+    interval table without re-reading history — the MERGE INTO shape
+    of continuous KG ingest (new commits arrive; the time-travel table
+    must absorb them at batch cost, not corpus cost).
+
+    Contract (the ``kg_history_delta`` oracle): merged-incremental ≡
+    :func:`fact_intervals` over the full input, under the production
+    monotonicity assumption that every delta version is strictly
+    greater than every standing version of the same fact key (commit
+    ordinals only grow; violated input raises).
+
+    Why only the OPEN row matters: standing CLOSED rows are immutable
+    history (a later version can never change them), and the open
+    row's object is the key's current value — so the stitch decision
+    per touched key is local: if the delta's first run continues the
+    same object, the open run absorbs it (run coalescing across the
+    batch boundary — the case a naive append would get wrong, leaving
+    two adjacent same-value rows); if it changes, the open row closes
+    at the delta run's start.
+
+    Scale shape: the delta re-runs :func:`fact_intervals` on ITS OWN
+    rows only; standing is touched via one key-grain semi/anti join
+    split plus a join against the (one-per-touched-key) open rows.
+    Nothing iterates over standing history; untouched keys stream
+    through unchanged.
+    """
+    cols = ["s", "p", "o", "valid_from", "valid_to"]
+    d = delta.select(F.col(s).alias("s"), F.col(p).alias("p"),
+                     F.col(o).alias("o"), F.col(seq).alias("seq"))
+    keys = d.select("s", "p").distinct()
+    untouched = standing.join(keys, ["s", "p"], "left_anti").select(cols)
+    t_closed = (standing.join(keys, ["s", "p"], "left_semi")
+                .where(F.col("valid_to").isNotNull()).select(cols))
+    t_open = (standing.join(keys, ["s", "p"], "left_semi")
+              .where(F.col("valid_to").isNull())
+              .select("s", "p", F.col("o").alias("o_open"),
+                      F.col("valid_from").alias("open_from")))
+
+    # monotonicity guard: a delta version at or below the open run's
+    # start would rewrite closed history — fail loudly, don't corrupt
+    bad = (d.join(t_open, ["s", "p"])
+           .where(F.col("seq") <= F.col("open_from")).limit(1).count())
+    if bad:
+        raise ValueError(
+            "merge_fact_intervals: delta contains versions ≤ a standing "
+            "open run's start — out-of-order ingest needs a rebuild")
+
+    dr = fact_intervals(d, "s", "p", "o", "seq").localCheckpoint()
+    from pyspark.sql import Window
+    w = Window.partitionBy("s", "p").orderBy("valid_from")
+    dr = dr.withColumn("rn", F.row_number().over(w))
+    first = dr.where(F.col("rn") == 1)
+    rest = dr.where(F.col("rn") > 1).select(cols)
+
+    j = first.join(t_open, ["s", "p"], "left")
+    # same object across the boundary → open run absorbs the first
+    # delta run; different (or brand-new key) → both rows survive,
+    # open closing at the delta run's start
+    stitched_open = j.select(
+        "s", "p",
+        F.coalesce("o_open", "o").alias("o"),
+        F.coalesce("open_from", "valid_from").alias("valid_from"),
+        F.when(F.col("o_open").isNull()
+               | (F.col("o_open") == F.col("o")), F.col("valid_to"))
+        .otherwise(F.col("valid_from")).alias("valid_to"))
+    # the changed case also keeps the delta run itself
+    kept_first = (j.where(F.col("o_open").isNotNull()
+                          & (F.col("o_open") != F.col("o")))
+                  .select(cols))
+    return (untouched.unionByName(t_closed)
+            .unionByName(stitched_open)
+            .unionByName(kept_first)
+            .unionByName(rest))

@@ -5565,6 +5565,36 @@ def q_kg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("valid_to").cast("bigint").alias("valid_to")))
 
 
+@query("kg_history_delta", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+{_FACT_HISTORY_SQL}
+SELECT s, p, o, valid_from::BIGINT AS valid_from,
+       valid_to::BIGINT AS valid_to
+FROM hist
+""")
+def q_kg_history_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 ingest (graph.merge_fact_intervals): the
+    version stream splits at doc {ASOF_T} — the first half builds the
+    standing interval table, the second arrives as a delta batch and
+    folds in at batch cost (closed rows immutable, open rows stitched
+    across the boundary with same-value run coalescing).  The oracle
+    is the FULL rebuild, so the driver hash match proves
+    merged-incremental ≡ rebuild — including keys whose value is
+    unchanged across the split (the run that must NOT fragment)."""
+    from fastie_spark.graph import fact_intervals, merge_fact_intervals
+    t = _triples(spark, sf_dir)
+    facts = t.select(F.col("subj_text").alias("s"),
+                     F.col("pred").alias("p"),
+                     F.col("obj_text").alias("o"),
+                     F.col("doc_id").alias("seq"))
+    standing = fact_intervals(facts.where(F.col("seq") < ASOF_T))
+    delta = facts.where(F.col("seq") >= ASOF_T)
+    return (merge_fact_intervals(standing, delta)
+            .select("s", "p", "o",
+                    F.col("valid_from").cast("bigint").alias("valid_from"),
+                    F.col("valid_to").cast("bigint").alias("valid_to")))
+
+
 @query("kg_asof", oracle=f"""
 WITH base AS ({TRIPLES_ORACLE}),
 {_FACT_HISTORY_SQL}

@@ -564,3 +564,49 @@ def test_fact_intervals_scd2_semantics(spark):
     assert at6[("a", "calls")] == "w"
     at7 = {(r["s"], r["p"]): r["o"] for r in facts_asof(hist, 7).collect()}
     assert at7[("a", "calls")] == "v"
+
+
+def test_merge_fact_intervals_equals_rebuild(spark):
+    """Incremental SCD2 merge: continuation must coalesce across the
+    batch boundary, changes close the open row, new keys append,
+    multi-run deltas stitch, and the whole thing equals a rebuild."""
+    from fastie_spark.graph import fact_intervals, merge_fact_intervals
+
+    rows = [
+        # key A: v (1..) continues into the delta (no fragmentation!)
+        ("A", "r", "v", 1), ("A", "r", "v", 10),
+        # key B: w -> x at the boundary
+        ("B", "r", "w", 2), ("B", "r", "x", 11),
+        # key C: closed history + open run, delta changes twice
+        ("C", "r", "a", 1), ("C", "r", "b", 3),
+        ("C", "r", "c", 12), ("C", "r", "d", 14),
+        # key D: untouched by the delta
+        ("D", "r", "u", 4),
+        # key E: brand-new in the delta
+        ("E", "r", "n", 13),
+    ]
+    schema = "s string, p string, o string, seq long"
+    facts = spark.createDataFrame(rows, schema)
+    standing = fact_intervals(facts.where("seq < 10"))
+    delta = facts.where("seq >= 10")
+    merged = {tuple(r) for r in
+              merge_fact_intervals(standing, delta).collect()}
+    rebuild = {tuple(r) for r in fact_intervals(facts).collect()}
+    assert merged == rebuild
+    # the A run must be ONE row, still open, from seq 1
+    a_rows = [r for r in merged if r[0] == "A"]
+    assert a_rows == [("A", "r", "v", 1, None)]
+
+
+def test_merge_fact_intervals_rejects_history_rewrite(spark):
+    import pytest
+
+    from fastie_spark.graph import fact_intervals, merge_fact_intervals
+
+    facts = spark.createDataFrame(
+        [("A", "r", "v", 5)], "s string, p string, o string, seq long")
+    standing = fact_intervals(facts)
+    late = spark.createDataFrame(
+        [("A", "r", "w", 5)], "s string, p string, o string, seq long")
+    with pytest.raises(ValueError, match="out-of-order"):
+        merge_fact_intervals(standing, late)
