@@ -1080,18 +1080,17 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             n_trim = trimmed.limit(1).count()
             if n_trim == 0:
                 break
-            assigned_parts.append(
-                trimmed.select("node", F.col("node").alias("scc"))
-                .localCheckpoint())
+            assigned_parts.append(snaps.save(
+                trimmed.select("node", F.col("node").alias("scc")),
+                f"scc_assigned_trim_{pss:04d}_{tr:04d}"))
             rem_nodes = snaps.save(
                 rem_nodes.join(trimmed, "node", "left_anti"),
                 f"scc_trim_{pss:04d}_{tr:04d}")
-            rem_edges = (rem_edges
-                         .join(rem_nodes.select(F.col("node").alias("s")),
-                               "s")
-                         .join(rem_nodes.select(F.col("node").alias("d")),
-                               "d")
-                         .localCheckpoint())
+            rem_edges = snaps.save(
+                rem_edges
+                .join(rem_nodes.select(F.col("node").alias("s")), "s")
+                .join(rem_nodes.select(F.col("node").alias("d")), "d"),
+                f"scc_edges_trim_{pss:04d}_{tr:04d}")
         if rem_nodes.limit(1).count() == 0:
             break
 
@@ -1128,8 +1127,9 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             color = new
 
         # -- 3. backward mark from roots within color classes ----------
-        marked = (color.where(F.col("node") == F.col("color"))
-                  .localCheckpoint())
+        marked = snaps.save(
+            color.where(F.col("node") == F.col("color")),
+            f"scc_roots_{pss:04d}")
         n_marked = marked.count()
         # color lookup on the backward-frontier's source side
         col_s = color.select(F.col("node").alias("s"),
@@ -1156,18 +1156,17 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
                 break
             n_marked = n_new
 
-        assigned_parts.append(
-            marked.select("node", F.col("color").alias("scc"))
-            .localCheckpoint())
+        assigned_parts.append(snaps.save(
+            marked.select("node", F.col("color").alias("scc")),
+            f"scc_assigned_{pss:04d}"))
         rem_nodes = snaps.save(
             rem_nodes.join(marked.select("node"), "node", "left_anti"),
             f"scc_nodes_{pss + 1:04d}")
-        rem_edges = (rem_edges
-                     .join(rem_nodes.select(F.col("node").alias("s")),
-                           "s")
-                     .join(rem_nodes.select(F.col("node").alias("d")),
-                           "d")
-                     .localCheckpoint())
+        rem_edges = snaps.save(
+            rem_edges
+            .join(rem_nodes.select(F.col("node").alias("s")), "s")
+            .join(rem_nodes.select(F.col("node").alias("d")), "d"),
+            f"scc_edges_{pss + 1:04d}")
 
     if rem_nodes.limit(1).count() != 0:
         raise ValueError(
@@ -1185,7 +1184,8 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
 def condensation_layers(edges: DataFrame, scc: DataFrame,
                         src: str = "src", dst: str = "dst",
                         max_iter: int = 50,
-                        n_partitions: int | None = None) -> DataFrame:
+                        n_partitions: int | None = None,
+                        checkpoint_dir: str | None = None) -> DataFrame:
     """Condense a directed graph by its SCC map and assign each
     component its **longest-path layer** (dependency depth): sources
     (no incoming condensed edge) are layer 0; every other component
@@ -1208,29 +1208,32 @@ def condensation_layers(edges: DataFrame, scc: DataFrame,
     if n_partitions is None:
         n_partitions = max(
             8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    snaps = _Snapshots(spark, checkpoint_dir)
     m_s = scc.select(F.col("node").alias("s"), F.col("scc").alias("cs"))
     m_d = scc.select(F.col("node").alias("d"), F.col("scc").alias("cd"))
     cedges = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
               .join(m_s, "s").join(m_d, "d")
               .select("cs", "cd").where(F.col("cs") != F.col("cd"))
               .distinct()
-              .repartition(n_partitions, "cd")
-              .localCheckpoint())
+              .repartition(n_partitions, "cd"))
+    cedges = snaps.save(cedges, "cond_edges")
     members = scc.groupBy("scc").agg(F.count("*").alias("n_members"))
-    layers = (members.select("scc")
-              .withColumn("layer", F.lit(0).cast("bigint"))
-              .localCheckpoint())
+    layers = snaps.save(
+        members.select("scc")
+        .withColumn("layer", F.lit(0).cast("bigint")),
+        "cond_layers_0000")
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         from_pred = (cedges
                      .join(layers.select(F.col("scc").alias("cs"),
                                          F.col("layer").alias("l_p")),
                            "cs")
                      .select(F.col("cd").alias("scc"),
                              (F.col("l_p") + 1).alias("layer")))
-        new = (layers.union(from_pred)
-               .groupBy("scc").agg(F.max("layer").alias("layer"))
-               .localCheckpoint())
+        new = snaps.save(
+            layers.union(from_pred)
+            .groupBy("scc").agg(F.max("layer").alias("layer")),
+            f"cond_layers_{it + 1:04d}")
         cur_sum = new.agg(F.sum("layer")).collect()[0][0] or 0
         layers = new
         if prev_sum is not None and cur_sum == prev_sum:

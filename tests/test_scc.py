@@ -105,3 +105,37 @@ def test_condensation_rejects_cyclic_scc_map(spark):
                                  "node string, scc string")
     with pytest.raises(ValueError, match="converge"):
         condensation_layers(e, fake, max_iter=5)
+
+
+def test_scc_checkpoint_dir_durable_form(spark, tmp_path):
+    """With ``checkpoint_dir`` every materialization in the SCC and
+    layering loops is a committed parquet snapshot (cluster-durable:
+    survives executor loss, unlike localCheckpoint blocks) and the
+    result is identical to the fast path."""
+    import os
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("c", "x"), ("x", "y"), ("y", "z"), ("z", "x"),
+             ("z", "t1"), ("t1", "t2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {(r["node"], r["scc"])
+            for r in strongly_connected_components(df).collect()}
+    root = str(tmp_path / "scc")
+    durable_m = strongly_connected_components(df, checkpoint_dir=root)
+    durable = {(r["node"], r["scc"]) for r in durable_m.collect()}
+    assert durable == fast
+    snaps = os.listdir(root)
+    assert any(n.startswith("scc_assigned") for n in snaps)
+    assert any(n.startswith("scc_color_") for n in snaps)
+    assert all(
+        os.path.isfile(os.path.join(root, n, "_SUCCESS"))
+        for n in snaps if os.path.isdir(os.path.join(root, n)))
+
+    lroot = str(tmp_path / "layers")
+    lay_fast = {tuple(r) for r in condensation_layers(df, durable_m)
+                .collect()}
+    lay_dur = {tuple(r) for r in condensation_layers(
+        df, durable_m, checkpoint_dir=lroot).collect()}
+    assert lay_dur == lay_fast
+    assert any(n.startswith("cond_layers_")
+               for n in os.listdir(lroot))
