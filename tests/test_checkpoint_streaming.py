@@ -419,3 +419,62 @@ def test_streaming_kg_ingest_equals_batch_rebuild(spark, tmp_path):
     want3 = (sorted(map(tuple, nodes3.collect())),
              sorted(map(tuple, edges3.collect())))
     assert finalized(root) == want3
+
+
+def test_streaming_history_ingest_equals_rebuild(spark, tmp_path):
+    """Streaming SCD2 ingest: after draining version-ordered
+    micro-batches the standing interval table equals fact_intervals
+    over every fact seen; a replayed batch changes nothing; a later
+    drain keeps stitching (runs crossing batch boundaries must not
+    fragment)."""
+    import time as _time
+
+    from fastie_spark.graph import fact_intervals
+    from fastie_spark.streaming.temporal import (
+        latest_history,
+        merge_history_batch,
+        streaming_history_ingest,
+    )
+
+    def fact_rows(lo, hi):
+        # key (K{i%3}, r) changes object every 4 versions, so runs
+        # regularly CROSS the batch split at seq 10 and 20
+        return [(f"K{i % 3}", "r", f"o{i // 4}", i)
+                for i in range(lo, hi)]
+
+    schema = "s string, p string, o string, seq long"
+    src = str(tmp_path / "facts")
+    for lo, hi in [(0, 10), (10, 20)]:
+        spark.createDataFrame(fact_rows(lo, hi), schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    root = str(tmp_path / "hist_state")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_history_ingest(spark, src, ckpt, root,
+                             max_files_per_trigger=1)
+
+    def standing():
+        return sorted(map(tuple, latest_history(spark, root).collect()))
+
+    def rebuild(hi):
+        return sorted(map(tuple, fact_intervals(
+            spark.createDataFrame(fact_rows(0, hi), schema)).collect()))
+
+    assert standing() == rebuild(20)
+
+    # at-least-once replay of the LAST batch: no change
+    man = spark.read.parquet(f"{root}/manifest")
+    last = man.orderBy(F.col("batch_id").desc()).first()
+    assert man.select("batch_id").distinct().count() >= 2
+    merge_history_batch(
+        spark, spark.createDataFrame(fact_rows(10, 20), schema),
+        last["batch_id"], root)
+    assert standing() == rebuild(20)
+
+    # continuous ingest: a third version range lands, drain again
+    spark.createDataFrame(fact_rows(20, 30), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    streaming_history_ingest(spark, src, ckpt, root,
+                             max_files_per_trigger=1)
+    assert standing() == rebuild(30)
