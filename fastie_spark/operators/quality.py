@@ -329,3 +329,52 @@ def line_repetition_stats(docs: DataFrame, text_col: str = "text",
     return out.withColumn(
         "keep", (F.col("dup_line_ppm") <= max_dup_line_ppm)
         & (F.col("dup_char_ppm") <= max_dup_char_ppm))
+
+
+def histogram_drift(old: DataFrame, new: DataFrame, value_col: str,
+                    bin_width: int = 8) -> DataFrame:
+    """Corpus drift detection between two snapshots: integer-binned
+    value histograms compared bin-by-bin in exact ppm — the
+    monitoring gate a continuously refreshed training corpus needs
+    (did the token-length / quality-score / language distribution
+    move between yesterday's snapshot and today's?).
+
+    The classic population-stability-index workflow, integer-exact:
+    per bin ``floor(value / bin_width)`` each side contributes its
+    count and its corpus share in ppm (integer floor-div, so the
+    result is hash-comparable across engines); ``delta_ppm`` is the
+    signed share shift.  Consumers threshold Σ|delta_ppm| or per-bin
+    |delta| — both derivable from this output without floats.  (The
+    log-weighted PSI variant needs floats; the ppm deltas carry the
+    same decision information for threshold gates.)
+
+    Scale shape: one partial-agg groupBy per side on the bin key
+    (bounded by the value range / bin_width, NOT corpus size), a
+    broadcast-sized full-outer join of the two tiny histograms, and
+    two scalar totals — the corpus is read once per side and never
+    shuffled at row grain.
+    """
+    def hist(df: DataFrame, n_name: str):
+        # floor (not cast) so negative values bin consistently
+        b = df.select(F.floor(F.col(value_col).cast("bigint")
+                              / F.lit(bin_width)).cast("bigint")
+                      .alias("bin"))
+        return b.groupBy("bin").agg(F.count("*").alias(n_name))
+
+    h_old = hist(old, "n_old")
+    h_new = hist(new, "n_new")
+    t_old = old.count()
+    t_new = new.count()
+    j = (h_old.join(h_new, "bin", "full")
+         .select("bin",
+                 F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                 F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    return (j.withColumn("ppm_old", F.floor(
+                F.col("n_old") * 1_000_000 / F.lit(max(t_old, 1)))
+                .cast("bigint"))
+            .withColumn("ppm_new", F.floor(
+                F.col("n_new") * 1_000_000 / F.lit(max(t_new, 1)))
+                .cast("bigint"))
+            .withColumn("delta_ppm",
+                        (F.col("ppm_new") - F.col("ppm_old"))
+                        .cast("bigint")))

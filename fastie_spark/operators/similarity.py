@@ -752,3 +752,38 @@ def pq_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
     scored = (part.groupBy("probe_id", F.col("id").alias("neighbor_id"))
               .agg(F.sum("partial").alias("sim")))
     return _topk_per_probe(scored, k)
+
+
+def ann_recall_eval(exact_topk: DataFrame,
+                    variants: dict[str, DataFrame]) -> DataFrame:
+    """Index-quality evaluation: recall@k of each approximate ANN
+    variant against the exact top-k — the measurement loop that makes
+    an ANN deployment tunable (every knob in this module — planes,
+    probes, cells, codes — trades recall for cost; this is the gauge).
+
+    ``recall = |approx ∩ exact| / |exact|`` per variant, reported in
+    exact integer ppm so the whole evaluation is oracle-replayable.
+    All inputs are (probe_id, neighbor_id, rank) frames as produced by
+    :func:`_topk_per_probe`; the intersection is a left-semi join on
+    (probe_id, neighbor_id) — rank-agnostic, the standard recall@k.
+
+    Scale shape: top-k frames are |probes|·k rows (already bounded);
+    each variant costs one semi join + two scalar aggregates, and the
+    output is |variants| rows.
+    """
+    out = None
+    keys = ["probe_id", "neighbor_id"]
+    tot = exact_topk.agg(F.count("*").alias("n_total"))
+    for name in sorted(variants):
+        hits = variants[name].join(exact_topk.select(*keys), keys,
+                                   "left_semi")
+        row = (hits.agg(F.count("*").alias("n_hits"))
+               .crossJoin(tot)
+               .select(F.lit(name).alias("variant"),
+                       F.col("n_hits").cast("bigint").alias("n_hits"),
+                       F.col("n_total").cast("bigint").alias("n_total"),
+                       F.floor(F.col("n_hits") * 1000000
+                               / F.col("n_total"))
+                       .cast("bigint").alias("recall_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out

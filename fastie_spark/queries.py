@@ -3047,32 +3047,38 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sha")
 
 
-@query("ann_quantized_topk", oracle=f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id,
-             nullif(sqrt(list_sum(list_transform(v, x -> x * x))), 0.0)
-               AS nrm, v
-      FROM e),
-q AS (SELECT vec_id,
-             list_transform(v, x -> coalesce(round(x / nrm * 127)::BIGINT,
-                                             0)) AS qv
-      FROM n),
-p AS (SELECT vec_id AS probe_id, qv AS pq FROM q
-      WHERE vec_id < {ANN_PROBES}),
-c AS (SELECT vec_id AS neighbor_id, qv AS nq FROM q),
-scored AS (
-  SELECT probe_id, neighbor_id,
-         list_sum(list_transform(list_zip(pq, nq),
+# scalar-quantized ranking CTEs, shared by ann_quantized_topk and the
+# ann_recall harness (sq* names collide with nothing)
+_SQ_RANKED = f"""
+sqe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sqn AS (SELECT vec_id,
+               nullif(sqrt(list_sum(list_transform(v, x -> x * x))), 0.0)
+                 AS nrm, v
+        FROM sqe),
+sqq AS (SELECT vec_id,
+               list_transform(v, x -> coalesce(
+                   round(x / nrm * 127)::BIGINT, 0)) AS qv
+        FROM sqn),
+sqp AS (SELECT vec_id AS probe_id, qv AS pq FROM sqq
+        WHERE vec_id < {ANN_PROBES}),
+sqscored AS (
+  SELECT probe_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(pq, c.qv),
                   z -> z[1] * z[2]))::BIGINT AS sim
-  FROM p, c WHERE neighbor_id != probe_id),
-ranked AS (
+  FROM sqp, sqq c WHERE c.vec_id != probe_id),
+sqranked AS (
   SELECT probe_id, neighbor_id,
          row_number() OVER (PARTITION BY probe_id
                             ORDER BY sim DESC, neighbor_id) AS rank
-  FROM scored)
+  FROM sqscored)
+"""
+
+
+@query("ann_quantized_topk", oracle=f"""
+WITH {_SQ_RANKED}
 SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
        rank::BIGINT AS rank
-FROM ranked WHERE rank <= {ANN_K}
+FROM sqranked WHERE rank <= {ANN_K}
 """)
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-index ANN: embeddings scalar-quantized to int8-range
@@ -5466,6 +5472,49 @@ def q_entity_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, cat, doc_col="doc_id", context_col="ctx", max_distance=1)
 
 
+DRIFT_SPLIT, DRIFT_BIN = 250, 8
+
+
+@query("corpus_drift", oracle=f"""
+WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+           FROM documents),
+ho AS (SELECT floor(n / {DRIFT_BIN})::BIGINT AS bin,
+              count(*) AS n_old
+       FROM b WHERE doc_id < {DRIFT_SPLIT} GROUP BY 1),
+hn AS (SELECT floor(n / {DRIFT_BIN})::BIGINT AS bin,
+              count(*) AS n_new
+       FROM b WHERE doc_id >= {DRIFT_SPLIT} GROUP BY 1),
+to_ AS (SELECT greatest(count(*), 1) AS c FROM b
+        WHERE doc_id < {DRIFT_SPLIT}),
+tn AS (SELECT greatest(count(*), 1) AS c FROM b
+       WHERE doc_id >= {DRIFT_SPLIT})
+SELECT coalesce(ho.bin, hn.bin) AS bin,
+       coalesce(n_old, 0)::BIGINT AS n_old,
+       coalesce(n_new, 0)::BIGINT AS n_new,
+       floor(coalesce(n_old, 0) * 1000000
+             / (SELECT c FROM to_))::BIGINT AS ppm_old,
+       floor(coalesce(n_new, 0) * 1000000
+             / (SELECT c FROM tn))::BIGINT AS ppm_new,
+       (floor(coalesce(n_new, 0) * 1000000 / (SELECT c FROM tn))
+        - floor(coalesce(n_old, 0) * 1000000
+                / (SELECT c FROM to_)))::BIGINT AS delta_ppm
+FROM ho FULL JOIN hn ON ho.bin = hn.bin
+""")
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus drift (quality.histogram_drift):
+    the token-length distribution of the first corpus half vs the
+    second, integer-binned, compared bin-by-bin in exact ppm — the
+    PSI-style monitoring gate of a continuously refreshed corpus.
+    Two bounded partial-agg histograms + one tiny full-outer join;
+    the corpus never shuffles at row grain."""
+    from fastie_spark.operators.quality import histogram_drift
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n"))
+    old = d.where(F.col("doc_id") < DRIFT_SPLIT)
+    new = d.where(F.col("doc_id") >= DRIFT_SPLIT)
+    return histogram_drift(old, new, "n", bin_width=DRIFT_BIN)
+
+
 @query("code_resolve", oracle=f"""
 WITH {_SRC_SQL},
 dm AS (
@@ -5675,28 +5724,34 @@ pa1 AS (
 """
 
 
-@query("ann_pq_topk", oracle=f"""
-WITH {_PQ_CHAIN},
-pp AS (SELECT vec_id AS probe_id, sub, w FROM sv
-       WHERE vec_id < {ANN_PROBES}),
-part AS (
-  SELECT pp.probe_id, pa1.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(pp.w, cb1.c),
+# PQ ADC ranking CTEs over _PQ_CHAIN, shared with the recall harness
+_PQ_RANKED = f"""
+pqp AS (SELECT vec_id AS probe_id, sub, w FROM sv
+        WHERE vec_id < {ANN_PROBES}),
+pqpart AS (
+  SELECT pqp.probe_id, pa1.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(pqp.w, cb1.c),
                   z -> z[1] * z[2]))::BIGINT AS partial
-  FROM pp
-  JOIN pa1 ON pa1.sub = pp.sub
+  FROM pqp
+  JOIN pa1 ON pa1.sub = pqp.sub
   JOIN cb1 ON cb1.sub = pa1.sub AND cb1.code = pa1.code
-  WHERE pa1.vec_id != pp.probe_id),
-scored AS (SELECT probe_id, neighbor_id, sum(partial)::BIGINT AS sim
-           FROM part GROUP BY probe_id, neighbor_id),
-ranked AS (
+  WHERE pa1.vec_id != pqp.probe_id),
+pqscored AS (SELECT probe_id, neighbor_id, sum(partial)::BIGINT AS sim
+             FROM pqpart GROUP BY probe_id, neighbor_id),
+pqranked AS (
   SELECT probe_id, neighbor_id,
          row_number() OVER (PARTITION BY probe_id
                             ORDER BY sim DESC, neighbor_id) AS rank
-  FROM scored)
+  FROM pqscored)
+"""
+
+
+@query("ann_pq_topk", oracle=f"""
+WITH {_PQ_CHAIN},
+{_PQ_RANKED}
 SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
        rank::BIGINT AS rank
-FROM ranked WHERE rank <= {ANN_K}
+FROM pqranked WHERE rank <= {ANN_K}
 """)
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: {PQ_M} per-subspace {PQ_CODES}-way
@@ -5713,6 +5768,63 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = vecs.where(F.col("vec_id") < ANN_PROBES)
     return pq_topk(vecs, probes, k=ANN_K, m=PQ_M, n_codes=PQ_CODES,
                    n_iters=2, scale=IVF_SCALE)
+
+
+@query("ann_recall", oracle=f"""
+WITH {_PQ_CHAIN},
+{_PQ_RANKED},
+{_SQ_RANKED},
+xp AS (SELECT vec_id AS probe_id, v AS pv FROM sqe
+       WHERE vec_id < {ANN_PROBES}),
+xscored AS (
+  SELECT xp.probe_id, e2.vec_id AS neighbor_id,
+         list_cosine_similarity(xp.pv, e2.v) AS sim
+  FROM xp, sqe e2 WHERE e2.vec_id != xp.probe_id),
+xranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM xscored),
+xk AS (SELECT probe_id, neighbor_id FROM xranked WHERE rank <= {ANN_K}),
+pk AS (SELECT probe_id, neighbor_id FROM pqranked
+       WHERE rank <= {ANN_K}),
+sk AS (SELECT probe_id, neighbor_id FROM sqranked
+       WHERE rank <= {ANN_K}),
+tot AS (SELECT count(*) AS c FROM xk),
+hp AS (SELECT count(*) AS c FROM pk JOIN xk
+       USING (probe_id, neighbor_id)),
+hs AS (SELECT count(*) AS c FROM sk JOIN xk
+       USING (probe_id, neighbor_id))
+SELECT 'pq' AS variant, (SELECT c FROM hp)::BIGINT AS n_hits,
+       (SELECT c FROM tot)::BIGINT AS n_total,
+       floor((SELECT c FROM hp) * 1000000
+             / (SELECT c FROM tot))::BIGINT AS recall_ppm
+UNION ALL
+SELECT 'quantized', (SELECT c FROM hs)::BIGINT,
+       (SELECT c FROM tot)::BIGINT,
+       floor((SELECT c FROM hs) * 1000000
+             / (SELECT c FROM tot))::BIGINT
+""")
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation (similarity.ann_recall_eval):
+    recall@{ANN_K} of the PQ and scalar-quantized indexes against the
+    exact cosine top-k, in exact integer ppm — the gauge every ANN
+    knob in the module is tuned by.  The oracle replays all three
+    rankings (PQ Lloyd+ADC, int8 codes, exact) and the semi-join
+    intersection, so a recall shift anywhere in the chain breaks the
+    hash."""
+    from fastie_spark.operators.similarity import (ann_recall_eval,
+                                                   cosine_topk,
+                                                   pq_topk,
+                                                   quantized_topk)
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = vecs.where(F.col("vec_id") < ANN_PROBES)
+    exact = cosine_topk(vecs, probes, k=ANN_K).localCheckpoint()
+    return ann_recall_eval(exact, {
+        "pq": pq_topk(vecs, probes, k=ANN_K, m=PQ_M, n_codes=PQ_CODES,
+                      n_iters=2, scale=IVF_SCALE),
+        "quantized": quantized_topk(vecs, probes, k=ANN_K),
+    })
 
 
 # ---------------------------------------------------------------------------

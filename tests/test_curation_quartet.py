@@ -283,3 +283,24 @@ def test_line_repetition_stats_gopher_cuts(spark):
     r3 = got[3]
     assert (r3.n_lines, r3.dup_line_ppm) == (2, 500_000)
     assert not r3.keep  # 50% dup lines breaches the 30% cut
+
+
+def test_histogram_drift_hand_values(spark):
+    """Drift gauge: shared bins difference in ppm, one-sided bins
+    zero-fill, totals are per-side shares."""
+    from fastie_spark.operators.quality import histogram_drift
+
+    old = spark.createDataFrame([(i,) for i in [0, 1, 9, 10, 17]],
+                                "n long")          # bins 0,0,1,1,2
+    new = spark.createDataFrame([(i,) for i in [2, 25, 26, 27]],
+                                "n long")          # bins 0,3,3,3
+    got = {r["bin"]: (r["n_old"], r["n_new"], r["ppm_old"],
+                      r["ppm_new"], r["delta_ppm"])
+           for r in histogram_drift(old, new, "n", bin_width=8)
+           .collect()}
+    assert got == {
+        0: (2, 1, 400000, 250000, -150000),
+        1: (2, 0, 400000, 0, -400000),
+        2: (1, 0, 200000, 0, -200000),
+        3: (0, 3, 0, 750000, 750000),
+    }

@@ -724,3 +724,25 @@ def test_pq_topk_recall_vs_brute_force(spark):
     qn = {p: {r["neighbor_id"] for r in rs} for p, rs in tops.items()}
     overlap = sum(len(ex[p] & qn[p]) for p in range(6)) / (6 * 5)
     assert overlap >= 0.3, overlap
+
+
+def test_ann_recall_eval_exact_is_million_and_bounds(spark):
+    """The recall gauge: the exact result scored against itself is
+    1.0 (1,000,000 ppm); a variant's recall is within [0, 1e6]; a
+    deliberately empty variant scores 0."""
+    from fastie_spark.operators.similarity import (ann_recall_eval,
+                                                   cosine_topk,
+                                                   pq_topk)
+
+    base = _rand_vecs(spark, n=60)
+    probes = base.where("vec_id < 5")
+    exact = cosine_topk(base, probes, k=5).localCheckpoint()
+    got = {r["variant"]: r for r in ann_recall_eval(exact, {
+        "self": exact,
+        "pq": pq_topk(base, probes, k=5, m=4, n_codes=4, dims=16),
+        "empty": exact.where("probe_id < 0"),
+    }).collect()}
+    assert got["self"]["recall_ppm"] == 1_000_000
+    assert got["self"]["n_hits"] == got["self"]["n_total"] == 25
+    assert got["empty"]["recall_ppm"] == 0
+    assert 0 <= got["pq"]["recall_ppm"] <= 1_000_000
