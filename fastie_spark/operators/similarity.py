@@ -787,3 +787,47 @@ def ann_recall_eval(exact_topk: DataFrame,
                        .cast("bigint").alias("recall_ppm")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def ivfpq_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
+               n_cells: int = 4, m: int = 4, n_codes: int = 4,
+               n_iters: int = 2, scale: int = 1000, dims: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cells: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ: the production ANN index (the FAISS IVFPQ shape) —
+    coarse cells bound the SCAN (each probe touches ~N/n_cells
+    candidates, :func:`ivf_cells`), PQ codes bound the MEMORY (m small
+    codes per vector, :func:`pq_encode`), ADC lookup tables bound the
+    per-candidate COST.  Composition of the two trained quantizers,
+    both integer-exact, so the whole index is oracle-replayable.
+
+    Relationally: the probe-side LUT (probe × sub × code partials,
+    annotated with the probe's coarse cell) broadcasts; the corpus
+    side streams (id, sub, code) rows through one broadcast join that
+    ALSO filters on cell equality — the cell restriction costs no
+    extra shuffle.  Probes must be corpus members (cell looked up by
+    id, the module's probes-⊂-corpus contract).
+    """
+    if cells is None:
+        cells = ivf_cells(vectors, n_cells=n_cells, n_iters=n_iters,
+                          scale=scale, id_col=id_col, vec_col=vec_col)
+    codes, cb = pq_encode(vectors, m, n_codes, n_iters, scale, dims,
+                          id_col, vec_col)
+    psub = _pq_subvectors(probes, m, dims, scale, id_col, vec_col,
+                          out_id="probe_id")
+    pcell = cells.select(F.col(id_col).alias("probe_id"),
+                         F.col("cell").alias("pcell"))
+    lut = (psub.join(F.broadcast(cb), "sub")
+           .select("probe_id", "sub", "code",
+                   F.expr("aggregate(zip_with(w, c, (x, y) -> x * y), "
+                          "cast(0 as bigint), (a, v) -> a + v)")
+                   .alias("partial"))
+           .join(F.broadcast(pcell), "probe_id"))
+    ncell = cells.select(F.col(id_col).alias("id"), "cell")
+    part = (codes.join(ncell, "id")
+            .join(F.broadcast(lut), ["sub", "code"])
+            .where((F.col("cell") == F.col("pcell"))
+                   & (F.col("id") != F.col("probe_id"))))
+    scored = (part.groupBy("probe_id", F.col("id").alias("neighbor_id"))
+              .agg(F.sum("partial").alias("sim")))
+    return _topk_per_probe(scored, k)

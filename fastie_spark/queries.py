@@ -5678,12 +5678,18 @@ def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M, PQ_CODES, PQ_DSUB = 4, 4, 16  # 64 dims → 4 subspaces × 16
 
-_PQ_CHAIN = f"""
+# the integer-quantized vector frame both Lloyd chains consume;
+# _IVF_CHAIN embeds the identical definition under the same name, so
+# a combined oracle (ann_ivfpq_topk) includes it exactly once
+_PQ_E = f"""
 e AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> round(x * {IVF_SCALE})::BIGINT) AS w
-  FROM embeddings),
+  FROM embeddings)
+"""
+
+_PQ_CHAIN_BODY = f"""
 sv AS (
   SELECT vec_id, s.s AS sub,
          w[(s.s * {PQ_DSUB} + 1):((s.s + 1) * {PQ_DSUB})] AS w
@@ -5721,6 +5727,11 @@ pa1 AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                                  ORDER BY d2, code) AS rn FROM ps1)
   WHERE rn = 1)
+"""
+
+_PQ_CHAIN = f"""
+{_PQ_E},
+{_PQ_CHAIN_BODY}
 """
 
 
@@ -5825,6 +5836,49 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_iters=2, scale=IVF_SCALE),
         "quantized": quantized_topk(vecs, probes, k=ANN_K),
     })
+
+
+@query("ann_ivfpq_topk", oracle=f"""
+WITH {_IVF_CHAIN},
+{_PQ_CHAIN_BODY},
+vqp AS (SELECT vec_id AS probe_id, sub, w FROM sv
+        WHERE vec_id < {ANN_PROBES}),
+vqpc AS (SELECT vqp.*, a1.cell AS pcell
+         FROM vqp JOIN a1 ON a1.vec_id = vqp.probe_id),
+vpart AS (
+  SELECT vqpc.probe_id, pa1.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(vqpc.w, cb1.c),
+                  z -> z[1] * z[2]))::BIGINT AS partial
+  FROM vqpc
+  JOIN pa1 ON pa1.sub = vqpc.sub
+  JOIN cb1 ON cb1.sub = pa1.sub AND cb1.code = pa1.code
+  JOIN a1 nc ON nc.vec_id = pa1.vec_id AND nc.cell = vqpc.pcell
+  WHERE pa1.vec_id != vqpc.probe_id),
+vscored AS (SELECT probe_id, neighbor_id, sum(partial)::BIGINT AS sim
+            FROM vpart GROUP BY 1, 2),
+vranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM vscored)
+SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank
+FROM vranked WHERE rank <= {ANN_K}
+""")
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (similarity.ivfpq_topk — the FAISS IVFPQ
+    shape): coarse cells bound the scan, PQ codes bound the index
+    memory, broadcast ADC LUTs bound per-candidate cost; the cell
+    restriction rides the same broadcast join, adding zero shuffles
+    over plain PQ.  The oracle runs BOTH trained quantizer chains
+    (shared CTE bodies with ann_ivf_cells / ann_pq_topk — one source
+    of truth each) plus the cell-filtered ADC ranking."""
+    from fastie_spark.operators.similarity import ivfpq_topk
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = vecs.where(F.col("vec_id") < ANN_PROBES)
+    return ivfpq_topk(vecs, probes, k=ANN_K, n_cells=IVF_CELLS,
+                      m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+                      scale=IVF_SCALE)
 
 
 # ---------------------------------------------------------------------------

@@ -746,3 +746,27 @@ def test_ann_recall_eval_exact_is_million_and_bounds(spark):
     assert got["self"]["n_hits"] == got["self"]["n_total"] == 25
     assert got["empty"]["recall_ppm"] == 0
     assert 0 <= got["pq"]["recall_ppm"] <= 1_000_000
+
+
+def test_ivfpq_topk_cell_restriction_and_recall(spark):
+    """IVF-PQ: every returned neighbor shares the probe's coarse cell;
+    within the cell the ranking is exactly the PQ ADC order (planted
+    exact duplicate — same cell, same code word — appears in top-k)."""
+    from fastie_spark.operators.similarity import ivf_cells, ivfpq_topk
+
+    base = _rand_vecs(spark, n=60)
+    corpus = base.union(
+        base.where("vec_id < 4")
+        .selectExpr("vec_id + 1000 as vec_id", "embedding"))
+    probes = base.where("vec_id < 4")
+    out = ivfpq_topk(corpus, probes, k=5, n_cells=3, m=4, n_codes=4,
+                     dims=16).collect()
+    cells = {r["vec_id"]: r["cell"]
+             for r in ivf_cells(corpus, n_cells=3,
+                                scale=1000).collect()}
+    tops = {}
+    for r in out:
+        tops.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        assert cells[r["neighbor_id"]] == cells[r["probe_id"]]
+    for p in range(4):
+        assert p + 1000 in tops[p], (p, tops[p])

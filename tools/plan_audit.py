@@ -106,6 +106,9 @@ AUDIT = [
     ("kg_asof", "as-of snapshot: interval filter over history"),
     ("kg_toposort", "SCC + condensation layers: keyed label loops"),
     ("code_resolve", "symbol resolution: pre-agg sides, bcast catalog"),
+    ("kg_history_delta", "SCD2 merge: key-grain splits, open-row stitch"),
+    ("corpus_drift", "ppm drift: bounded histograms, tiny outer join"),
+    ("ann_recall", "recall gauge: semi joins over bounded top-k"),
 ]
 
 
