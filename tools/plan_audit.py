@@ -109,6 +109,7 @@ AUDIT = [
     ("kg_history_delta", "SCD2 merge: key-grain splits, open-row stitch"),
     ("corpus_drift", "ppm drift: bounded histograms, tiny outer join"),
     ("ann_recall", "recall gauge: semi joins over bounded top-k"),
+    ("ann_ivfpq_topk", "IVF-PQ: cell filter rides the ADC bcast join"),
 ]
 
 
