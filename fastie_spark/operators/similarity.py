@@ -477,30 +477,68 @@ def quantized_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
 def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
              n_cells: int = 4, n_iters: int = 2, scale: int = 1000,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             cells: DataFrame | None = None) -> DataFrame:
+             cells: DataFrame | None = None,
+             n_probe_cells: int = 1) -> DataFrame:
     """IVF search: exact cosine top-k restricted to the probe's coarse
-    cell — the IVF counterpart of :func:`lsh_topk` (cell = partition
-    key; each probe scans ~N/n_cells candidates instead of the corpus).
+    cell(s) — the IVF counterpart of :func:`lsh_topk` (cell =
+    partition key; each probe scans ~nprobe·N/n_cells candidates
+    instead of the corpus).
+
+    ``n_probe_cells`` is the standard IVF recall knob (FAISS nprobe):
+    with 1 the probe scans only its own cell; with p > 1 it scans its
+    p nearest cells by integer centroid distance (ties → smaller cell
+    id), recovering true neighbors that fell just across a cell
+    boundary.  Work grows linearly in p; because recall candidates
+    are ranked by EXACT cosine, recall@k is monotone non-decreasing
+    in p (a displacing candidate with higher sim is itself a true
+    top-k member).
 
     ``cells`` defaults to :func:`ivf_cells` over ``vectors``; probes
-    must be corpus members (their cell is looked up by id — the same
-    probes-⊂-corpus contract as the driver's ANN queries).  Ranking is
-    the two-level bounded top-k, deterministic tie-break
-    (sim DESC, neighbor_id ASC).
+    must be corpus members (their cell membership is looked up by id
+    for p = 1; centroid ranking quantizes the probe exactly as the
+    corpus was).  Ranking is the two-level bounded top-k,
+    deterministic tie-break (sim DESC, neighbor_id ASC).
     """
+    centroids = None
     if cells is None:
-        cells = ivf_cells(vectors, n_cells=n_cells, n_iters=n_iters,
-                          scale=scale, id_col=id_col, vec_col=vec_col)
+        if n_probe_cells > 1:
+            cells, centroids = ivf_cells(
+                vectors, n_cells=n_cells, n_iters=n_iters, scale=scale,
+                id_col=id_col, vec_col=vec_col, return_centroids=True)
+        else:
+            cells = ivf_cells(vectors, n_cells=n_cells, n_iters=n_iters,
+                              scale=scale, id_col=id_col,
+                              vec_col=vec_col)
+    elif n_probe_cells > 1:
+        _, centroids = ivf_cells(
+            vectors, n_cells=n_cells, n_iters=n_iters, scale=scale,
+            id_col=id_col, vec_col=vec_col, return_centroids=True)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     ).join(cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
            "neighbor_id")
+    if n_probe_cells == 1:
+        pcells = cells.select(F.col(id_col).alias("probe_id"), "cell")             .join(probes.select(F.col(id_col).alias("probe_id")),
+                  "probe_id")
+    else:
+        pw = probes.select(
+            F.col(id_col).cast("bigint").alias("probe_id"),
+            F.expr(f"transform(cast({vec_col} as array<double>), "
+                   f"x -> cast(round(x * {scale}) as bigint))")
+            .alias("w"))
+        dist = ("aggregate(zip_with(w, c, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as bigint), (acc, v) -> acc + v)")
+        win = Window.partitionBy("probe_id").orderBy("d2", "cell")
+        pcells = (pw.join(F.broadcast(centroids))
+                  .withColumn("d2", F.expr(dist))
+                  .withColumn("rn", F.row_number().over(win))
+                  .where(F.col("rn") <= n_probe_cells)
+                  .select("probe_id", "cell"))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pv"),
-    ).join(cells.select(F.col(id_col).alias("probe_id"), "cell"),
-           "probe_id")
+    ).join(pcells, "probe_id")
     scored = (
         v.join(F.broadcast(p), "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -512,7 +550,8 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
 
 def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
               scale: int = 1000, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              return_centroids: bool = False):
     """IVF coarse quantizer: deterministic integer Lloyd iterations.
 
     The brief's IVF ANN path needs a k-means cell per vector.  Floats
@@ -558,9 +597,10 @@ def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
         F.expr(f"row_number() over (order by id) - 1").alias("cell"),
         F.col("w").alias("c"),
     )
-    assigned = None
+    assigned = used_centroids = None
     for _ in range(n_iters):
         assigned = assign(centroids)
+        used_centroids = centroids
         centroids = (
             assigned.select(
                 "cell", F.posexplode("w").alias("d", "val"))
@@ -572,7 +612,12 @@ def ivf_cells(vectors: DataFrame, n_cells: int = 4, n_iters: int = 2,
                 "transform(sort_array(collect_list(struct(d, m))), "
                 "s -> s.m)").alias("c"))
         )
-    return assigned.select(F.col("id").alias(id_col), "cell")
+    out = assigned.select(F.col("id").alias(id_col), "cell")
+    if return_centroids:
+        # the centroid table that PRODUCED the final assignment — what
+        # multi-cell probing must rank against
+        return out, used_centroids
+    return out
 
 
 def semdedup(vectors: DataFrame, n_cells: int = 4, tau: int = 5000,

@@ -5881,6 +5881,51 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       scale=IVF_SCALE)
 
 
+IVF_NPROBE = 2
+
+
+@query("ann_ivf_nprobe", oracle=f"""
+WITH {_IVF_CHAIN},
+ne AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+npc AS (SELECT vec_id AS probe_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cell) AS rn
+  FROM s1 WHERE vec_id < {ANN_PROBES}) WHERE rn <= {IVF_NPROBE}),
+np AS (SELECT npc.probe_id, npc.cell, ne.v AS pv
+       FROM npc JOIN ne ON ne.vec_id = npc.probe_id),
+nc AS (SELECT a.vec_id AS neighbor_id, a.cell, ne.v AS nv
+       FROM a1 a JOIN ne ON ne.vec_id = a.vec_id),
+nscored AS (
+  SELECT np.probe_id, nc.neighbor_id,
+         list_cosine_similarity(np.pv, nc.nv) AS sim
+  FROM np JOIN nc ON np.cell = nc.cell
+                 AND nc.neighbor_id != np.probe_id),
+nranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM nscored)
+SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank
+FROM nranked WHERE rank <= {ANN_K}
+""")
+def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with multi-cell probing (nprobe = {IVF_NPROBE}, the
+    standard FAISS recall knob): each probe scans its {IVF_NPROBE}
+    nearest cells by integer centroid distance, recovering neighbors
+    that fell just across a cell boundary; work grows linearly in
+    nprobe and recall@k is provably monotone in it (candidates rank
+    by exact cosine).  The oracle reuses the shared Lloyd chain's s1
+    distance frame for the probe-side cell ranking."""
+    from fastie_spark.operators.similarity import ivf_topk
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = vecs.where(F.col("vec_id") < ANN_PROBES)
+    return ivf_topk(vecs, probes, k=ANN_K, n_cells=IVF_CELLS,
+                    n_iters=2, scale=IVF_SCALE,
+                    n_probe_cells=IVF_NPROBE)
+
+
 # ---------------------------------------------------------------------------
 # directed graph analytics over the code call graph (r4): strongly
 # connected components (mutual recursion groups) + condensation

@@ -770,3 +770,28 @@ def test_ivfpq_topk_cell_restriction_and_recall(spark):
         assert cells[r["neighbor_id"]] == cells[r["probe_id"]]
     for p in range(4):
         assert p + 1000 in tops[p], (p, tops[p])
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """Multi-cell probing: nprobe=2 candidates are a superset of
+    nprobe=1 per probe (own cell is always rank-1 in the cell
+    ranking), and recall vs exact cosine is monotone non-decreasing
+    in nprobe."""
+    from fastie_spark.operators.similarity import (ann_recall_eval,
+                                                   cosine_topk,
+                                                   ivf_topk)
+
+    base = _rand_vecs(spark, n=70)
+    probes = base.where("vec_id < 6")
+    exact = cosine_topk(base, probes, k=5).localCheckpoint()
+    r = {v["variant"]: v["recall_ppm"]
+         for v in ann_recall_eval(exact, {
+             "p1": ivf_topk(base, probes, k=5, n_cells=4),
+             "p2": ivf_topk(base, probes, k=5, n_cells=4,
+                            n_probe_cells=2),
+             "p4": ivf_topk(base, probes, k=5, n_cells=4,
+                            n_probe_cells=4),
+         }).collect()}
+    assert r["p1"] <= r["p2"] <= r["p4"]
+    # scanning ALL cells = brute force = perfect recall
+    assert r["p4"] == 1_000_000
