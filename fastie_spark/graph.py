@@ -261,7 +261,8 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
                      n_partitions: int | None = None,
                      checkpoint_dir: str | None = None,
                      resume: bool = False,
-                     checkpoint_every: int = 8) -> DataFrame:
+                     checkpoint_every: int = 8,
+                     seeds: DataFrame | None = None) -> DataFrame:
     """Deterministic integer PageRank over an edge list — KG entity
     salience via the same iterative-join machinery as
     :func:`connected_components` (GraphFrames-style rounds, no library).
@@ -292,6 +293,15 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
     snapshots (``e_od``, ``nodes``, ``ranks_NNNN``) and ``resume=True``
     restarts from the latest committed rank vector.  Output:
     (node, rank).
+
+    ``seeds`` switches to **personalized PageRank** (random walk with
+    restart): the teleport mass lands ONLY on the seed set — r₀ =
+    scale on seeds / 0 elsewhere, and the per-round base term is
+    seed-conditional.  Salience becomes *relative to the seeds* (the
+    entities of one repo, one query's expansion set, one user's
+    context) — the standard KG relevance-expansion primitive.  The
+    seed flag rides the existing rank-vector join as one broadcast
+    left-semi annotation; cost per round is unchanged.
     """
     spark = edges.sparkSession
     if n_partitions is None:
@@ -323,18 +333,32 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
         start = done
     else:
         ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
+    if seeds is not None:
+        sflag = (seeds.select("node").distinct()
+                 .withColumn("is_seed", F.lit(True)))
+        nodes = (nodes.join(F.broadcast(sflag), "node", "left")
+                 .select("node", F.coalesce("is_seed", F.lit(False))
+                         .alias("is_seed"))
+                 .localCheckpoint())
+        if start == 0:
+            ranks = nodes.select(
+                "node",
+                F.when(F.col("is_seed"), F.lit(scale)).otherwise(0)
+                .cast("bigint").alias("r"))
     for i in range(start, n_iters):
         contrib = (
             e_od.join(ranks.withColumnRenamed("node", "u"), "u")
             .select("v", F.expr("r div od").alias("c"))
             .groupBy("v").agg(F.sum("c").alias("s"))
         )
+        base_col = (F.lit(base) if seeds is None else
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(0))
         ranks = (
             nodes.join(contrib.withColumnRenamed("v", "node"),
                        "node", "left")
             .select(
                 "node",
-                (F.lit(base)
+                (base_col
                  + F.expr(f"({damp_num} * coalesce(s, 0)) div 100"))
                 .cast("bigint").alias("r"),
             )

@@ -1548,15 +1548,26 @@ PR_ITERS = 3
 
 
 def _pagerank_cte_chain(n_iters: int, scale: int,
-                        damp_num: int = 85) -> str:
+                        damp_num: int = 85,
+                        seed_pred: str | None = None) -> str:
     """Unrolled integer-PageRank rounds (graph.pagerank_integer) as
     DuckDB CTEs over ``ed`` (src, dst) — each round is the identical
-    floor-div expression the Spark loop evaluates."""
+    floor-div expression the Spark loop evaluates.  ``seed_pred``
+    (a SQL predicate template over a ``{col}`` node-column placeholder,
+    e.g. ``"length({col}) % 3 = 0"``) switches to the personalized
+    variant: r0 and the per-round base term apply only where it
+    holds."""
     base = (100 - damp_num) * scale // 100
+    r0 = (f"{scale}::BIGINT" if seed_pred is None else
+          f"(CASE WHEN {seed_pred.format(col='n')} THEN {scale} "
+          f"ELSE 0 END)::BIGINT")
     parts = [f"""
 nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
 outd AS (SELECT src, count(*)::BIGINT AS od FROM ed GROUP BY src),
-r0 AS (SELECT n, {scale}::BIGINT AS r FROM nodes)"""]
+r0 AS (SELECT n, {r0} AS r FROM nodes)"""]
+    base_t = (str(base) if seed_pred is None else
+              f"(CASE WHEN {seed_pred.format(col='nodes.n')} "
+              f"THEN {base} ELSE 0 END)")
     for i in range(1, n_iters + 1):
         parts.append(f"""
 c{i} AS (SELECT ed.dst AS n, sum(r{i-1}.r // outd.od)::BIGINT AS s
@@ -1564,7 +1575,7 @@ c{i} AS (SELECT ed.dst AS n, sum(r{i-1}.r // outd.od)::BIGINT AS s
                JOIN outd ON outd.src = ed.src
        GROUP BY ed.dst),
 r{i} AS (SELECT nodes.n,
-              ({base} + ({damp_num} * coalesce(c{i}.s, 0)) // 100)::BIGINT
+              ({base_t} + ({damp_num} * coalesce(c{i}.s, 0)) // 100)::BIGINT
                   AS r
        FROM nodes LEFT JOIN c{i} ON c{i}.n = nodes.n)""")
     return ",".join(parts)
@@ -1586,6 +1597,40 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = t.select(F.col("subj_text").alias("src"),
                      F.col("obj_text").alias("dst"))
     pr = pagerank_integer(edges, n_iters=PR_ITERS, scale=PR_SCALE)
+    return pr.select(F.col("node").alias("entity"),
+                     F.col("rank").cast("bigint").alias("rank"))
+
+
+# deterministic seed choice for the personalized-PageRank contract:
+# a text-derived predicate both engines evaluate identically (ASCII
+# entity strings), selecting ~1/3 of the nodes — enough seeds to
+# spread mass, enough non-seeds to prove the teleport term is gated
+_PPR_SEED_PRED = "length({col}) % 3 = 0"
+
+
+@query("kg_pagerank_seeded", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+ed AS (SELECT DISTINCT subj_text AS src, obj_text AS dst FROM base),
+{_pagerank_cte_chain(PR_ITERS, PR_SCALE, seed_pred=_PPR_SEED_PRED)}
+SELECT n AS entity, r::BIGINT AS rank FROM r{PR_ITERS}
+""")
+def q_kg_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    flagship triple graph: teleport mass lands only on the seed set
+    (here the deterministic text predicate ``length(entity) %% 3 = 0``),
+    so ranks measure salience RELATIVE to the seeds — the KG
+    relevance-expansion primitive (seed = a repo's entities, a query's
+    expansion set).  Same integer floor-div rounds as ``kg_pagerank``;
+    the oracle unrolls them with the seed-gated base term."""
+    from fastie_spark.graph import pagerank_integer
+    t = _triples(spark, sf_dir)
+    edges = t.select(F.col("subj_text").alias("src"),
+                     F.col("obj_text").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct())
+    seeds = nodes.filter(F.length("node") % 3 == 0)
+    pr = pagerank_integer(edges, n_iters=PR_ITERS, scale=PR_SCALE,
+                          seeds=seeds)
     return pr.select(F.col("node").alias("entity"),
                      F.col("rank").cast("bigint").alias("rank"))
 
@@ -6438,6 +6483,15 @@ _OVER_CAP_TAIL = ["simhash_pairs", "dedup_ngram_jaccard", "lang_id",
                                         # candidate — a strict
                                         # superset of the per-triple
                                         # scoring path
+                  "kg_pagerank_seeded",  # late-r4 personalized variant
+                                         # (registers next to
+                                         # kg_pagerank in the file;
+                                         # moved to the tail so it does
+                                         # not displace a first-check
+                                         # window slot — same machinery
+                                         # as the rotated kg_pagerank,
+                                         # CI-gated like the rest of
+                                         # the tail)
                   ]
 # Late-r4 additions past the cap (kg_hearst .. entity_disambiguate,
 # ann_pq_topk, kg_scc, kg_toposort, kg_history, kg_asof) register

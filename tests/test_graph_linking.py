@@ -108,6 +108,40 @@ def test_pagerank_integer_matches_eager_loop(spark):
     assert got[0] == got[1] == got[4] == 150    # no in-links → base only
 
 
+def test_personalized_pagerank_confines_teleport_mass(spark):
+    """Seeded (personalized) PageRank: teleport mass lands only on the
+    seed set, so a component DISCONNECTED from every seed must rank
+    exactly 0, non-seed nodes get no base term (inflow only), and the
+    seeded run equals an eager replay of the seed-gated recurrence."""
+    from fastie_spark.graph import pagerank_integer
+
+    # component A: 0→1→2→0 cycle; component B (no seeds): 10→11, 11→10
+    E = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)]
+    SEEDS = [0]
+    edges = spark.createDataFrame(E, "src: long, dst: long")
+    seeds = spark.createDataFrame([(s,) for s in SEEDS], "node: long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_integer(edges, n_iters=3, scale=1000,
+                                     seeds=seeds).collect()}
+
+    nodes = sorted({u for e in E for u in e})
+    outd = {}
+    for u, _ in E:
+        outd[u] = outd.get(u, 0) + 1
+    r = {n: (1000 if n in SEEDS else 0) for n in nodes}
+    for _ in range(3):
+        s = {n: 0 for n in nodes}
+        for u, v in E:
+            s[v] += r[u] // outd[u]
+        r = {n: (150 if n in SEEDS else 0) + (85 * s[n]) // 100
+             for n in nodes}
+    assert got == r
+    assert got[10] == got[11] == 0      # unreachable from seeds → 0
+    assert got[0] > 0 and got[1] > 0    # seed + downstream carry mass
+    # the walk decays away from the restart node
+    assert got[0] > got[1] > got[2] > 0
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
