@@ -473,6 +473,44 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
     return dist
 
 
+def transitive_closure(edges: DataFrame, max_depth: int,
+                       src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded transitive closure of a directed edge list — the KG
+    ontology-reasoning primitive: over ``isa``/containment edges the
+    output (node, ancestor, depth) is every ancestor each entity
+    inherits, depth = length of the SHORTEST directed path (1 ≤ depth
+    ≤ ``max_depth``).  Subsumption queries ("all entities under type
+    T"), type inheritance, and hierarchy roll-ups are point lookups /
+    joins against this table.
+
+    All-sources level-synchronous BFS: round *i* extends ONLY the
+    pairs first discovered at depth *i−1* (one equi-join on the
+    ancestor column + one min-depth partial agg per round) — a pair
+    already known at a smaller depth never re-enters the frontier, so
+    total join work is O(closure · avg-outdeg) and CYCLES terminate
+    naturally (re-walking a cycle can only produce depths that lose
+    the min fold).  Fixed small ``max_depth`` → linear lineage, one
+    job (the :func:`pagerank_integer` argument).  Self-reach rows
+    (node, node, cycle-length) are kept: they are exactly the "entity
+    sits on a cycle ≤ depth" flag a taxonomy validator wants.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint())
+    closure = e.select(F.col("u").alias("node"),
+                       F.col("v").alias("anc"),
+                       F.lit(1).cast("bigint").alias("depth"))
+    for i in range(2, max_depth + 1):
+        frontier = closure.where(F.col("depth") == i - 1)
+        nxt = (frontier.join(e, frontier["anc"] == e["u"])
+               .select(frontier["node"], F.col("v").alias("anc"),
+                       F.lit(i).cast("bigint").alias("depth")))
+        closure = (closure.union(nxt)
+                   .groupBy("node", "anc")
+                   .agg(F.min("depth").alias("depth")))
+    return closure
+
+
 def propagate_labels(edges: DataFrame, seeds: DataFrame,
                      n_rounds: int = 2, src: str = "src",
                      dst: str = "dst", node_col: str = "node",

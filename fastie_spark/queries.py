@@ -6087,6 +6087,55 @@ def q_kg_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_members")))
 
 
+ISA_DEPTH = 3  # the containment hierarchy is 3 levels deep (O→C→N→R)
+
+
+@query("kg_isa_closure", oracle=f"""
+WITH RECURSIVE
+ed AS (
+  SELECT 'O:' || o_orderkey AS s, 'C:' || o_custkey AS d FROM orders
+  UNION ALL SELECT 'C:' || c_custkey, 'N:' || c_nationkey FROM customer
+  UNION ALL SELECT 'S:' || s_suppkey, 'N:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'N:' || n_nationkey, 'R:' || n_regionkey FROM nation),
+e AS (SELECT DISTINCT s, d FROM ed WHERE s <> d),
+walk(x, a, dp) AS (
+  SELECT s, d, 1 FROM e
+  UNION
+  SELECT w.x, e.d, w.dp + 1 FROM walk w JOIN e ON e.s = w.a
+  WHERE w.dp < {ISA_DEPTH})
+SELECT x AS node, a AS ancestor, min(dp)::BIGINT AS depth
+FROM walk GROUP BY 1, 2
+""")
+def q_kg_isa_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology reasoning: bounded transitive closure
+    (graph.transitive_closure) of the genuine containment hierarchy in
+    the relational tables — order ``isa``-under customer ``isa``-under
+    nation ``isa``-under region (suppliers join at the nation level) —
+    so every entity's full ancestor set materializes with its
+    shortest-path depth.  Subsumption ("all orders under region R"),
+    inherited types, and hierarchy roll-ups become joins against this
+    table.  Level-synchronous BFS from all sources at once: {ISA_DEPTH}
+    rounds of frontier-extend + min-depth fold; the oracle is the
+    depth-bounded recursive CTE over the same edge set."""
+    from fastie_spark.graph import transitive_closure
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tag = lambda p, k: F.concat(F.lit(p), F.col(k).cast("string"))  # noqa: E731
+    edges = (
+        o.select(tag("O:", "o_orderkey").alias("src"),
+                 tag("C:", "o_custkey").alias("dst"))
+        .unionByName(c.select(tag("C:", "c_custkey").alias("src"),
+                              tag("N:", "c_nationkey").alias("dst")))
+        .unionByName(s.select(tag("S:", "s_suppkey").alias("src"),
+                              tag("N:", "s_nationkey").alias("dst")))
+        .unionByName(n.select(tag("N:", "n_nationkey").alias("src"),
+                              tag("R:", "n_regionkey").alias("dst"))))
+    tc = transitive_closure(edges, max_depth=ISA_DEPTH)
+    return tc.select("node", F.col("anc").alias("ancestor"), "depth")
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

@@ -142,6 +142,30 @@ def test_personalized_pagerank_confines_teleport_mass(spark):
     assert got[0] > got[1] > got[2] > 0
 
 
+def test_transitive_closure_min_depth_and_cycles(spark):
+    """Bounded closure: a diamond must record each ancestor at its
+    SHORTEST depth, depth never exceeds the bound, and a cycle
+    terminates with self-reach rows at the cycle length."""
+    from fastie_spark.graph import transitive_closure
+
+    # diamond 1→{2,3}→4→5  plus a 2-cycle 10↔11
+    E = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (10, 11), (11, 10)]
+    edges = spark.createDataFrame(E, "src: long, dst: long")
+    got = {(r["node"], r["anc"]): r["depth"]
+           for r in transitive_closure(edges, max_depth=3).collect()}
+    assert got[(1, 4)] == 2          # via either diamond arm, not 3
+    assert got[(1, 5)] == 3
+    assert got[(2, 5)] == 2
+    assert (1, 1) not in got         # no self-reach without a cycle
+    assert got[(10, 10)] == 2        # cycle → self-reach at its length
+    assert got[(10, 11)] == 1
+    assert max(got.values()) <= 3
+    # depth bound binds: at max_depth=2 the (1,5) pair must not exist
+    got2 = {(r["node"], r["anc"]): r["depth"]
+            for r in transitive_closure(edges, max_depth=2).collect()}
+    assert (1, 5) not in got2 and got2[(1, 4)] == 2
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
