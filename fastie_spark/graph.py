@@ -643,6 +643,75 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     )
 
 
+def neighbor_jaccard(edges: DataFrame, max_degree: int | None = None,
+                     min_common: int = 1, scale: int = 1_000_000,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Structural node similarity over the undirected simple graph:
+    for every pair (a, b), a < b, sharing ≥ ``min_common`` neighbors,
+    the neighborhood-Jaccard  |N(a)∩N(b)| / |N(a)∪N(b)|  as a scaled
+    integer — the KG entity-resolution signal MinHash can't give you
+    (two nodes are duplicate *entities* when they relate to the same
+    THINGS, regardless of their surface strings), and the
+    link-prediction/common-neighbors baseline.
+
+    Co-pivot enumeration, all relational: pairs come from the
+    self-equi-join of the adjacency list on the shared NEIGHBOR (one
+    shuffle keyed by pivot), common counts from a partial agg, and the
+    union denominator from two degree-table joins — no task ever holds
+    a full neighborhood.  The quadratic hazard is a hub pivot (a
+    neighbor of degree d yields d² pair rows), so ``max_degree`` drops
+    hot PIVOTS before the self-join — the ``max_df`` guard of
+    n-gram-Jaccard dedup transplanted to graphs: hub-mediated overlap
+    (everyone relates to the same mega-entity) is exactly the
+    similarity evidence you don't want, and the dropped-pivot count is
+    logged.  Degrees in the denominator stay FULL degrees, so the
+    guarded score only under-counts — a candidate filter, never a
+    false accept.  Output: (a, b, common, deg_a, deg_b, jac_ppm) with
+    jac_ppm = common·scale ∕ (deg_a + deg_b − common), floor div.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
+           .where(F.col("u") != F.col("v")).distinct()
+           # reused by the degree census, the pivot filter, and both
+           # denominator joins — cut once so an expensive upstream
+           # (e.g. a similarity join) runs once
+           .localCheckpoint())
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    piv = sym.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    if max_degree is not None:
+        hot = deg.where(F.col("d") > max_degree)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+            logging.getLogger(__name__).warning(
+                "neighbor_jaccard: dropping %d hub pivots "
+                "(degree > %d); scores under-count hub-mediated "
+                "overlap", n_hot, max_degree)
+        piv = piv.join(hot.select(F.col("u").alias("w")), "w",
+                       "left_anti")
+    pairs = (
+        piv.alias("l").join(piv.alias("r"),
+                            (F.col("l.w") == F.col("r.w"))
+                            & (F.col("l.x") < F.col("r.x")))
+        .groupBy(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return (
+        pairs
+        .join(deg.select(F.col("u").alias("a"),
+                         F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"),
+                         F.col("d").alias("deg_b")), "b")
+        .select("a", "b", F.col("common").cast("bigint").alias("common"),
+                F.col("deg_a").cast("bigint").alias("deg_a"),
+                F.col("deg_b").cast("bigint").alias("deg_b"),
+                F.expr(f"cast(common * {scale} as bigint) div "
+                       "(deg_a + deg_b - common)").alias("jac_ppm"))
+    )
+
+
 def mine_rules(facts: DataFrame, min_support: int = 1,
                max_fanout: int | None = None,
                conf_scale: int = 1_000_000,

@@ -6136,6 +6136,52 @@ def q_kg_isa_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.select("node", F.col("anc").alias("ancestor"), "depth")
 
 
+NS_MAXD = 16  # hub-pivot guard for the node-similarity self-join
+
+
+@query("graph_node_sim", oracle=f"""
+WITH {_bucket_cte(CC_LSH_PLANES)},
+und AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+sym AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY u),
+piv AS (SELECT s.u AS w, s.v AS x FROM sym s JOIN deg ON deg.u = s.u
+        WHERE deg.d <= {NS_MAXD}),
+pairs AS (
+  SELECT l.x AS a, r.x AS b, count(*)::BIGINT AS common
+  FROM piv l JOIN piv r ON l.w = r.w AND l.x < r.x
+  GROUP BY 1, 2)
+SELECT p.a::BIGINT AS a, p.b::BIGINT AS b, p.common,
+       da.d AS deg_a, db.d AS deg_b,
+       ((p.common * 1000000) // (da.d + db.d - p.common))::BIGINT
+         AS jac_ppm
+FROM pairs p JOIN deg da ON da.u = p.a JOIN deg db ON db.u = p.b
+""")
+def q_graph_node_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity (graph.neighbor_jaccard)
+    over the LSH near-dup graph — SECOND-ORDER duplicate evidence (two
+    docs whose near-dup neighborhoods overlap belong to the same
+    cluster even if their own edge fell below threshold) and the
+    common-neighbors link-prediction baseline; on a KG edge list the
+    same operator is the structural entity-resolution signal.
+    Co-pivot self-join with the hub-pivot guard at {NS_MAXD}; the
+    oracle replays pivoting, guard, counts, and the floor-div ppm
+    score."""
+    from fastie_spark.graph import neighbor_jaccard
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    return neighbor_jaccard(edges, max_degree=NS_MAXD).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "common", "deg_a", "deg_b", "jac_ppm")
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

@@ -166,6 +166,47 @@ def test_transitive_closure_min_depth_and_cycles(spark):
     assert (1, 5) not in got2 and got2[(1, 4)] == 2
 
 
+def test_neighbor_jaccard_matches_bruteforce_and_guard_binds(spark):
+    """Unguarded neighborhood-Jaccard equals a driver-side brute-force
+    over neighbor sets; with a hub-degree guard, hub-MEDIATED common
+    counts vanish while full degrees stay in the denominator."""
+    from fastie_spark.graph import neighbor_jaccard
+
+    # hub 100 touches 1..5; besides that, 1-2 share neighbor 50,
+    # 1-2-3 share neighbor 60
+    E = [(100, i) for i in range(1, 6)]
+    E += [(50, 1), (50, 2), (60, 1), (60, 2), (60, 3)]
+    edges = spark.createDataFrame(E, "src: long, dst: long")
+
+    nbrs = {}
+    for u, v in E:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    exp = {}
+    ns = sorted(nbrs)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            common = len(nbrs[a] & nbrs[b])
+            if common:
+                exp[(a, b)] = (common, len(nbrs[a]), len(nbrs[b]),
+                               common * 1_000_000
+                               // len(nbrs[a] | nbrs[b]))
+    got = {(r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"],
+                              r["jac_ppm"])
+           for r in neighbor_jaccard(edges).collect()}
+    assert got == exp
+
+    # guard at 4: hub 100 (deg 5) dropped as pivot → (4,5)'s only
+    # common neighbor was the hub, so the pair disappears; (1,2) keeps
+    # common from 50 and 60 but loses the hub's contribution, while
+    # degrees stay FULL
+    g = {(r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"])
+         for r in neighbor_jaccard(edges, max_degree=4).collect()}
+    assert (4, 5) not in g
+    assert g[(1, 2)] == (2, 3, 3)       # was common=3 unguarded
+    assert exp[(1, 2)][0] == 3
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
