@@ -712,6 +712,49 @@ def neighbor_jaccard(edges: DataFrame, max_degree: int | None = None,
     )
 
 
+def kcore(edges: DataFrame, k: int, n_rounds: int,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core peeling over the undirected simple graph: ``n_rounds``
+    synchronous rounds of "drop every node with degree < k (and its
+    edges)", returning the surviving (node, deg) with deg = degree
+    among survivors.  Once no round removes anything the survivors ARE
+    the k-core — the density filter that separates genuinely dense
+    duplicate clusters / entity communities from chains and stragglers
+    that CC happily glues together (a path has the same component as a
+    clique; only the clique has a 2-core).
+
+    Fixed ``n_rounds`` keeps the recurrence oracle-replayable
+    (:func:`pagerank_integer`'s argument); peeling converges in
+    ≤ max-peel-depth rounds, which on similarity graphs is tiny (each
+    round strips a full outer shell, and shells are wide).  Per round:
+    one degree partial-agg + two left-semi joins keyed on node ids —
+    never an adjacency list in one task.  Each round's edge frame is
+    referenced twice by the next (census + filter), so lineage would
+    DOUBLE per round without a cut — same shape as the CC loop, hence
+    the same per-round localCheckpoint (at cluster scale the caller
+    should hand durable snapshots exactly as `connected_components`'
+    ``checkpoint_dir`` does; rounds here are few and the frame is
+    edge-ids only).
+    """
+    alive = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .union(edges.select(F.col(dst).alias("u"),
+                                 F.col(src).alias("v")))
+             .where(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint())
+    for _ in range(n_rounds):
+        deg = alive.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        alive = (alive
+                 .join(keep, "u", "left_semi")
+                 .join(keep.withColumnRenamed("u", "v"), "v",
+                       "left_semi")
+                 .select("u", "v")
+                 .localCheckpoint())
+    return (alive.groupBy("u").agg(F.count("*").alias("deg"))
+            .select(F.col("u").alias("node"),
+                    F.col("deg").cast("bigint").alias("deg")))
+
+
 def mine_rules(facts: DataFrame, min_support: int = 1,
                max_fanout: int | None = None,
                conf_scale: int = 1_000_000,

@@ -6182,6 +6182,56 @@ def q_graph_node_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "common", "deg_a", "deg_b", "jac_ppm")
 
 
+KCORE_K, KCORE_ROUNDS = 2, 3
+KCORE_THRESH = 0.25  # at the CC threshold (0.35) the sf0.01 LSH graph
+                     # has NO 2-core (0 rows = trivial hash); 0.25
+                     # yields a 141-of-500-node core — a binding filter
+
+
+def _kcore_cte_chain(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling rounds (graph.kcore) over ``und``
+    (a, b) — per round the identical degree census + survivor filter
+    the Spark loop evaluates."""
+    parts = ["""
+s0 AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+d{i} AS (SELECT u, count(*) AS d FROM s{i - 1} GROUP BY u),
+k{i} AS (SELECT u FROM d{i} WHERE d >= {k}),
+s{i} AS (SELECT s.u, s.v FROM s{i - 1} s
+         JOIN k{i} ka ON ka.u = s.u JOIN k{i} kb ON kb.u = s.v)""")
+    return ",".join(parts)
+
+
+@query("graph_kcore", oracle=f"""
+WITH {_bucket_cte(CC_LSH_PLANES)},
+und AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {KCORE_THRESH}),
+{_kcore_cte_chain(KCORE_K, KCORE_ROUNDS)}
+SELECT u::BIGINT AS node, count(*)::BIGINT AS deg
+FROM s{KCORE_ROUNDS} GROUP BY u
+""")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the LSH near-dup graph (graph.kcore,
+    {KCORE_ROUNDS} peeling rounds): the density filter on top of
+    connected components — CC glues a chain of borderline pairs into
+    one cluster, the k-core keeps only nodes embedded in genuinely
+    dense duplicate neighborhoods (survivor degree included for
+    downstream thresholds).  The oracle unrolls the same census +
+    survivor-filter rounds."""
+    from fastie_spark.graph import kcore
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=KCORE_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    return kcore(edges, k=KCORE_K, n_rounds=KCORE_ROUNDS).select(
+        F.col("node").cast("bigint").alias("node"), "deg")
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

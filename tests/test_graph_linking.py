@@ -207,6 +207,45 @@ def test_neighbor_jaccard_matches_bruteforce_and_guard_binds(spark):
     assert exp[(1, 2)][0] == 3
 
 
+def test_kcore_peels_chain_keeps_clique(spark):
+    """2-core peeling: a triangle survives with degree 2 everywhere, a
+    5-node path peels completely (needs all 3 rounds — ends first,
+    then inward), and a bridge node hanging off the triangle goes in
+    round 1.  Matches an eager driver-side peel round for round."""
+    from fastie_spark.graph import kcore
+
+    # triangle 10-11-12, bridge 12-20, path 1-2-3-4-5
+    E = [(10, 11), (11, 12), (12, 10), (12, 20),
+         (1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(E, "src: long, dst: long")
+
+    def eager(rounds):
+        alive = {(u, v) for u, v in E} | {(v, u) for u, v in E}
+        for _ in range(rounds):
+            deg = {}
+            for u, _v in alive:
+                deg[u] = deg.get(u, 0) + 1
+            keep = {u for u, d in deg.items() if d >= 2}
+            alive = {(u, v) for u, v in alive
+                     if u in keep and v in keep}
+        out = {}
+        for u, _v in alive:
+            out[u] = out.get(u, 0) + 1
+        return out
+
+    for rounds in (1, 2, 3):
+        got = {r["node"]: r["deg"]
+               for r in kcore(edges, k=2, n_rounds=rounds).collect()}
+        assert got == eager(rounds), f"round {rounds}"
+    final = {r["node"]: r["deg"]
+             for r in kcore(edges, k=2, n_rounds=3).collect()}
+    assert final == {10: 2, 11: 2, 12: 2}   # fixpoint = the triangle
+    # and one more round is a no-op (already at the fixpoint)
+    again = {r["node"]: r["deg"]
+             for r in kcore(edges, k=2, n_rounds=4).collect()}
+    assert again == final
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
