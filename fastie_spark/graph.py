@@ -755,6 +755,66 @@ def kcore(edges: DataFrame, k: int, n_rounds: int,
                     F.col("deg").cast("bigint").alias("deg")))
 
 
+def random_walks(edges: DataFrame, walk_len: int, n_walks: int = 1,
+                 max_degree: int | None = None,
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic "random"-walk corpus over the directed graph —
+    the DeepWalk/node2vec INPUT: from every node with out-edges,
+    ``n_walks`` walks of ≤ ``walk_len`` steps whose step choice is a
+    portable hash of (current node, walk id, step index) indexing the
+    SORTED out-neighbor array.  Hash-derived choice instead of an RNG
+    makes the corpus bit-reproducible under any partitioning and
+    replayable by the SQL oracle — the same determinism argument as
+    the engine's integer PageRank — while still spreading walks across
+    neighbors (different wid/step → different hash).
+
+    One job, ``walk_len`` frontier joins: the walk state is four
+    scalars (start, wid, step, node); each step equi-joins the
+    frontier against the adjacency table and picks
+    ``nbrs[1 + h % |nbrs|]`` in-row.  A node without out-edges ends
+    the walk (shorter walks are emitted as-is).  Adjacency holds one
+    sorted array per node, so a hub's array is its out-degree —
+    ``max_degree`` drops hub adjacency rows entirely (walks END at
+    hubs, logged) when the graph has mega-entities; embeddings
+    literature does the same (hub walks carry no signal).  Output:
+    (start, wid, step, node), step 0 = the start itself.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    adj = (e.groupBy("u")
+           .agg(F.sort_array(F.collect_list("v")).alias("nbrs")))
+    if max_degree is not None:
+        hot = adj.where(F.size("nbrs") > max_degree)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+            logging.getLogger(__name__).warning(
+                "random_walks: %d hub nodes (out-degree > %d) end "
+                "walks early", n_hot, max_degree)
+        adj = adj.where(F.size("nbrs") <= max_degree)
+    # the adjacency table is referenced by every step's join — cut once
+    adj = adj.localCheckpoint()
+    frontier = (adj.select(F.col("u").alias("start"))
+                .withColumn("wid", F.explode(
+                    F.sequence(F.lit(0), F.lit(n_walks - 1))))
+                .withColumn("step", F.lit(0).cast("bigint"))
+                .withColumn("node", F.col("start")))
+    out = frontier
+    from fastie_spark.functions.hashing import spark_hash64_sql
+    for i in range(1, walk_len + 1):
+        h = spark_hash64_sql(
+            f"concat_ws(':', node, wid, {i})")
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select("start", "wid",
+                    F.lit(i).cast("bigint").alias("step"),
+                    F.expr(f"element_at(nbrs, cast(1 + {h} % "
+                           "size(nbrs) as int))").alias("node"))
+        )
+        out = out.union(frontier)
+    return out
+
+
 def mine_rules(facts: DataFrame, min_support: int = 1,
                max_fanout: int | None = None,
                conf_scale: int = 1_000_000,

@@ -6232,6 +6232,50 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"), "deg")
 
 
+WALK_LEN, N_WALKS = 4, 2
+
+
+def _walks_cte_chain(walk_len: int, n_walks: int) -> str:
+    """Unrolled hash-picked walk steps (graph.random_walks) over
+    ``e0`` (s, d) — each step joins the previous frontier against the
+    sorted adjacency and indexes it with the identical portable md5
+    hash the Spark loop evaluates."""
+    from fastie_spark.functions.hashing import duck_hash64_sql
+    parts = [f"""
+adj AS (SELECT s AS u, list_sort(list(d)) AS nbrs FROM e0 GROUP BY s),
+w0 AS (SELECT adj.u AS start, wid.wid::BIGINT AS wid, 0::BIGINT AS step,
+              adj.u AS node
+       FROM adj CROSS JOIN
+            (SELECT unnest(range({n_walks})) AS wid) wid)"""]
+    for i in range(1, walk_len + 1):
+        h = duck_hash64_sql(f"w.node || ':' || w.wid || ':' || {i}")
+        parts.append(f"""
+w{i} AS (SELECT w.start, w.wid, {i}::BIGINT AS step,
+              a.nbrs[(1 + {h} % len(a.nbrs))::INT] AS node
+       FROM w{i - 1} w JOIN adj a ON a.u = w.node)""")
+    return ",".join(parts)
+
+
+@query("graph_walks", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+{_walks_cte_chain(WALK_LEN, N_WALKS)}
+SELECT start, wid, step, node FROM (
+  {" UNION ALL ".join(f"SELECT * FROM w{i}" for i in range(WALK_LEN + 1))})
+""")
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (graph.random_walks) over the
+    code call graph — the DeepWalk/node2vec input for graph-embedding
+    training: {N_WALKS} walks × {WALK_LEN} steps from every node with
+    out-edges, the step choice a portable hash of (node, walk, step)
+    into the sorted out-neighbors, so the corpus is bit-reproducible
+    and the oracle replays every step.  Walks end early at sinks."""
+    from fastie_spark.graph import random_walks
+    w = random_walks(_call_edges(spark, sf_dir), walk_len=WALK_LEN,
+                     n_walks=N_WALKS)
+    return w.select("start", F.col("wid").cast("bigint").alias("wid"),
+                    "step", "node")
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

@@ -246,6 +246,47 @@ def test_kcore_peels_chain_keeps_clique(spark):
     assert again == final
 
 
+def test_random_walks_follow_edges_deterministically(spark):
+    """Every consecutive (step, step+1) pair in a walk must be a real
+    directed edge, two runs are bit-identical, walks end at sinks, and
+    the hub guard ends walks at over-degree nodes."""
+    from fastie_spark.graph import random_walks
+
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    # d is a sink; hub h fans out to 5 targets
+    E += [("h", t) for t in ("a", "b", "c", "d", "e")]
+    edges = spark.createDataFrame(E, "src: string, dst: string")
+    rows = random_walks(edges, walk_len=3, n_walks=2).collect()
+    again = random_walks(edges, walk_len=3, n_walks=2).collect()
+    key = lambda r: (r["start"], r["wid"], r["step"], r["node"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+    eset = set(E)
+    walks = {}
+    for r in rows:
+        walks.setdefault((r["start"], r["wid"]), {})[r["step"]] = r["node"]
+    assert len(walks) == 8          # 4 non-sink nodes × 2 walks
+    for (start, _wid), steps in walks.items():
+        assert steps[0] == start
+        assert sorted(steps) == list(range(len(steps)))  # no gaps
+        for i in range(len(steps) - 1):
+            assert (steps[i], steps[i + 1]) in eset
+        # a walk is shorter than walk_len only if it hit the sink
+        if len(steps) < 4:
+            assert steps[len(steps) - 1] == "d"
+
+    # guard: h (out-degree 5) keeps no adjacency → its walks are the
+    # lone step-0 row, and no walk ever CONTINUES from h
+    g = random_walks(edges, walk_len=3, n_walks=1, max_degree=4).collect()
+    gw = {}
+    for r in g:
+        gw.setdefault((r["start"], r["wid"]), {})[r["step"]] = r["node"]
+    assert ("h", 0) not in gw       # hubs are not walk starts either
+    for steps in gw.values():
+        for i in range(len(steps) - 1):
+            assert steps[i] != "h" or i == len(steps) - 1
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
