@@ -1130,6 +1130,64 @@ def neighbor_agg_embeddings(triples: DataFrame, embeddings: DataFrame,
                         F.expr("sum_v div n_out").cast("bigint")))
 
 
+def _nt_iri_sql(expr: str) -> str:
+    """Engine-neutral SQL (valid in Spark SQL AND DuckDB) percent-
+    encoding a string for use inside an N-Triples IRI: ``%`` first,
+    then every char the grammar forbids between ``<`` and ``>``.
+    Backslash and control chars are spelled ``chr(N)`` because the two
+    engines disagree on backslash escapes inside string literals."""
+    out = expr
+    pairs = [("'%'", "'%25'"), ("' '", "'%20'"), ("'<'", "'%3C'"),
+             ("'>'", "'%3E'"), ("'\"'", "'%22'"), ("chr(92)", "'%5C'"),
+             ("'{'", "'%7B'"), ("'}'", "'%7D'"), ("'|'", "'%7C'"),
+             ("'^'", "'%5E'"), ("'`'", "'%60'"), ("chr(10)", "'%0A'"),
+             ("chr(13)", "'%0D'"), ("chr(9)", "'%09'")]
+    for ch, enc in pairs:
+        out = f"replace({out}, {ch}, {enc})"
+    return out
+
+
+def _nt_literal_sql(expr: str) -> str:
+    """Engine-neutral SQL escaping a string for an N-Triples quoted
+    literal: backslash doubles FIRST, then quote, LF, CR, tab become
+    their two-char escapes."""
+    out = f"replace({expr}, chr(92), chr(92) || chr(92))"
+    out = f"replace({out}, '\"', chr(92) || '\"')"
+    out = f"replace({out}, chr(10), chr(92) || 'n')"
+    out = f"replace({out}, chr(13), chr(92) || 'r')"
+    return f"replace({out}, chr(9), chr(92) || 't')"
+
+
+def ntriples_lines(triples: DataFrame, subj: str = "subj",
+                   pred: str = "pred", obj: str = "obj",
+                   obj_literal: bool = False,
+                   base: str = "urn:kg:",
+                   pred_base: str = "urn:rel:") -> DataFrame:
+    """Serialize a triple table to W3C N-Triples lines — the KG
+    interchange sink (load the output into any RDF store / SPARQL
+    engine):
+
+        <urn:kg:S> <urn:rel:P> <urn:kg:O> .
+        <urn:kg:S> <urn:rel:P> "literal" .     (obj_literal=True)
+
+    One in-row projection: IRI parts percent-encode the chars the
+    N-Triples grammar forbids (space, angle brackets, quote,
+    backslash, braces, pipe, caret, backtick, controls — ``%`` first
+    so encoding is injective and round-trippable), literals get the
+    ECHAR backslash escapes.  Everything is ``replace``-chain SQL
+    that parses identically in Spark and DuckDB, so the export is
+    oracle-checkable byte for byte.  Map-only: no shuffle, scales
+    with the scan; write the single ``line`` column with
+    ``text``/``csv`` for the wire format.
+    """
+    o = (f'\'"\' || {_nt_literal_sql(obj)} || \'"\'' if obj_literal
+         else f"'<{base}' || {_nt_iri_sql(obj)} || '>'")
+    line = (f"'<{base}' || {_nt_iri_sql(subj)} || '> ' || "
+            f"'<{pred_base}' || {_nt_iri_sql(pred)} || '> ' || "
+            f"{o} || ' .'")
+    return triples.select(F.expr(line).alias("line"))
+
+
 def write_partitioned(df: DataFrame, path: str,
                       partition_cols: tuple[str, ...] = ("repo", "lang"),
                       mode: str = "overwrite") -> None:

@@ -6276,6 +6276,45 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "step", "node")
 
 
+from fastie_spark.graph import _nt_iri_sql, _nt_literal_sql  # noqa: E402
+
+_NT_TRIPLE = (f"'<urn:kg:' || {_nt_iri_sql('s')} || '> ' || "
+              f"'<urn:rel:' || {_nt_iri_sql('p')} || '> ' || "
+              f"'<urn:kg:' || {_nt_iri_sql('o')} || '>' || ' .'")
+_NT_LABEL = (f"'<urn:kg:' || {_nt_iri_sql('s')} || '> ' || "
+             f"'<urn:rel:label> \"' || {_nt_literal_sql('l')} || "
+             "'\" .'")
+
+
+@query("kg_export_nt", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+t AS (SELECT DISTINCT subj_text AS s, pred AS p, obj_text AS o
+      FROM base),
+lab AS (SELECT DISTINCT subj_text AS s, subj_label AS l FROM base)
+SELECT {_NT_TRIPLE} AS line FROM t
+UNION ALL
+SELECT {_NT_LABEL} AS line FROM lab
+""")
+def q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C N-Triples export (graph.ntriples_lines) of the flagship KG
+    — the interchange sink any RDF store / SPARQL engine can load:
+    one IRI line per distinct triple plus one quoted-literal label
+    line per subject.  Percent-encoding (IRIs) and ECHAR escaping
+    (literals) are replace-chain SQL that parses identically in both
+    engines, so the export is byte-for-byte oracle-checked; map-only,
+    no shuffle beyond the distinct."""
+    from fastie_spark.graph import ntriples_lines
+    t = _triples(spark, sf_dir)
+    trip = (t.select(F.col("subj_text").alias("subj"),
+                     F.col("pred").alias("pred"),
+                     F.col("obj_text").alias("obj")).distinct())
+    lab = (t.select(F.col("subj_text").alias("subj"),
+                    F.lit("label").alias("pred"),
+                    F.col("subj_label").alias("obj")).distinct())
+    return (ntriples_lines(trip)
+            .unionByName(ntriples_lines(lab, obj_literal=True)))
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

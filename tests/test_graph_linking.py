@@ -287,6 +287,35 @@ def test_random_walks_follow_edges_deterministically(spark):
             assert steps[i] != "h" or i == len(steps) - 1
 
 
+def test_ntriples_escaping_and_shapes(spark):
+    """N-Triples export: IRI percent-encoding is injective (% first),
+    literal ECHAR escaping doubles backslashes before adding any, and
+    both line shapes end in ' .'."""
+    from fastie_spark.graph import ntriples_lines
+
+    nasty = 'a b<c>"d"\\e%f\ng\th'
+    rows = [(nasty, "rel x", "plain")]
+    df = spark.createDataFrame(rows, "subj: string, pred: string, "
+                                     "obj: string")
+    [iri_line] = [r["line"] for r in ntriples_lines(df).collect()]
+    assert iri_line == (
+        "<urn:kg:a%20b%3Cc%3E%22d%22%5Ce%25f%0Ag%09h> "
+        "<urn:rel:rel%20x> <urn:kg:plain> .")
+    # round-trip: decoding the IRI recovers the original exactly
+    import urllib.parse
+    enc = iri_line.split(">")[0][len("<urn:kg:"):]
+    assert urllib.parse.unquote(enc) == nasty
+
+    lit = spark.createDataFrame(
+        [("s", "label", 'say "hi"\\now\nplease\ttab')],
+        "subj: string, pred: string, obj: string")
+    [lit_line] = [r["line"]
+                  for r in ntriples_lines(lit, obj_literal=True)
+                  .collect()]
+    assert lit_line == ('<urn:kg:s> <urn:rel:label> '
+                        '"say \\"hi\\"\\\\now\\nplease\\ttab" .')
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
