@@ -815,6 +815,59 @@ def random_walks(edges: DataFrame, walk_len: int, n_walks: int = 1,
     return out
 
 
+def sssp_integer(edges: DataFrame, seeds: DataFrame, n_rounds: int,
+                 src: str = "src", dst: str = "dst",
+                 weight: str = "weight",
+                 node_col: str = "node") -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (distributed Bellman-Ford,
+    integer weights): (node, dist) where dist = minimum total edge
+    weight over any directed path of ≤ ``n_rounds`` edges from any
+    seed — :func:`khop_distances`' weighted sibling (hop count is the
+    special case weight ≡ 1).  On a KG with co-occurrence-count or
+    confidence-rank weights this is the relatedness-distance query;
+    on a build/dependency graph, weighted critical distance.
+
+    Level-synchronous relaxation with a min-dist partial-agg fold per
+    round; only pairs IMPROVED in round *i−1* re-enter the frontier
+    (a Bellman-Ford delta optimization that keeps total join work
+    O(Σ improved-frontier degree)).  Integer weights keep the fold
+    associative and bit-deterministic, and fixed ``n_rounds`` keeps
+    the recurrence linear-lineage, one job, and replayable by a
+    depth-bounded recursive-CTE oracle.  Negative weights are
+    rejected (min-fold with frontier pruning assumes monotone path
+    cost, exactly like textbook BF with non-negative rounds).
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).cast("bigint").alias("w"))
+         .where(F.col("u") != F.col("v"))
+         .groupBy("u", "v").agg(F.min("w").alias("w"))
+         .localCheckpoint())
+    if e.where(F.col("w") < 0).limit(1).count():
+        raise ValueError("sssp_integer requires non-negative weights")
+    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("bigint")))
+    frontier = dist
+    for _ in range(n_rounds):
+        relax = (frontier.join(e, frontier["node"] == e["u"])
+                 .select(F.col("v").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        # each round reads the previous dist TWICE (min fold + the
+        # improved-delta join), so lineage would double per round —
+        # cut it like the k-core loop (the frame is two longs/node)
+        new = (dist.union(relax)
+               .groupBy("node").agg(F.min("dist").alias("dist"))
+               .localCheckpoint())
+        # improved = strictly better than the previous round's value
+        # (or newly reached): only these can relax anything next round
+        frontier = (new.join(dist.withColumnRenamed("dist", "old"),
+                             "node", "left")
+                    .where(F.col("old").isNull()
+                           | (F.col("dist") < F.col("old")))
+                    .select("node", "dist"))
+        dist = new
+    return dist
+
+
 def mine_rules(facts: DataFrame, min_support: int = 1,
                max_fanout: int | None = None,
                conf_scale: int = 1_000_000,

@@ -6315,6 +6315,72 @@ def q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(ntriples_lines(lab, obj_literal=True)))
 
 
+SSSP_ROUNDS = 4
+
+_WEIGHTED_CALL_SQL = """
+calls AS (
+  SELECT lang,
+         regexp_extract_all(text, '(?:scan|join|merge) ([a-z]+)', 1)
+           AS args
+  FROM documents),
+cpos AS (SELECT lang, args, generate_subscripts(args, 1) AS i FROM calls),
+ew AS (
+  SELECT lang || ':' || args[i] AS s, lang || ':' || args[i+1] AS d,
+         count(*)::BIGINT AS w
+  FROM cpos
+  WHERE i < len(args) AND args[i] <> args[i+1] AND i % 3 = 1
+  GROUP BY 1, 2),
+roots AS (SELECT DISTINCT s FROM ew
+          WHERE s NOT IN (SELECT d FROM ew))
+"""
+
+
+def _weighted_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The call digraph of ``_call_edges`` with co-occurrence COUNTS as
+    integer edge weights (matches ``_WEIGHTED_CALL_SQL``)."""
+    d = _documents(spark, sf_dir)
+    calls = d.select(
+        "lang",
+        F.expr("regexp_extract_all(text, '(?:scan|join|merge) "
+               "([a-z]+)', 1)").alias("args"))
+    pos = calls.select("lang", "args",
+                       F.posexplode("args").alias("i", "a"))
+    nxt = F.col("args")[F.col("i") + 1]
+    return (pos.where((F.col("i") + 1 < F.size("args"))
+                      & (F.col("a") != nxt)
+                      & (F.col("i") % 3 == 0))
+            .select(F.concat("lang", F.lit(":"), "a").alias("src"),
+                    F.concat("lang", F.lit(":"), nxt).alias("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("weight")))
+
+
+@query("graph_sssp", oracle=f"""
+WITH RECURSIVE {_WEIGHTED_CALL_SQL},
+walk(n, dd, h) AS (
+  SELECT s, 0::BIGINT, 0 FROM roots
+  UNION
+  SELECT e.d, w.dd + e.w, w.h + 1
+  FROM walk w JOIN ew e ON e.s = w.n
+  WHERE w.h < {SSSP_ROUNDS})
+SELECT n AS node, min(dd)::BIGINT AS dist FROM walk GROUP BY n
+""")
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (graph.sssp_integer, distributed
+    Bellman-Ford): minimum total co-occurrence-weight distance from
+    the call graph's ROOT symbols (sources never called) over paths
+    of ≤ {SSSP_ROUNDS} edges — the KG relatedness-distance query,
+    khop's weighted sibling.  Integer weights keep the min-plus fold
+    associative; the oracle enumerates every depth-bounded weighted
+    path recursively and folds the min."""
+    from fastie_spark.graph import sssp_integer
+    ew = _weighted_call_edges(spark, sf_dir).localCheckpoint()
+    roots = (ew.select(F.col("src").alias("node")).distinct()
+             .join(ew.select(F.col("dst").alias("node")).distinct(),
+                   "node", "left_anti"))
+    return sssp_integer(ew, roots, n_rounds=SSSP_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

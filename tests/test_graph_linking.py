@@ -316,6 +316,37 @@ def test_ntriples_escaping_and_shapes(spark):
                         '"say \\"hi\\"\\\\now\\nplease\\ttab" .')
 
 
+def test_sssp_integer_prefers_cheap_long_paths(spark):
+    """Weighted Bellman-Ford: a 3-edge path of weight 3 must beat a
+    direct edge of weight 10 (shortest ≠ fewest hops), later rounds
+    must IMPROVE already-reached nodes (the delta frontier can't stop
+    early), the round bound binds, and parallel edges take the min."""
+    from fastie_spark.graph import sssp_integer
+    import pytest
+
+    E = [(0, 9, 10),                       # direct but expensive
+         (0, 1, 1), (1, 2, 1), (2, 9, 1),  # long but cheap
+         (9, 5, 2), (0, 1, 7)]             # parallel edge: min(1,7)=1
+    edges = spark.createDataFrame(E, "src: long, dst: long, weight: long")
+    seeds = spark.createDataFrame([(0,)], "node: long")
+
+    got = {r["node"]: r["dist"]
+           for r in sssp_integer(edges, seeds, n_rounds=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 9: 3, 5: 5}
+    # at 1 round node 9 is known only via the direct edge; at 3 the
+    # cheap path lands; 5 needs the 4th round to see the improvement
+    r1 = {r["node"]: r["dist"]
+          for r in sssp_integer(edges, seeds, n_rounds=1).collect()}
+    assert r1[9] == 10 and 5 not in r1 and 2 not in r1
+    r3 = {r["node"]: r["dist"]
+          for r in sssp_integer(edges, seeds, n_rounds=3).collect()}
+    assert r3[9] == 3 and r3[5] == 12   # 5 still via the 10-edge
+    with pytest.raises(Exception):
+        neg = spark.createDataFrame([(0, 1, -1)],
+                                    "src: long, dst: long, weight: long")
+        sssp_integer(neg, seeds, n_rounds=1).collect()
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
