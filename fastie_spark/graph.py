@@ -1038,6 +1038,51 @@ def alias_edges_from_mentions(mentions: DataFrame,
     )
 
 
+def triple_provenance(triples: DataFrame, sample_k: int = 20,
+                      n_salts: int = 16,
+                      subj: str = "subj", pred: str = "pred",
+                      obj: str = "obj",
+                      doc: str = "doc_key") -> DataFrame:
+    """Audit trail for every distinct triple: the EXACT distinct
+    source-document count plus a bounded provenance sample — the
+    ``sample_k`` lexicographically-first doc keys, comma-joined.  The
+    KG-governance query ("where did this fact come from?") without
+    the 100 TB trap of materializing a billion-element doc list for a
+    hot fact.
+
+    The sample is exact, not approximate: smallest-k is distributive,
+    so a two-level fold — per (triple, salt-of-doc) group collect,
+    sort, slice k; then per triple merge the ≤ k·n_salts survivors
+    and slice k again — returns exactly the global first-k while
+    bounding any single task's collected set to the salt slice
+    (1/n_salts of a hot fact's docs) instead of all of it.  The count
+    aggregates separately (countDistinct partial-aggregates
+    map-side).  Size ``n_salts`` to the expected hot-fact multiplicity
+    at the target scale.
+    """
+    t = (triples.select(F.col(subj).alias("s"), F.col(pred).alias("p"),
+                        F.col(obj).alias("o"), F.col(doc).alias("d"))
+         .distinct()
+         .localCheckpoint())
+    lvl1 = (t.withColumn("salt", F.pmod(F.xxhash64("d"),
+                                        F.lit(n_salts)))
+            .groupBy("s", "p", "o", "salt")
+            .agg(F.slice(F.array_sort(F.collect_set("d")), 1,
+                         sample_k).alias("part")))
+    sample = (lvl1.groupBy("s", "p", "o")
+              .agg(F.array_join(
+                  F.slice(F.array_sort(F.flatten(
+                      F.collect_list("part"))), 1, sample_k),
+                  ",").alias("doc_sample")))
+    counts = t.groupBy("s", "p", "o").agg(
+        F.count("*").alias("n_docs"))
+    return (counts.join(sample, ["s", "p", "o"])
+            .select(F.col("s").alias(subj), F.col("p").alias(pred),
+                    F.col("o").alias(obj),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    "doc_sample"))
+
+
 def kg_stats(triples: DataFrame, entity_map: DataFrame | None = None
              ) -> tuple[DataFrame, DataFrame]:
     """MERGEABLE partial-aggregate form of the KG tables — the

@@ -6381,6 +6381,36 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_integer(ew, roots, n_rounds=SSSP_ROUNDS)
 
 
+PROV_K = 20
+
+
+@query("kg_provenance", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+t AS (SELECT DISTINCT subj_text AS s, pred AS p, obj_text AS o,
+             doc_id::VARCHAR AS d
+      FROM base)
+SELECT s AS subj, p AS pred, o AS obj,
+       count(*)::BIGINT AS n_docs,
+       array_to_string(list_sort(list(d))[1:{PROV_K}], ',')
+         AS doc_sample
+FROM t GROUP BY 1, 2, 3
+""")
+def q_kg_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG governance: per distinct fact, the exact distinct source-doc
+    count plus the bounded provenance sample — the {PROV_K}
+    lexicographically-first doc keys (graph.triple_provenance, exact
+    smallest-k via the salted two-level fold so no task ever collects
+    a hot fact's full doc list).  The oracle computes the global
+    sorted-first-{PROV_K} directly — any salting error breaks the
+    string byte-for-byte."""
+    from fastie_spark.graph import triple_provenance
+    t = _triples(spark, sf_dir).select(
+        F.col("subj_text").alias("subj"), "pred",
+        F.col("obj_text").alias("obj"),
+        F.col("doc_id").cast("string").alias("doc_key"))
+    return triple_provenance(t, sample_k=PROV_K)
+
+
 # ---------------------------------------------------------------------------
 # driver-cap ordering: the driver's correctness gate checks the FIRST 50
 # registered queries (observed r2: 51 registered, exactly 50 checked).

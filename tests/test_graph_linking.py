@@ -347,6 +347,27 @@ def test_sssp_integer_prefers_cheap_long_paths(spark):
         sssp_integer(neg, seeds, n_rounds=1).collect()
 
 
+def test_triple_provenance_exact_sample_under_salting(spark):
+    """The salted two-level fold must return EXACTLY the global
+    lexicographically-first-k doc sample and the exact distinct count,
+    for a hot fact whose 60 docs spread over every salt bucket and for
+    a single-doc fact; duplicate (triple, doc) rows count once."""
+    from fastie_spark.graph import triple_provenance
+
+    rows = [("A", "calls", "B", f"doc{i:03d}") for i in range(60)]
+    rows += [("A", "calls", "B", "doc005")]        # dup (triple, doc)
+    rows += [("X", "uses", "Y", "only")]
+    df = spark.createDataFrame(
+        rows, "subj: string, pred: string, obj: string, doc_key: string")
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["n_docs"], r["doc_sample"])
+           for r in triple_provenance(df, sample_k=5,
+                                      n_salts=4).collect()}
+    assert got[("A", "calls", "B")] == (
+        60, ",".join(f"doc{i:03d}" for i in range(5)))
+    assert got[("X", "uses", "Y")] == (1, "only")
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
