@@ -781,19 +781,20 @@ def random_walks(edges: DataFrame, walk_len: int, n_walks: int = 1,
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct())
+    # the adjacency table is referenced by every step's join (and by
+    # the hub census below) — cut once BEFORE any action so the
+    # groupBy/collect runs exactly once
     adj = (e.groupBy("u")
-           .agg(F.sort_array(F.collect_list("v")).alias("nbrs")))
+           .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+           .localCheckpoint())
     if max_degree is not None:
-        hot = adj.where(F.size("nbrs") > max_degree)
-        n_hot = hot.count()
+        n_hot = adj.where(F.size("nbrs") > max_degree).count()
         if n_hot:
             import logging
             logging.getLogger(__name__).warning(
                 "random_walks: %d hub nodes (out-degree > %d) end "
                 "walks early", n_hot, max_degree)
         adj = adj.where(F.size("nbrs") <= max_degree)
-    # the adjacency table is referenced by every step's join — cut once
-    adj = adj.localCheckpoint()
     frontier = (adj.select(F.col("u").alias("start"))
                 .withColumn("wid", F.explode(
                     F.sequence(F.lit(0), F.lit(n_walks - 1))))

@@ -6317,7 +6317,10 @@ def q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SSSP_ROUNDS = 4
 
-_WEIGHTED_CALL_SQL = """
+from fastie_spark.functions.hashing import (  # noqa: E402
+    duck_hash64_sql, spark_hash64_sql)
+
+_WEIGHTED_CALL_SQL = f"""
 calls AS (
   SELECT lang,
          regexp_extract_all(text, '(?:scan|join|merge) ([a-z]+)', 1)
@@ -6330,8 +6333,8 @@ ew AS (
   FROM cpos
   WHERE i < len(args) AND args[i] <> args[i+1] AND i % 3 = 1
   GROUP BY 1, 2),
-roots AS (SELECT DISTINCT s FROM ew
-          WHERE s NOT IN (SELECT d FROM ew))
+nodes AS (SELECT s AS n FROM ew UNION SELECT d FROM ew),
+roots AS (SELECT n AS s FROM nodes WHERE {duck_hash64_sql('n')} % 4 = 0)
 """
 
 
@@ -6367,17 +6370,24 @@ SELECT n AS node, min(dd)::BIGINT AS dist FROM walk GROUP BY n
 """)
 def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest paths (graph.sssp_integer, distributed
-    Bellman-Ford): minimum total co-occurrence-weight distance from
-    the call graph's ROOT symbols (sources never called) over paths
-    of ≤ {SSSP_ROUNDS} edges — the KG relatedness-distance query,
-    khop's weighted sibling.  Integer weights keep the min-plus fold
-    associative; the oracle enumerates every depth-bounded weighted
-    path recursively and folds the min."""
+    Bellman-Ford): minimum total co-occurrence-weight distance to a
+    hash-sampled LANDMARK set (~1/4 of the call-graph symbols by
+    portable hash) over paths of ≤ {SSSP_ROUNDS} edges — the
+    landmark-distance sketch of large-graph practice (closeness /
+    shortest-path estimation keys every node by its distance to a
+    small deterministic landmark sample), and khop's weighted
+    sibling.  Hash-sampled seeds stay a fixed FRACTION at every
+    corpus scale (a structural rule like in-degree-0 roots goes
+    empty, and min-in-degree picks isolated sinks, on denser
+    corpora).  Integer weights keep the min-plus fold associative;
+    the oracle enumerates every depth-bounded weighted path
+    recursively and folds the min."""
     from fastie_spark.graph import sssp_integer
     ew = _weighted_call_edges(spark, sf_dir).localCheckpoint()
-    roots = (ew.select(F.col("src").alias("node")).distinct()
-             .join(ew.select(F.col("dst").alias("node")).distinct(),
-                   "node", "left_anti"))
+    nodes = (ew.select(F.col("src").alias("n"))
+             .union(ew.select(F.col("dst"))).distinct())
+    roots = (nodes.where(F.expr(f"{spark_hash64_sql('n')} % 4 = 0"))
+             .select(F.col("n").alias("node")))
     return sssp_integer(ew, roots, n_rounds=SSSP_ROUNDS)
 
 

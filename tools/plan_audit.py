@@ -110,6 +110,16 @@ AUDIT = [
     ("corpus_drift", "ppm drift: bounded histograms, tiny outer join"),
     ("ann_recall", "recall gauge: semi joins over bounded top-k"),
     ("ann_ivfpq_topk", "IVF-PQ: cell filter rides the ADC bcast join"),
+    ("ann_ivf_nprobe", "multi-cell IVF probe: nprobe-ranked cell scan"),
+    ("kg_scc", "FB-coloring SCC: keyed label loops with trim"),
+    ("kg_pagerank_seeded", "personalized PR: seed-gated teleport rounds"),
+    ("kg_isa_closure", "bounded transitive closure: BFS frontier joins"),
+    ("graph_node_sim", "neighborhood Jaccard: co-pivot join, hub guard"),
+    ("graph_kcore", "k-core peeling: census + left-semi survivor rounds"),
+    ("graph_walks", "hash-picked walk steps over sorted adjacency"),
+    ("graph_sssp", "weighted Bellman-Ford: delta-frontier min-plus"),
+    ("kg_provenance", "salted two-level first-k doc samples + exact counts"),
+    ("kg_export_nt", "N-Triples lines: in-row escape chains, map-only"),
 ]
 
 
