@@ -869,6 +869,51 @@ def sssp_integer(edges: DataFrame, seeds: DataFrame, n_rounds: int,
     return dist
 
 
+def landmark_distances(edges: DataFrame, landmarks: DataFrame,
+                       n_rounds: int, src: str = "src",
+                       dst: str = "dst", weight: str = "weight",
+                       node_col: str = "node") -> DataFrame:
+    """Per-landmark weighted distance table (landmark, node, dist) —
+    :func:`sssp_integer` with the SOURCE kept in the state instead of
+    folded away.  This is the landmark/pivot sketch of large-graph
+    practice: choose a small deterministic landmark set, materialize
+    every node's distance to each, and answer closeness-centrality /
+    approximate point-to-point distance queries from the table
+    (d(u,v) ≲ min over l of d(u,l)+d(l,v)) without any per-query
+    traversal.
+
+    Same delta-frontier Bellman-Ford as :func:`sssp_integer`, state
+    keyed by (landmark, node): per round one equi-join + one min
+    partial agg, per-round lineage cut.  Work and output scale with
+    |landmarks| × reachable — bounded by construction, which is the
+    entire point of a landmark sketch.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).cast("bigint").alias("w"))
+         .where(F.col("u") != F.col("v"))
+         .groupBy("u", "v").agg(F.min("w").alias("w"))
+         .localCheckpoint())
+    dist = (landmarks.select(F.col(node_col).alias("lmk")).distinct()
+            .select("lmk", F.col("lmk").alias("node"),
+                    F.lit(0).cast("bigint").alias("dist")))
+    frontier = dist
+    for _ in range(n_rounds):
+        relax = (frontier.join(e, frontier["node"] == e["u"])
+                 .select("lmk", F.col("v").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        new = (dist.union(relax)
+               .groupBy("lmk", "node").agg(F.min("dist").alias("dist"))
+               .localCheckpoint())
+        frontier = (new.join(
+            dist.withColumnRenamed("dist", "old"), ["lmk", "node"],
+            "left")
+            .where(F.col("old").isNull()
+                   | (F.col("dist") < F.col("old")))
+            .select("lmk", "node", "dist"))
+        dist = new
+    return dist
+
+
 def mine_rules(facts: DataFrame, min_support: int = 1,
                max_fanout: int | None = None,
                conf_scale: int = 1_000_000,

@@ -6391,6 +6391,44 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_integer(ew, roots, n_rounds=SSSP_ROUNDS)
 
 
+@query("graph_closeness", oracle=f"""
+WITH RECURSIVE {_WEIGHTED_CALL_SQL},
+walk(l, n, dd, h) AS (
+  SELECT s, s, 0::BIGINT, 0 FROM roots
+  UNION
+  SELECT w.l, e.d, w.dd + e.w, w.h + 1
+  FROM walk w JOIN ew e ON e.s = w.n
+  WHERE w.h < {SSSP_ROUNDS}),
+ld AS (SELECT l, n, min(dd)::BIGINT AS d FROM walk GROUP BY 1, 2)
+SELECT n AS node, count(*)::BIGINT AS n_landmarks,
+       sum(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END)::BIGINT
+         AS harmonic_ppm
+FROM ld GROUP BY n
+""")
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality from the landmark sketch
+    (graph.landmark_distances): every symbol's per-landmark weighted
+    distance table — the pivot structure that answers approximate
+    point-to-point distance and centrality queries with NO per-query
+    traversal — rolled up as Σ 1e6∕d over reaching landmarks (d > 0;
+    integer floor-div, no zero case).  A high score = close to many
+    landmarks = central; the oracle keeps the landmark in the
+    recursive walk and replays the fold."""
+    from fastie_spark.graph import landmark_distances
+    ew = _weighted_call_edges(spark, sf_dir).localCheckpoint()
+    nodes = (ew.select(F.col("src").alias("n"))
+             .union(ew.select(F.col("dst"))).distinct())
+    lmk = (nodes.where(F.expr(f"{spark_hash64_sql('n')} % 4 = 0"))
+           .select(F.col("n").alias("node")))
+    ld = landmark_distances(ew, lmk, n_rounds=SSSP_ROUNDS)
+    return (ld.groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("n_landmarks"),
+                 F.sum(F.when(F.col("dist") > 0,
+                              F.expr("1000000 div dist"))
+                       .otherwise(0)).cast("bigint")
+                 .alias("harmonic_ppm")))
+
+
 PROV_K = 20
 
 

@@ -368,6 +368,32 @@ def test_triple_provenance_exact_sample_under_salting(spark):
     assert got[("X", "uses", "Y")] == (1, "only")
 
 
+def test_landmark_distances_match_eager_per_source(spark):
+    """The tracked-source table must equal an eager per-landmark
+    Bellman-Ford, keeping each landmark's distances separate (the
+    multi-source min fold of sssp_integer must NOT leak across
+    landmarks)."""
+    from fastie_spark.graph import landmark_distances
+
+    E = [(0, 1, 1), (1, 2, 1), (2, 9, 1), (0, 9, 10), (7, 9, 2)]
+    edges = spark.createDataFrame(E, "src: long, dst: long, weight: long")
+    lmks = spark.createDataFrame([(0,), (7,)], "node: long")
+    got = {(r["lmk"], r["node"]): r["dist"]
+           for r in landmark_distances(edges, lmks,
+                                       n_rounds=4).collect()}
+    exp = {}
+    for lm in (0, 7):
+        d = {lm: 0}
+        for _ in range(4):
+            for u, v, w in E:
+                if u in d and d[u] + w < d.get(v, 1 << 60):
+                    d[v] = d[u] + w
+        for n, dd in d.items():
+            exp[(lm, n)] = dd
+    assert got == exp
+    assert got[(0, 9)] == 3 and got[(7, 9)] == 2   # separate fields
+
+
 def test_kg_incremental_merge_equals_rebuild(spark):
     """The incremental path (kg_stats per batch → merge_kg_stats →
     finalize_kg) must be bit-equal to the one-shot rebuild, including
