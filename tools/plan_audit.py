@@ -120,6 +120,7 @@ AUDIT = [
     ("graph_sssp", "weighted Bellman-Ford: delta-frontier min-plus"),
     ("kg_provenance", "salted two-level first-k doc samples + exact counts"),
     ("kg_export_nt", "N-Triples lines: in-row escape chains, map-only"),
+    ("graph_closeness", "landmark distance table + harmonic rollup"),
 ]
 
 
