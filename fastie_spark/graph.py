@@ -372,7 +372,8 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
 
 def hits_integer(edges: DataFrame, n_iters: int = 2,
                  scale: int = 1_000_000, src: str = "src",
-                 dst: str = "dst") -> DataFrame:
+                 dst: str = "dst",
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Deterministic integer HITS (Kleinberg 1999) — the second KG
     salience measure next to :func:`pagerank_integer`: authorities are
     pointed AT by good hubs, hubs point AT good authorities.  PageRank
@@ -393,9 +394,17 @@ def hits_integer(edges: DataFrame, n_iters: int = 2,
     the whole recurrence runs as one job.  Per half-round: one
     equi-join of a (node, long) vector against the edge list + one
     partial agg — payloads never shuffle.  Output: (node, hub, auth).
+
+    The once-materialized edge list is re-joined every half-round; a
+    ``localCheckpoint`` block dies with its executor with no lineage
+    to recompute, so ``checkpoint_dir`` switches it to a reliable
+    parquet snapshot (``hits_edges``) — the cluster-durable form, same
+    contract as :func:`connected_components`.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .distinct().localCheckpoint())
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct(), "hits_edges")
     nodes = (e.select(F.col("u").alias("node"))
              .union(e.select("v")).distinct())
     h = nodes.withColumn("h", F.lit(scale).cast("bigint"))
@@ -428,7 +437,8 @@ def hits_integer(edges: DataFrame, n_iters: int = 2,
 def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
                    src: str = "src", dst: str = "dst",
                    directed: bool = False,
-                   node_col: str = "node") -> DataFrame:
+                   node_col: str = "node",
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """BFS layers: (node, hop) for every node within ``k`` hops of any
     seed, hop = exact shortest-path distance (min over seeds).
 
@@ -457,8 +467,11 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
     # materialized ONCE: the plan references the edge list every round,
     # and the input is often the product of an expensive similarity
     # join that must not re-execute per hop (same pattern as the CC
-    # loop's `sym` snapshot)
-    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # loop's `sym` snapshot); checkpoint_dir makes the cut a reliable
+    # parquet snapshot (cluster-durable) instead of executor-resident
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(e.where(F.col("u") != F.col("v")).distinct(),
+                   "khop_edges")
     dist = (seeds.select(F.col(node_col).alias("node")).distinct()
             .withColumn("hop", F.lit(0).cast("bigint")))
     for i in range(1, k + 1):
@@ -474,7 +487,8 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
 
 
 def transitive_closure(edges: DataFrame, max_depth: int,
-                       src: str = "src", dst: str = "dst") -> DataFrame:
+                       src: str = "src", dst: str = "dst",
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """Bounded transitive closure of a directed edge list — the KG
     ontology-reasoning primitive: over ``isa``/containment edges the
     output (node, ancestor, depth) is every ancestor each entity
@@ -489,14 +503,20 @@ def transitive_closure(edges: DataFrame, max_depth: int,
     already known at a smaller depth never re-enters the frontier, so
     total join work is O(closure · avg-outdeg) and CYCLES terminate
     naturally (re-walking a cycle can only produce depths that lose
-    the min fold).  Fixed small ``max_depth`` → linear lineage, one
-    job (the :func:`pagerank_integer` argument).  Self-reach rows
+    the min fold).  Each round reads the previous closure TWICE
+    (frontier filter + union), so the plan would DOUBLE per round
+    (~2^max_depth) without a per-round lineage cut — hence the
+    k-core-style cut each round: ``localCheckpoint`` by default,
+    reliable parquet snapshots (``tc_edges``, ``tc_round_NNNN``) when
+    ``checkpoint_dir`` is given (cluster-durable, the
+    :func:`connected_components` contract).  Self-reach rows
     (node, node, cycle-length) are kept: they are exactly the "entity
     sits on a cycle ≤ depth" flag a taxonomy validator wants.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .where(F.col("u") != F.col("v")).distinct()
-         .localCheckpoint())
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v")).distinct(), "tc_edges")
     closure = e.select(F.col("u").alias("node"),
                        F.col("v").alias("anc"),
                        F.lit(1).cast("bigint").alias("depth"))
@@ -505,16 +525,19 @@ def transitive_closure(edges: DataFrame, max_depth: int,
         nxt = (frontier.join(e, frontier["anc"] == e["u"])
                .select(frontier["node"], F.col("v").alias("anc"),
                        F.lit(i).cast("bigint").alias("depth")))
-        closure = (closure.union(nxt)
-                   .groupBy("node", "anc")
-                   .agg(F.min("depth").alias("depth")))
+        closure = snaps.save(
+            closure.union(nxt)
+            .groupBy("node", "anc")
+            .agg(F.min("depth").alias("depth")),
+            f"tc_round_{i:04d}")
     return closure
 
 
 def propagate_labels(edges: DataFrame, seeds: DataFrame,
                      n_rounds: int = 2, src: str = "src",
                      dst: str = "dst", node_col: str = "node",
-                     label_col: str = "label") -> DataFrame:
+                     label_col: str = "label",
+                     checkpoint_dir: str | None = None) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
     Raghavan et al. 2007, the clamped variant) — type a KG or
     similarity graph from a small seed set: each round every non-seed
@@ -532,12 +555,17 @@ def propagate_labels(edges: DataFrame, seeds: DataFrame,
     neighbor list, so hub nodes cost partial-agg work only.  Fixed
     small ``n_rounds`` → linear lineage, one job (the
     :func:`pagerank_integer` argument); the edge list is materialized
-    once.  Output: (node, label, is_seed) covering every graph node
+    once — a reliable parquet snapshot (``lp_edges``) when
+    ``checkpoint_dir`` is given (cluster-durable, the
+    :func:`connected_components` contract).  Output:
+    (node, label, is_seed) covering every graph node
     and every seed (label NULL where propagation never reached).
     """
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    e = snaps.save(e.where(F.col("u") != F.col("v")).distinct(),
+                   "lp_edges")
     sd = (seeds.select(F.col(node_col).alias("node"),
                        F.col(label_col).alias("slabel")).distinct())
     nodes = (e.select(F.col("u").alias("node")).distinct()
@@ -568,7 +596,8 @@ def propagate_labels(edges: DataFrame, seeds: DataFrame,
 
 
 def triangle_counts(edges: DataFrame, src: str = "src",
-                    dst: str = "dst") -> DataFrame:
+                    dst: str = "dst",
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph —
     (node, n_tri) for every node that appears in the edge list.
 
@@ -589,14 +618,16 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     """
     # materialized ONCE: degree census, orientation, wedge join, and
     # closing-edge check all re-scan this frame — without a cut the
-    # (possibly expensive) upstream edge computation executes 4×
-    und = (
+    # (possibly expensive) upstream edge computation executes 4×;
+    # checkpoint_dir makes the cut a reliable parquet snapshot
+    # (cluster-durable) instead of executor-resident
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    und = snaps.save(
         edges.select(F.least(src, dst).alias("a"),
                      F.greatest(src, dst).alias("b"))
         .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+        .distinct(),
+        "tri_und")
     deg = (
         und.select(F.col("a").alias("n")).union(und.select("b"))
         .groupBy("n").agg(F.count("*").alias("d"))
@@ -645,7 +676,8 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 
 def neighbor_jaccard(edges: DataFrame, max_degree: int | None = None,
                      min_common: int = 1, scale: int = 1_000_000,
-                     src: str = "src", dst: str = "dst") -> DataFrame:
+                     src: str = "src", dst: str = "dst",
+                     checkpoint_dir: str | None = None) -> DataFrame:
     """Structural node similarity over the undirected simple graph:
     for every pair (a, b), a < b, sharing ≥ ``min_common`` neighbors,
     the neighborhood-Jaccard  |N(a)∩N(b)| / |N(a)∪N(b)|  as a scaled
@@ -669,14 +701,17 @@ def neighbor_jaccard(edges: DataFrame, max_degree: int | None = None,
     false accept.  Output: (a, b, common, deg_a, deg_b, jac_ppm) with
     jac_ppm = common·scale ∕ (deg_a + deg_b − common), floor div.
     """
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v")))
-           .where(F.col("u") != F.col("v")).distinct()
-           # reused by the degree census, the pivot filter, and both
-           # denominator joins — cut once so an expensive upstream
-           # (e.g. a similarity join) runs once
-           .localCheckpoint())
+    # reused by the degree census, the pivot filter, and both
+    # denominator joins — cut once so an expensive upstream (e.g. a
+    # similarity join) runs once; checkpoint_dir makes the cut a
+    # reliable parquet snapshot (cluster-durable)
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    sym = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"),
+                            F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v")).distinct(),
+        "nj_sym")
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     piv = sym.select(F.col("u").alias("w"), F.col("v").alias("x"))
     if max_degree is not None:
@@ -713,7 +748,9 @@ def neighbor_jaccard(edges: DataFrame, max_degree: int | None = None,
 
 
 def kcore(edges: DataFrame, k: int, n_rounds: int,
-          src: str = "src", dst: str = "dst") -> DataFrame:
+          src: str = "src", dst: str = "dst",
+          checkpoint_dir: str | None = None,
+          resume: bool = False) -> DataFrame:
     """k-core peeling over the undirected simple graph: ``n_rounds``
     synchronous rounds of "drop every node with degree < k (and its
     edges)", returning the surviving (node, deg) with deg = degree
@@ -731,25 +768,40 @@ def kcore(edges: DataFrame, k: int, n_rounds: int,
     never an adjacency list in one task.  Each round's edge frame is
     referenced twice by the next (census + filter), so lineage would
     DOUBLE per round without a cut — same shape as the CC loop, hence
-    the same per-round localCheckpoint (at cluster scale the caller
-    should hand durable snapshots exactly as `connected_components`'
-    ``checkpoint_dir`` does; rounds here are few and the frame is
-    edge-ids only).
+    the same per-round cut: ``localCheckpoint`` by default, reliable
+    parquet snapshots (``kcore_alive_NNNN``) when ``checkpoint_dir``
+    is given — the cluster-durable form, same contract as
+    :func:`connected_components`.  ``resume=True`` restarts from the
+    latest committed round's edge frame (peeling is idempotent and
+    monotone: re-running a round on an already-peeled frame only
+    continues the peel), WITHOUT recomputing the possibly-expensive
+    upstream ``edges``.
     """
-    alive = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .union(edges.select(F.col(dst).alias("u"),
-                                 F.col(src).alias("v")))
-             .where(F.col("u") != F.col("v")).distinct()
-             .localCheckpoint())
-    for _ in range(n_rounds):
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    start = 0
+    alive = None
+    if resume:
+        done = snaps.latest_round("kcore_alive")
+        if done is not None:
+            alive = snaps.load(f"kcore_alive_{done:04d}")
+            start = done
+    if alive is None:
+        alive = snaps.save(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"),
+                                F.col(src).alias("v")))
+            .where(F.col("u") != F.col("v")).distinct(),
+            "kcore_alive_0000")
+    for rnd in range(start, n_rounds):
         deg = alive.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= k).select("u")
-        alive = (alive
-                 .join(keep, "u", "left_semi")
-                 .join(keep.withColumnRenamed("u", "v"), "v",
-                       "left_semi")
-                 .select("u", "v")
-                 .localCheckpoint())
+        alive = snaps.save(
+            alive
+            .join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v",
+                  "left_semi")
+            .select("u", "v"),
+            f"kcore_alive_{rnd + 1:04d}")
     return (alive.groupBy("u").agg(F.count("*").alias("deg"))
             .select(F.col("u").alias("node"),
                     F.col("deg").cast("bigint").alias("deg")))
@@ -757,7 +809,8 @@ def kcore(edges: DataFrame, k: int, n_rounds: int,
 
 def random_walks(edges: DataFrame, walk_len: int, n_walks: int = 1,
                  max_degree: int | None = None,
-                 src: str = "src", dst: str = "dst") -> DataFrame:
+                 src: str = "src", dst: str = "dst",
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Deterministic "random"-walk corpus over the directed graph —
     the DeepWalk/node2vec INPUT: from every node with out-edges,
     ``n_walks`` walks of ≤ ``walk_len`` steps whose step choice is a
@@ -783,10 +836,13 @@ def random_walks(edges: DataFrame, walk_len: int, n_walks: int = 1,
          .where(F.col("u") != F.col("v")).distinct())
     # the adjacency table is referenced by every step's join (and by
     # the hub census below) — cut once BEFORE any action so the
-    # groupBy/collect runs exactly once
-    adj = (e.groupBy("u")
-           .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-           .localCheckpoint())
+    # groupBy/collect runs exactly once; checkpoint_dir makes the cut
+    # a reliable parquet snapshot (cluster-durable)
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    adj = snaps.save(
+        e.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbrs")),
+        "rw_adj")
     if max_degree is not None:
         n_hot = adj.where(F.size("nbrs") > max_degree).count()
         if n_hot:
@@ -819,7 +875,8 @@ def random_walks(edges: DataFrame, walk_len: int, n_walks: int = 1,
 def sssp_integer(edges: DataFrame, seeds: DataFrame, n_rounds: int,
                  src: str = "src", dst: str = "dst",
                  weight: str = "weight",
-                 node_col: str = "node") -> DataFrame:
+                 node_col: str = "node",
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Multi-source WEIGHTED shortest paths (distributed Bellman-Ford,
     integer weights): (node, dist) where dist = minimum total edge
     weight over any directed path of ≤ ``n_rounds`` edges from any
@@ -837,27 +894,35 @@ def sssp_integer(edges: DataFrame, seeds: DataFrame, n_rounds: int,
     depth-bounded recursive-CTE oracle.  Negative weights are
     rejected (min-fold with frontier pruning assumes monotone path
     cost, exactly like textbook BF with non-negative rounds).
+
+    Per-round lineage cuts are ``localCheckpoint`` by default,
+    reliable parquet snapshots (``sssp_edges``, ``sssp_dist_NNNN``)
+    when ``checkpoint_dir`` is given — the cluster-durable form, same
+    contract as :func:`connected_components`.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
-                      F.col(weight).cast("bigint").alias("w"))
-         .where(F.col("u") != F.col("v"))
-         .groupBy("u", "v").agg(F.min("w").alias("w"))
-         .localCheckpoint())
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     F.col(weight).cast("bigint").alias("w"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.min("w").alias("w")),
+        "sssp_edges")
     if e.where(F.col("w") < 0).limit(1).count():
         raise ValueError("sssp_integer requires non-negative weights")
     dist = (seeds.select(F.col(node_col).alias("node")).distinct()
             .withColumn("dist", F.lit(0).cast("bigint")))
     frontier = dist
-    for _ in range(n_rounds):
+    for rnd in range(n_rounds):
         relax = (frontier.join(e, frontier["node"] == e["u"])
                  .select(F.col("v").alias("node"),
                          (F.col("dist") + F.col("w")).alias("dist")))
         # each round reads the previous dist TWICE (min fold + the
         # improved-delta join), so lineage would double per round —
         # cut it like the k-core loop (the frame is two longs/node)
-        new = (dist.union(relax)
-               .groupBy("node").agg(F.min("dist").alias("dist"))
-               .localCheckpoint())
+        new = snaps.save(
+            dist.union(relax)
+            .groupBy("node").agg(F.min("dist").alias("dist")),
+            f"sssp_dist_{rnd + 1:04d}")
         # improved = strictly better than the previous round's value
         # (or newly reached): only these can relax anything next round
         frontier = (new.join(dist.withColumnRenamed("dist", "old"),
@@ -872,7 +937,8 @@ def sssp_integer(edges: DataFrame, seeds: DataFrame, n_rounds: int,
 def landmark_distances(edges: DataFrame, landmarks: DataFrame,
                        n_rounds: int, src: str = "src",
                        dst: str = "dst", weight: str = "weight",
-                       node_col: str = "node") -> DataFrame:
+                       node_col: str = "node",
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """Per-landmark weighted distance table (landmark, node, dist) —
     :func:`sssp_integer` with the SOURCE kept in the state instead of
     folded away.  This is the landmark/pivot sketch of large-graph
@@ -884,26 +950,31 @@ def landmark_distances(edges: DataFrame, landmarks: DataFrame,
 
     Same delta-frontier Bellman-Ford as :func:`sssp_integer`, state
     keyed by (landmark, node): per round one equi-join + one min
-    partial agg, per-round lineage cut.  Work and output scale with
-    |landmarks| × reachable — bounded by construction, which is the
-    entire point of a landmark sketch.
+    partial agg, per-round lineage cut (``localCheckpoint`` by
+    default, reliable parquet snapshots ``lmk_edges``/``lmk_dist_NNNN``
+    under ``checkpoint_dir`` — the cluster-durable form).  Work and
+    output scale with |landmarks| × reachable — bounded by
+    construction, which is the entire point of a landmark sketch.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
-                      F.col(weight).cast("bigint").alias("w"))
-         .where(F.col("u") != F.col("v"))
-         .groupBy("u", "v").agg(F.min("w").alias("w"))
-         .localCheckpoint())
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     F.col(weight).cast("bigint").alias("w"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.min("w").alias("w")),
+        "lmk_edges")
     dist = (landmarks.select(F.col(node_col).alias("lmk")).distinct()
             .select("lmk", F.col("lmk").alias("node"),
                     F.lit(0).cast("bigint").alias("dist")))
     frontier = dist
-    for _ in range(n_rounds):
+    for rnd in range(n_rounds):
         relax = (frontier.join(e, frontier["node"] == e["u"])
                  .select("lmk", F.col("v").alias("node"),
                          (F.col("dist") + F.col("w")).alias("dist")))
-        new = (dist.union(relax)
-               .groupBy("lmk", "node").agg(F.min("dist").alias("dist"))
-               .localCheckpoint())
+        new = snaps.save(
+            dist.union(relax)
+            .groupBy("lmk", "node").agg(F.min("dist").alias("dist")),
+            f"lmk_dist_{rnd + 1:04d}")
         frontier = (new.join(
             dist.withColumnRenamed("dist", "old"), ["lmk", "node"],
             "left")
@@ -1088,7 +1159,8 @@ def triple_provenance(triples: DataFrame, sample_k: int = 20,
                       n_salts: int = 16,
                       subj: str = "subj", pred: str = "pred",
                       obj: str = "obj",
-                      doc: str = "doc_key") -> DataFrame:
+                      doc: str = "doc_key",
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Audit trail for every distinct triple: the EXACT distinct
     source-document count plus a bounded provenance sample — the
     ``sample_k`` lexicographically-first doc keys, comma-joined.  The
@@ -1106,10 +1178,14 @@ def triple_provenance(triples: DataFrame, sample_k: int = 20,
     map-side).  Size ``n_salts`` to the expected hot-fact multiplicity
     at the target scale.
     """
-    t = (triples.select(F.col(subj).alias("s"), F.col(pred).alias("p"),
-                        F.col(obj).alias("o"), F.col(doc).alias("d"))
-         .distinct()
-         .localCheckpoint())
+    # the deduped triple frame feeds both the sample fold and the
+    # count agg — cut once (reliable parquet snapshot ``prov_triples``
+    # when checkpoint_dir is given, the cluster-durable form)
+    snaps = _Snapshots(triples.sparkSession, checkpoint_dir)
+    t = snaps.save(
+        triples.select(F.col(subj).alias("s"), F.col(pred).alias("p"),
+                       F.col(obj).alias("o"), F.col(doc).alias("d"))
+        .distinct(), "prov_triples")
     lvl1 = (t.withColumn("salt", F.pmod(F.xxhash64("d"),
                                         F.lit(n_salts)))
             .groupBy("s", "p", "o", "salt")
@@ -1561,6 +1637,13 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
                 color = new
                 break
             color = new
+        else:
+            # an unconverged coloring can split a true SCC across
+            # passes and silently emit wrong labels — fail loudly,
+            # mirroring the max_passes guard below
+            raise ValueError(
+                "strongly_connected_components: forward coloring did "
+                "not converge within max_iter rounds — raise max_iter")
 
         # -- 3. backward mark from roots within color classes ----------
         marked = snaps.save(
@@ -1689,7 +1772,8 @@ def condensation_layers(edges: DataFrame, scc: DataFrame,
 
 
 def fact_intervals(facts: DataFrame, s: str = "s", p: str = "p",
-                   o: str = "o", seq: str = "seq") -> DataFrame:
+                   o: str = "o", seq: str = "seq",
+                   with_last_seq: bool = False) -> DataFrame:
     """Versioned facts → SCD2 validity intervals, the time-travel
     layer of a continuously re-extracted KG: as commits land, the
     extractor re-emits (s, p, o) with a monotonically increasing
@@ -1713,6 +1797,14 @@ def fact_intervals(facts: DataFrame, s: str = "s", p: str = "p",
     row per VALUE CHANGE, not per version, which is what makes the
     history table storable at 10^12-file scale (churn grain, not
     snapshot grain).
+
+    ``with_last_seq=True`` additionally emits ``last_seq`` = the
+    HIGHEST version inside each run.  On the open row this is the
+    key's latest ingested version, which is exactly the state
+    :func:`merge_fact_intervals` needs to enforce its strict
+    monotonicity contract (a late delta whose version falls INSIDE the
+    open run's already-ingested range must be rejected, and
+    ``valid_from`` alone cannot see it).
     """
     from pyspark.sql import Window
     per_ver = (facts.groupBy(F.col(s).alias("s"), F.col(p).alias("p"),
@@ -1724,10 +1816,14 @@ def fact_intervals(facts: DataFrame, s: str = "s", p: str = "p",
                 F.col("o").eqNullSafe(F.lag("o").over(w)), 0).otherwise(1))
             .withColumn("run", F.sum("chg").over(w)))
     iv = (runs.groupBy("s", "p", "run", "o")
-          .agg(F.min("seq").alias("valid_from")))
+          .agg(F.min("seq").alias("valid_from"),
+               F.max("seq").alias("last_seq")))
     w2 = Window.partitionBy("s", "p").orderBy("valid_from")
+    out_cols = ["s", "p", "o", "valid_from", "valid_to"]
+    if with_last_seq:
+        out_cols.append("last_seq")
     return (iv.withColumn("valid_to", F.lead("valid_from").over(w2))
-            .select("s", "p", "o", "valid_from", "valid_to"))
+            .select(*out_cols))
 
 
 def facts_asof(intervals: DataFrame, t) -> DataFrame:
@@ -1744,7 +1840,8 @@ def facts_asof(intervals: DataFrame, t) -> DataFrame:
 
 def merge_fact_intervals(standing: DataFrame, delta: DataFrame,
                          s: str = "s", p: str = "p", o: str = "o",
-                         seq: str = "seq") -> DataFrame:
+                         seq: str = "seq",
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Fold a DELTA batch of versioned facts into a standing SCD2
     interval table without re-reading history — the MERGE INTO shape
     of continuous KG ingest (new commits arrive; the time-travel table
@@ -1754,7 +1851,17 @@ def merge_fact_intervals(standing: DataFrame, delta: DataFrame,
     :func:`fact_intervals` over the full input, under the production
     monotonicity assumption that every delta version is strictly
     greater than every standing version of the same fact key (commit
-    ordinals only grow; violated input raises).
+    ordinals only grow).  Enforcement depth depends on what the
+    standing table carries: when it has a ``last_seq`` column (built
+    with ``fact_intervals(..., with_last_seq=True)`` — the streaming
+    ingest path does), ANY delta version ≤ the open run's latest
+    ingested version raises; without it the guard can only see the
+    open run's START (``valid_from``), so a late version that falls
+    strictly inside the open run's already-ingested range is
+    undetectable from the interval table alone — the enforced
+    contract is then the weaker "every delta version must postdate
+    each touched open run's start".  Track ``last_seq`` whenever the
+    source can deliver out of order.
 
     Why only the OPEN row matters: standing CLOSED rows are immutable
     history (a later version can never change them), and the open
@@ -1771,28 +1878,45 @@ def merge_fact_intervals(standing: DataFrame, delta: DataFrame,
     Nothing iterates over standing history; untouched keys stream
     through unchanged.
     """
+    track = "last_seq" in standing.columns
     cols = ["s", "p", "o", "valid_from", "valid_to"]
+    if track:
+        cols.append("last_seq")
     d = delta.select(F.col(s).alias("s"), F.col(p).alias("p"),
                      F.col(o).alias("o"), F.col(seq).alias("seq"))
     keys = d.select("s", "p").distinct()
     untouched = standing.join(keys, ["s", "p"], "left_anti").select(cols)
     t_closed = (standing.join(keys, ["s", "p"], "left_semi")
                 .where(F.col("valid_to").isNotNull()).select(cols))
+    open_cols = ["s", "p", F.col("o").alias("o_open"),
+                 F.col("valid_from").alias("open_from")]
+    if track:
+        open_cols.append(F.col("last_seq").alias("open_last"))
     t_open = (standing.join(keys, ["s", "p"], "left_semi")
               .where(F.col("valid_to").isNull())
-              .select("s", "p", F.col("o").alias("o_open"),
-                      F.col("valid_from").alias("open_from")))
+              .select(*open_cols))
 
-    # monotonicity guard: a delta version at or below the open run's
-    # start would rewrite closed history — fail loudly, don't corrupt
+    # monotonicity guard: with last_seq, ANY delta version at or below
+    # the open run's latest ingested version would rewrite history;
+    # without it only the open run's start is visible — fail loudly
+    # either way, don't corrupt
+    fence = F.col("open_last") if track else F.col("open_from")
     bad = (d.join(t_open, ["s", "p"])
-           .where(F.col("seq") <= F.col("open_from")).limit(1).count())
+           .where(F.col("seq") <= fence).limit(1).count())
     if bad:
         raise ValueError(
             "merge_fact_intervals: delta contains versions ≤ a standing "
-            "open run's start — out-of-order ingest needs a rebuild")
+            "open run's " + ("latest ingested version" if track
+                             else "start")
+            + " — out-of-order ingest needs a rebuild")
 
-    dr = fact_intervals(d, "s", "p", "o", "seq").localCheckpoint()
+    # the delta's own interval table feeds three consumers (first-run
+    # stitch, kept_first, rest) — cut once (reliable snapshot
+    # ``mfi_delta_runs`` under checkpoint_dir, the cluster-durable form)
+    snaps = _Snapshots(standing.sparkSession, checkpoint_dir)
+    dr = snaps.save(
+        fact_intervals(d, "s", "p", "o", "seq", with_last_seq=track),
+        "mfi_delta_runs")
     from pyspark.sql import Window
     w = Window.partitionBy("s", "p").orderBy("valid_from")
     dr = dr.withColumn("rn", F.row_number().over(w))
@@ -1803,13 +1927,23 @@ def merge_fact_intervals(standing: DataFrame, delta: DataFrame,
     # same object across the boundary → open run absorbs the first
     # delta run; different (or brand-new key) → both rows survive,
     # open closing at the delta run's start
-    stitched_open = j.select(
-        "s", "p",
+    absorbed = (F.col("o_open").isNull()
+                | (F.col("o_open") == F.col("o")))
+    stitched_cols = [
+        F.col("s"), F.col("p"),
         F.coalesce("o_open", "o").alias("o"),
         F.coalesce("open_from", "valid_from").alias("valid_from"),
-        F.when(F.col("o_open").isNull()
-               | (F.col("o_open") == F.col("o")), F.col("valid_to"))
-        .otherwise(F.col("valid_from")).alias("valid_to"))
+        F.when(absorbed, F.col("valid_to"))
+        .otherwise(F.col("valid_from")).alias("valid_to")]
+    if track:
+        # rebuild parity: an absorbed run's latest version comes from
+        # the delta; a CLOSING open run keeps its standing last_seq
+        # (the delta started a new run, so the old run's range is
+        # exactly what standing recorded)
+        stitched_cols.append(
+            F.when(absorbed, F.col("last_seq"))
+            .otherwise(F.col("open_last")).alias("last_seq"))
+    stitched_open = j.select(*stitched_cols)
     # the changed case also keeps the delta run itself
     kept_first = (j.where(F.col("o_open").isNotNull()
                           & (F.col("o_open") != F.col("o")))

@@ -323,10 +323,21 @@ def resolve_symbols(src: DataFrame,
     stage (north_rule: "entity linking via blocked candidate
     generation").
     """
-    defs = (extract_call_edges(src, def_triggers, arg_pattern)
-            .groupBy(F.col("arg").alias("symbol"),
-                     F.col("repo").alias("def_repo"))
-            .agg(F.sum("n_files").alias("n_def_files")))
+    # definitions are counted at (repo, path, symbol) grain FIRST: a
+    # file matching two def_triggers must count once toward the
+    # popularity election, which a per-trigger countDistinct sum
+    # would double
+    dpat = f"(?:{'|'.join(def_triggers)}) {arg_pattern}"
+    defs = (src.select(
+                "repo", "path",
+                F.explode(F.regexp_extract_all(
+                    "content", F.lit(dpat), 0)).alias("m"))
+            .select("repo", "path",
+                    F.split_part("m", F.lit(" "), F.lit(2))
+                    .alias("symbol"))
+            .distinct()
+            .groupBy("symbol", F.col("repo").alias("def_repo"))
+            .agg(F.count("*").cast("bigint").alias("n_def_files")))
     w = Window.partitionBy("symbol").orderBy(
         F.col("n_def_files").desc(), F.col("def_repo").asc())
     catalog = (defs.withColumn("rn", F.row_number().over(w))

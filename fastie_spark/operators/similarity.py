@@ -478,7 +478,8 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
              n_cells: int = 4, n_iters: int = 2, scale: int = 1000,
              id_col: str = "vec_id", vec_col: str = "embedding",
              cells: DataFrame | None = None,
-             n_probe_cells: int = 1) -> DataFrame:
+             n_probe_cells: int = 1,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF search: exact cosine top-k restricted to the probe's coarse
     cell(s) — the IVF counterpart of :func:`lsh_topk` (cell =
     partition key; each probe scans ~nprobe·N/n_cells candidates
@@ -496,10 +497,15 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
     ``cells`` defaults to :func:`ivf_cells` over ``vectors``; probes
     must be corpus members (their cell membership is looked up by id
     for p = 1; centroid ranking quantizes the probe exactly as the
-    corpus was).  Ranking is the two-level bounded top-k,
-    deterministic tie-break (sim DESC, neighbor_id ASC).
+    corpus was).  With a caller-supplied index and ``n_probe_cells``
+    > 1 the matching ``centroids`` frame MUST come along (both halves
+    of one ``ivf_cells(..., return_centroids=True)`` build) — deriving
+    centroids by re-training here would both double the quantizer cost
+    and, if the passed cells were built with different params, rank
+    probe cells inconsistently with the assignments.  Ranking is the
+    two-level bounded top-k, deterministic tie-break (sim DESC,
+    neighbor_id ASC).
     """
-    centroids = None
     if cells is None:
         if n_probe_cells > 1:
             cells, centroids = ivf_cells(
@@ -509,10 +515,11 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
             cells = ivf_cells(vectors, n_cells=n_cells, n_iters=n_iters,
                               scale=scale, id_col=id_col,
                               vec_col=vec_col)
-    elif n_probe_cells > 1:
-        _, centroids = ivf_cells(
-            vectors, n_cells=n_cells, n_iters=n_iters, scale=scale,
-            id_col=id_col, vec_col=vec_col, return_centroids=True)
+    elif n_probe_cells > 1 and centroids is None:
+        raise ValueError(
+            "ivf_topk: n_probe_cells > 1 with caller-supplied cells "
+            "requires the matching centroids frame (build both with "
+            "ivf_cells(..., return_centroids=True))")
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),

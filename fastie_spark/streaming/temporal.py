@@ -54,7 +54,11 @@ def merge_history_batch(spark: SparkSession, batch_df: DataFrame,
     snaps = _Snapshots(spark, out_root)
     prev = snaps.latest_round("hist", below=batch_id)
     if prev is None:
-        hist = fact_intervals(batch_df)
+        # last_seq on open rows arms merge_fact_intervals' STRICT
+        # monotonicity guard: a replayed/late version inside an open
+        # run's already-ingested range raises instead of silently
+        # rewriting history
+        hist = fact_intervals(batch_df, with_last_seq=True)
     else:
         hist = merge_fact_intervals(snaps.load(f"hist_{prev:04d}"),
                                     batch_df)

@@ -458,8 +458,11 @@ def test_streaming_history_ingest_equals_rebuild(spark, tmp_path):
         return sorted(map(tuple, latest_history(spark, root).collect()))
 
     def rebuild(hi):
+        # the streaming path tracks last_seq (strict out-of-order
+        # guard), so rebuild parity includes that column too
         return sorted(map(tuple, fact_intervals(
-            spark.createDataFrame(fact_rows(0, hi), schema)).collect()))
+            spark.createDataFrame(fact_rows(0, hi), schema),
+            with_last_seq=True).collect()))
 
     assert standing() == rebuild(20)
 

@@ -896,3 +896,141 @@ def test_merge_fact_intervals_rejects_history_rewrite(spark):
         [("A", "r", "w", 5)], "s string, p string, o string, seq long")
     with pytest.raises(ValueError, match="out-of-order"):
         merge_fact_intervals(standing, late)
+
+
+def test_kcore_mid_loop_kill_resume(spark, tmp_path):
+    """VERDICT r4 #1 representative: a 1000-executor k-core peel dies
+    mid-loop if lineage was cut with executor-resident localCheckpoints.
+    With a checkpoint_dir every round is a durable parquet snapshot:
+    kill the peel after round 1, then resume WITHOUT the upstream edge
+    computation at all (a bogus empty edge frame) — the resumed run
+    must continue from the latest committed round and converge to the
+    same core as an uninterrupted run."""
+    import os
+
+    from fastie_spark.graph import kcore
+
+    # chain 0-..-9 hanging off clique {9,10,11}: k=2 peels ONE chain
+    # endpoint per round, so one checkpointed round cannot finish
+    edges = ([(i, i + 1) for i in range(9)]
+             + [(9, 10), (10, 11), (11, 9)])
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    want = sorted(tuple(r)
+                  for r in kcore(df, k=2, n_rounds=12).collect())
+    assert sorted(n for n, _ in want) == [9, 10, 11]
+
+    root = str(tmp_path / "kcore_rounds")
+    partial = kcore(df, k=2, n_rounds=1, checkpoint_dir=root)
+    assert sorted(tuple(r) for r in partial.collect()) != want
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("kcore_alive_")) == [
+        "kcore_alive_0000", "kcore_alive_0001"]
+
+    bogus = spark.createDataFrame([], "src bigint, dst bigint")
+    got = kcore(bogus, k=2, n_rounds=12, checkpoint_dir=root,
+                resume=True)
+    assert sorted(tuple(r) for r in got.collect()) == want
+    assert len([d for d in os.listdir(root)
+                if d.startswith("kcore_alive_")]) == 13
+
+
+def test_graph_loops_checkpoint_dir_durable_form(spark, tmp_path):
+    """VERDICT r4 #1: every remaining iterative/multi-consumer graph
+    operator accepts ``checkpoint_dir`` — the result is identical to
+    the localCheckpoint fast path and every lineage cut on disk is a
+    COMMITTED parquet snapshot (_SUCCESS present), so a lost executor
+    recomputes from storage instead of killing the job."""
+    import os
+
+    from fastie_spark.graph import (
+        hits_integer,
+        khop_distances,
+        landmark_distances,
+        neighbor_jaccard,
+        propagate_labels,
+        random_walks,
+        sssp_integer,
+        transitive_closure,
+        triangle_counts,
+        triple_provenance,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (2, 5)],
+        "src bigint, dst bigint")
+    ew = e.withColumn("weight", (F.col("src") + F.col("dst")) % 3 + 1)
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    lab = spark.createDataFrame([(1, "x"), (4, "y")],
+                                "node bigint, label string")
+    trip = spark.createDataFrame(
+        [("a", "p", "b", f"d{i}") for i in range(7)]
+        + [("a", "q", "c", "d0")],
+        "subj string, pred string, obj string, doc_key string")
+
+    cases = {
+        "hits": lambda d: hits_integer(e, n_iters=2, checkpoint_dir=d),
+        "khop": lambda d: khop_distances(e, seeds, k=3,
+                                         checkpoint_dir=d),
+        "tc": lambda d: transitive_closure(e, max_depth=3,
+                                           checkpoint_dir=d),
+        "lp": lambda d: propagate_labels(e, lab, n_rounds=2,
+                                         checkpoint_dir=d),
+        "nj": lambda d: neighbor_jaccard(e, checkpoint_dir=d),
+        "tri": lambda d: triangle_counts(e, checkpoint_dir=d),
+        "rw": lambda d: random_walks(e, walk_len=3, checkpoint_dir=d),
+        "sssp": lambda d: sssp_integer(ew, seeds, n_rounds=4,
+                                       checkpoint_dir=d),
+        "lmk": lambda d: landmark_distances(ew, seeds, n_rounds=4,
+                                            checkpoint_dir=d),
+        "prov": lambda d: triple_provenance(trip, sample_k=3,
+                                            checkpoint_dir=d),
+    }
+    for name, run in cases.items():
+        fast = sorted(tuple(r) for r in run(None).collect())
+        root = str(tmp_path / name)
+        durable = sorted(tuple(r) for r in run(root).collect())
+        assert durable == fast, name
+        snaps = [n for n in os.listdir(root)
+                 if os.path.isdir(os.path.join(root, n))]
+        assert snaps, name
+        assert all(os.path.isfile(os.path.join(root, n, "_SUCCESS"))
+                   for n in snaps), name
+
+
+def test_merge_fact_intervals_last_seq_strict_guard(spark, tmp_path):
+    """ADVICE r4 (medium): with last_seq tracked, a late delta whose
+    version falls INSIDE the open run's already-ingested range (which
+    the valid_from-only guard cannot see) raises instead of silently
+    rewriting history; a genuinely monotone delta still merges to the
+    exact rebuild, last_seq included."""
+    import pytest
+
+    from fastie_spark.graph import fact_intervals, merge_fact_intervals
+
+    schema = "s string, p string, o string, seq long"
+    # open run: same value across seqs 1..5 (valid_from = 1)
+    standing = fact_intervals(
+        spark.createDataFrame([("A", "r", "v", i) for i in (1, 3, 5)],
+                              schema),
+        with_last_seq=True)
+
+    # seq 4 sits strictly inside (open_from=1, last=5): the old guard
+    # passed it; the strict one must not
+    inside = spark.createDataFrame([("A", "r", "w", 4)], schema)
+    with pytest.raises(ValueError, match="latest ingested"):
+        merge_fact_intervals(standing, inside)
+
+    # monotone delta: merged ≡ rebuild including last_seq carry
+    delta = spark.createDataFrame(
+        [("A", "r", "v", 6), ("A", "r", "w", 8), ("B", "r", "n", 7)],
+        schema)
+    merged = {tuple(r) for r in merge_fact_intervals(
+        standing, delta,
+        checkpoint_dir=str(tmp_path / "mfi")).collect()}
+    rebuild = {tuple(r) for r in fact_intervals(
+        spark.createDataFrame(
+            [("A", "r", "v", i) for i in (1, 3, 5)]
+            + [("A", "r", "v", 6), ("A", "r", "w", 8),
+               ("B", "r", "n", 7)], schema),
+        with_last_seq=True).collect()}
+    assert merged == rebuild
