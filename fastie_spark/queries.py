@@ -781,12 +781,32 @@ SELECT token, (row_number() OVER (ORDER BY token))::BIGINT AS id FROM toks
 """)
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-vocab construction (utils.py:27-77) with deterministic sorted
-    ids instead of fastNLP insertion order (SURVEY §4.3.4)."""
+    ids instead of fastNLP insertion order (SURVEY §4.3.4).
+
+    Scale shape: ids are a TWO-LEVEL rank, never a global window — the
+    distinct-token frame at 100 TB is itself huge and a single
+    ``Window.orderBy`` would sort it on one task.  Tokens bucket by
+    their 2-char prefix (an order-preserving prefix of the sort key, so
+    sorting by (bucket, token) IS sorting by token), rank within bucket
+    on a partitioned window, and compose with the prefix-sum of bucket
+    sizes.  The prefix sum is a theta-join over the bucket-size frame
+    (bucket-grain, bounded by the prefix alphabet — never corpus-sized)
+    so no single-partition Exchange appears anywhere in the plan.
+    """
     toks = _doc_sentences(spark, sf_dir).select(
         F.explode("tokens").alias("token")).distinct()
-    w = Window.orderBy("token")
-    return toks.select(
-        "token", F.row_number().over(w).cast("bigint").alias("id"))
+    b = toks.withColumn("_b", F.substring("token", 1, 2))
+    wb = Window.partitionBy("_b").orderBy("token")
+    local = b.withColumn("_rk", F.row_number().over(wb).cast("bigint"))
+    sizes = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = (
+        sizes.alias("a")
+        .join(sizes.alias("p"), F.col("p._b") < F.col("a._b"), "left")
+        .groupBy(F.col("a._b").alias("_b"))
+        .agg(F.coalesce(F.sum("p._n"), F.lit(0)).alias("_off")))
+    return (local.join(F.broadcast(offsets), "_b")
+            .select("token",
+                    (F.col("_off") + F.col("_rk")).cast("bigint").alias("id")))
 
 # ---------------------------------------------------------------------------
 # S2 — JsonLinesRE loader core: offset rebase + right-exclusive shift +

@@ -76,11 +76,26 @@ def index_list_to_spans(df: DataFrame, col: str = "entity_mentions") -> DataFram
 
 def with_auto_keys(df: DataFrame) -> DataFrame:
     """Deterministically fill missing doc_key/sent_id (build_dataset.py:55-58
-    uses insertion order; we order by a stable hash of the row content)."""
+    uses insertion order; we derive a stable content hash instead).
+
+    The key is ``hex(xxhash64(row_json)) + '-' + rank_within_hash`` —
+    the hash is already a deterministic function of the row, so it IS
+    the key; the rank disambiguates 64-bit collisions and duplicate
+    rows with a window PARTITIONED by the hash (a global
+    ``Window.orderBy`` over the whole input, the old form, sorts the
+    corpus on one task at scale).  Keys are unique, and the key
+    multiset is a pure function of the row multiset — independent of
+    partitioning or run order.
+    """
     out = df
     if "doc_key" not in out.columns:
-        w = Window.orderBy(F.xxhash64(F.to_json(F.struct(*out.columns))))
-        out = out.withColumn("doc_key", (F.row_number().over(w) - 1).cast("string"))
+        j = F.to_json(F.struct(*out.columns))
+        h = F.xxhash64(j)
+        w = Window.partitionBy(h).orderBy(j)
+        out = out.withColumn(
+            "doc_key",
+            F.concat_ws("-", F.lower(F.hex(h)),
+                        (F.row_number().over(w) - 1).cast("string")))
     if "sent_id" not in out.columns:
         out = out.withColumn("sent_id", F.lit(0))
     return out

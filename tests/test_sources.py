@@ -240,3 +240,30 @@ def test_legacy_hf_ingest_matches_reference_decode(spark, tmp_path):
                for m in wout[key]["entity_mentions"]]
         assert got == want, key
         assert wout[key]["split"] == "train"
+
+
+def test_with_auto_keys_deterministic_and_partition_free(spark):
+    """S7 auto keys: unique, a pure function of the row multiset
+    (partitioning-independent), and never a single-task global sort —
+    the window is PARTITIONED by the content hash (VERDICT r4 wrong #2b)."""
+    from fastie_spark.sources.normalize import with_auto_keys
+
+    rows = [(f"tok{i} tok{i+1}", i % 3) for i in range(50)]
+    rows += rows[:5]  # duplicate rows must still get unique keys
+    df = spark.createDataFrame(rows, "text string, grp int")
+
+    out1 = with_auto_keys(df.repartition(1)).collect()
+    out8 = with_auto_keys(df.repartition(8)).collect()
+    keys1 = sorted(r["doc_key"] for r in out1)
+    keys8 = sorted(r["doc_key"] for r in out8)
+    assert len(set(keys1)) == len(rows)          # unique
+    assert keys1 == keys8                        # partitioning-independent
+    assert all(r["sent_id"] == 0 for r in out1)
+
+    # plan shape: no single-partition Exchange (the old global window)
+    plan = with_auto_keys(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+    # pre-existing keys are untouched
+    keyed = df.withColumn("doc_key", F.col("grp").cast("string"))
+    assert with_auto_keys(keyed).select("doc_key").distinct().count() == 3

@@ -121,7 +121,12 @@ AUDIT = [
     ("kg_provenance", "salted two-level first-k doc samples + exact counts"),
     ("kg_export_nt", "N-Triples lines: in-row escape chains, map-only"),
     ("graph_closeness", "landmark distance table + harmonic rollup"),
+    ("vocab_build", "two-level token rank: no single-partition sort"),
 ]
+
+# queries whose 100×-scale contract is "no single-partition Exchange
+# anywhere in the plan" — global windows rewritten as two-level ranks
+NO_SINGLE_PARTITION = {"vocab_build"}
 
 
 def signals(plan: str) -> dict[str, object]:
@@ -129,6 +134,7 @@ def signals(plan: str) -> dict[str, object]:
     read = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "single_part": len(re.findall(r"Exchange SinglePartition", plan)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "codegen_spans": len(set(
@@ -154,13 +160,16 @@ def main() -> None:
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
         "",
         f"Input: `{sf_dir}`.  Signals per headline query; `shuffles` is",
-        "the count of `Exchange` nodes, `read_cols` the column count of",
-        "each parquet `ReadSchema` (pruning evidence).  `BatchEvalPython`",
-        "must be 0 everywhere — Arrow stages are the only Python surface.",
+        "the count of `Exchange` nodes, `1-part` the subset that are",
+        "`Exchange SinglePartition` (global-sort/scalar-agg funnels —",
+        "asserted 0 for the two-level-rank queries), `read_cols` the",
+        "column count of each parquet `ReadSchema` (pruning evidence).",
+        "`BatchEvalPython` must be 0 everywhere — Arrow stages are the",
+        "only Python surface.",
         "",
-        "| query | role | shuffles | bcast joins | SMJ | codegen spans |"
-        " Arrow stages | BatchEvalPython | read_cols |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | role | shuffles | 1-part | bcast joins | SMJ |"
+        " codegen spans | Arrow stages | BatchEvalPython | read_cols |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     details = []
     for name, role in AUDIT:
@@ -175,8 +184,11 @@ def main() -> None:
         plan = plan.split("== Initial Plan ==")[0]
         s = signals(plan)
         assert s["batch_eval_python"] == 0, f"{name}: BatchEvalPython!"
+        if name in NO_SINGLE_PARTITION:
+            assert s["single_part"] == 0, \
+                f"{name}: single-partition Exchange in plan!"
         lines.append(
-            f"| {name} | {role} | {s['exchanges']} | "
+            f"| {name} | {role} | {s['exchanges']} | {s['single_part']} | "
             f"{s['broadcast_joins']} | {s['sortmerge_joins']} | "
             f"{s['codegen_spans']} | {s['arrow_stages']} | "
             f"{s['batch_eval_python']} | {s['read_cols']} |")
