@@ -3201,14 +3201,33 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layout (pure_model.py:334-372 consuming the pure_pipe.py:138-151 mask)
 # ---------------------------------------------------------------------------
 
-@query("pure_pack_forward", oracle=f"""
+_PAIR_GOLD = f"""CASE WHEN b.start >= a."end"
+               AND b.start - a."end" <= {PAIR_GAP}
+              THEN 'precedes' ELSE 'None' END"""
+
+_FWD_FINAL = """SELECT p.doc_id, p.sent_id::BIGINT AS sent_id,
+       p.s_start::BIGINT AS s_start, p.s_end::BIGINT AS s_end,
+       p.o_start::BIGINT AS o_start, p.o_end::BIGINT AS o_end,
+       p.gold AS gold, r.pred::BIGINT AS pred
+FROM pairs p JOIN pred r ON r.pk = p.pk"""
+
+
+def _pure_forward_oracle(ments_cte: str, doc_cap: int, gold_sql: str,
+                         final_select: str) -> str:
+    """DuckDB replay of the PURE packed forward (pure_model.py:334-372
+    through the pure_pipe.py:138-151 block mask), PER PAIR with no pack
+    structure, parametrized by the mention source so the gazetteer
+    round-trip (pure_pack_forward) and the joint span-model chain
+    (pure_joint_infer) share one verified chain.  ``ments_cte`` must
+    define ments(doc_id, sent_id, start, "end", label)."""
+    return f"""
 WITH {TOKS_CTE},
-{_mentions_cte(GAZ, "ments", chunked=True)},
+{ments_cte},
 tk AS (
   SELECT doc_id, (pos // {SENT_LEN}) AS sent_id, (pos % {SENT_LEN}) AS lpos,
          token, greatest((length(token) + {WP_LEN - 1}) // {WP_LEN}, 1)
            AS pieces
-  FROM toks WHERE doc_id < {PURE_FWD_DOCS}),
+  FROM toks WHERE doc_id < {doc_cap}),
 chunk AS (
   SELECT doc_id, sent_id, (2 + sum(pieces))::BIGINT AS origin_len
   FROM tk GROUP BY doc_id, sent_id),
@@ -3260,9 +3279,7 @@ pairs AS (
            || '|' || b.start || '|' || b."end" AS pk,
          a.start AS s_start, a."end" AS s_end, a.label AS s_label,
          b.start AS o_start, b."end" AS o_end, b.label AS o_label,
-         CASE WHEN b.start >= a."end"
-               AND b.start - a."end" <= {PAIR_GAP}
-              THEN 'precedes' ELSE 'None' END AS gold
+         {gold_sql} AS gold
   FROM ments a
   JOIN ments b ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
    AND (a.start, a."end", a.label) != (b.start, b."end", b.label)
@@ -3354,12 +3371,13 @@ pred AS (
     SELECT pk, c, row_number() OVER (PARTITION BY pk
                                      ORDER BY score DESC, c) AS rn
     FROM sc) WHERE rn = 1)
-SELECT p.doc_id, p.sent_id::BIGINT AS sent_id,
-       p.s_start::BIGINT AS s_start, p.s_end::BIGINT AS s_end,
-       p.o_start::BIGINT AS o_start, p.o_end::BIGINT AS o_end,
-       p.gold AS gold, r.pred::BIGINT AS pred
-FROM pairs p JOIN pred r ON r.pk = p.pk
-""")
+{final_select}
+"""
+
+
+@query("pure_pack_forward", oracle=_pure_forward_oracle(
+    _mentions_cte(GAZ, "ments", chunked=True), PURE_FWD_DOCS,
+    _PAIR_GOLD, _FWD_FINAL))
 def q_pure_pack_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PURE packed forward (pure_model.py:334-372): ONE masked
     hard-attention pass per pack scores every levitated pair — marker
@@ -3386,6 +3404,131 @@ def q_pure_pack_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_start").cast("bigint").alias("o_start"),
         F.col("o_end").cast("bigint").alias("o_end"),
         "gold",
+        F.col("pred").cast("bigint").alias("pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the full PURE joint chain: span model -> ent_pred -> packed forward
+# ---------------------------------------------------------------------------
+
+JOINT_DOCS = 40  # doc cap for the joint contract query
+# predicted-mention thinning modulus: hash-random span weights tag ~4/5
+# of all spans non-'None' (a trained model would not), so the pair
+# blow-up is bounded by a deterministic portable-hash gate on the span
+# key — replayed identically in the oracle.  Test-harness density
+# control, same spirit as the P4/K2 decode caps.
+JOINT_MOD = 29
+
+_JOINT_GATE = "doc_id || '|' || sent_id || '|' || start || '|' || e"
+
+# chunk-local span prediction (the pure_span_ner replay, re-based onto
+# SENT_LEN chunks) -> hash-thinned mentions with SPAN_LABELS names
+_JOINT_MENTS_CTE = f"""
+ch AS (
+  SELECT doc_id, (pos // {SENT_LEN})::BIGINT AS sent_id,
+         (pos % {SENT_LEN})::BIGINT AS lpos, token,
+         least({SENT_LEN}, n - {SENT_LEN} * (pos // {SENT_LEN})) AS L
+  FROM toks WHERE doc_id < {JOINT_DOCS}),
+jvocab AS (SELECT DISTINCT token FROM ch),
+jlsc AS (
+  SELECT token, c.c AS c,
+         sum((({duck_hash64_sql("'sLc' || c.c || 'd' || d.d")} % 2001) - 1000)
+           * (({duck_hash64_sql("'e' || d.d || '#' || token")} % 2001) - 1000))
+             AS s
+  FROM jvocab, generate_series(0, {SPAN_NL - 1}) c(c),
+       generate_series(0, {MODEL_DIM - 1}) d(d)
+  GROUP BY token, c.c),
+jrsc AS (
+  SELECT token, c.c AS c,
+         sum((({duck_hash64_sql("'sRc' || c.c || 'd' || d.d")} % 2001) - 1000)
+           * (({duck_hash64_sql("'e' || d.d || '#' || token")} % 2001) - 1000))
+             AS s
+  FROM jvocab, generate_series(0, {SPAN_NL - 1}) c(c),
+       generate_series(0, {MODEL_DIM - 1}) d(d)
+  GROUP BY token, c.c),
+jwsc AS (
+  SELECT w.w AS width, c.c AS c,
+         sum((({duck_hash64_sql("'sWc' || c.c || 'k' || k.k")} % 2001) - 1000)
+           * (({duck_hash64_sql("'ww' || w.w || 'k' || k.k")} % 2001) - 1000))
+             AS s
+  FROM generate_series(1, {SPAN_L}) w(w),
+       generate_series(0, {SPAN_NL - 1}) c(c),
+       generate_series(0, {SPAN_WDIM - 1}) k(k)
+  GROUP BY w.w, c.c),
+jsp0 AS (
+  SELECT doc_id, sent_id, lpos AS start, (lpos + w.w)::BIGINT AS e,
+         w.w AS width, token AS ltok
+  FROM ch JOIN generate_series(1, {SPAN_L}) w(w) ON lpos + w.w <= L),
+jsp AS (
+  SELECT s.doc_id, s.sent_id, s.start, s.e, s.width, s.ltok,
+         b.token AS rtok
+  FROM jsp0 s JOIN ch b ON b.doc_id = s.doc_id AND b.sent_id = s.sent_id
+                       AND b.lpos = s.e - 1),
+jranked AS (
+  SELECT sp.doc_id, sp.sent_id, sp.start, sp.e, l.c,
+         row_number() OVER (PARTITION BY sp.doc_id, sp.sent_id,
+                                         sp.start, sp.e
+                            ORDER BY (l.s + r.s + ws.s) DESC, l.c) AS rn
+  FROM jsp sp
+  JOIN jlsc l ON l.token = sp.ltok
+  JOIN jrsc r ON r.token = sp.rtok AND r.c = l.c
+  JOIN jwsc ws ON ws.width = sp.width AND ws.c = l.c),
+ments AS (
+  SELECT doc_id, sent_id, start, e AS "end",
+         CASE c WHEN 1 THEN 'CLASS' WHEN 2 THEN 'FUNC'
+                WHEN 3 THEN 'VAR' ELSE 'MOD' END AS label
+  FROM jranked
+  WHERE rn = 1 AND c <> 0
+    AND ({duck_hash64_sql(_JOINT_GATE)} % {JOINT_MOD}) = 0)"""
+
+_JOINT_FINAL = """SELECT p.doc_id, p.sent_id::BIGINT AS sent_id,
+       p.s_start::BIGINT AS s_start, p.s_end::BIGINT AS s_end,
+       p.o_start::BIGINT AS o_start, p.o_end::BIGINT AS o_end,
+       r.pred::BIGINT AS pred
+FROM pairs p JOIN pred r ON r.pk = p.pk"""
+
+
+@query("pure_joint_infer", oracle=_pure_forward_oracle(
+    _JOINT_MENTS_CTE, JOINT_DOCS, "'None'", _JOINT_FINAL))
+def q_pure_joint_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship joint shape in ONE query: entity infer
+    -> ent_pred -> packed relation infer (pure_joint.py:78-86) —
+    SpanClassifier (span_model.py) predicts mentions over the chunked
+    corpus, the surviving spans become each sentence's ``ent_pred``,
+    pack_pairs levitates every ordered pair, and PackedPairClassifier
+    scores them in one masked pass per pack.  The oracle recomputes the
+    ENTIRE chain from raw text (chunk-local span argmax -> hash gate ->
+    per-pair forward replay), so a span-convention mismatch BETWEEN
+    stages — off-by-one rebasing, inclusive/exclusive drift, label-id
+    vs label-name skew — breaks the hash even when each stage passes
+    its own per-stage oracle (VERDICT r4 missing #2)."""
+    from fastie_spark.extraction.pure_forward import PackedPairClassifier
+    from fastie_spark.extraction.pure_pack import pack_pairs
+    from fastie_spark.extraction.span_model import SPAN_LABELS, SpanClassifier
+    s = _chunked_sentences(spark, sf_dir).where(
+        F.col("doc_key").cast("bigint") < JOINT_DOCS)
+    spans = SpanClassifier(max_span_len=SPAN_L).transform(s)
+    gate = spark_hash64_sql(
+        "concat(doc_key, '|', cast(sent_id as string), '|', "
+        "cast(start as string), '|', cast(`end` as string))")
+    kept = spans.where(F.expr(f"pmod({gate}, {JOINT_MOD}) = 0"))
+    lab = F.array(*[F.lit(x) for x in SPAN_LABELS])
+    ments = kept.groupBy("doc_key", "sent_id").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("start"), F.col("end"),
+            F.element_at(lab, F.col("tag") + 1).alias("label"),
+        ))).alias("ent_pred"))
+    ann = s.join(ments, ["doc_key", "sent_id"])
+    packed = pack_pairs(ann, max_sequence_len=PACK_MAX, piece_len=WP_LEN)
+    out = PackedPairClassifier().transform(packed)
+    return out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.col("s_start").cast("bigint").alias("s_start"),
+        F.col("s_end").cast("bigint").alias("s_end"),
+        F.col("o_start").cast("bigint").alias("o_start"),
+        F.col("o_end").cast("bigint").alias("o_end"),
         F.col("pred").cast("bigint").alias("pred"),
     )
 
