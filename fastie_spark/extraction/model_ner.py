@@ -421,11 +421,13 @@ class SoftmaxAttnClassifier:
     (exactly 0 mass after softmax — the pad-leak failure mode now
     shows up as a probability, not an argmax flip), ``h = relu(q +
     a·v)``, classify.  Float summation order differs between the
-    batched matmul and any replay, so verification is
-    TOLERANCE-BASED against the eager NumPy twin
-    (:func:`eager_tag_softmax`) in pytest, and the registered query
-    ``model_ner_softmax`` is rows-only (no DuckDB hash oracle — the
-    documented weaker contract for float ops).
+    batched matmul and any replay, so verification of the raw
+    SCORES is TOLERANCE-BASED against the eager NumPy twin
+    (:func:`eager_tag_softmax`) in pytest; the registered query
+    ``model_ner_softmax_tags`` hashes the integer argmax decode
+    against a full float replay in DuckDB (double-rounding noise is
+    orders of magnitude below the score gaps, so the argmax is
+    hash-stable).
     """
 
     def __init__(self, labels: list[str] = DEFAULT_LABELS,

@@ -151,15 +151,26 @@ class PackedPairClassifier:
     """
 
     def __init__(self, dim: int = EMB_DIM, hid: int = HID_DIM,
-                 n_rel: int = N_REL, score_budget: int = 1 << 24):
+                 n_rel: int = N_REL, score_budget: int = 1 << 24,
+                 weights=None):
+        """``weights`` — optional ``(wq, wk, wv, wr)`` int64 quadruple
+        ((hid,dim), (hid,dim), (hid,dim), (n_rel,2*hid)) overriding the
+        frozen family: the import path for trained tensors loaded
+        through ``functions.weights_io`` (npz / safetensors)."""
+        import numpy as np
+
         self.dim = dim
         self.hid = hid
         self.n_rel = n_rel
         self.score_budget = score_budget
-        self.wq = frozen_weights_attn("wqh", hid, dim)
-        self.wk = frozen_weights_attn("wkh", hid, dim)
-        self.wv = frozen_weights_attn("wvh", hid, dim)
-        self.wr = frozen_weights_attn("wrc", n_rel, 2 * hid)
+        if weights is None:
+            self.wq = frozen_weights_attn("wqh", hid, dim)
+            self.wk = frozen_weights_attn("wkh", hid, dim)
+            self.wv = frozen_weights_attn("wvh", hid, dim)
+            self.wr = frozen_weights_attn("wrc", n_rel, 2 * hid)
+        else:
+            self.wq, self.wk, self.wv, self.wr = (
+                np.asarray(w, dtype=np.int64) for w in weights)
 
     def transform(self, packed: DataFrame) -> DataFrame:
         import numpy as np

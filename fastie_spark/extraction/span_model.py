@@ -121,13 +121,22 @@ class SpanClassifier:
 
     def __init__(self, labels: list[str] = SPAN_LABELS,
                  max_span_len: int = 4, dim: int = EMB_DIM,
-                 wdim: int = WIDTH_DIM):
+                 wdim: int = WIDTH_DIM, weights=None):
+        """``weights`` — optional ``(wl, wr, ww)`` int64 triple
+        ((C,dim), (C,dim), (C,wdim)) overriding the frozen family: the
+        import path for trained tensors loaded through
+        ``functions.weights_io`` (npz / safetensors)."""
         import numpy as np
 
         self.labels = list(labels)
         self.max_span_len = max_span_len
         self.dim = dim
-        self.wl, self.wr, self.ww = span_weights(len(self.labels), dim, wdim)
+        if weights is None:
+            self.wl, self.wr, self.ww = span_weights(
+                len(self.labels), dim, wdim)
+        else:
+            self.wl, self.wr, self.ww = (
+                np.asarray(w, dtype=np.int64) for w in weights)
         # (max_span_len + 1, C): width-block scores, width-indexed
         self.wscore = width_embedding(max_span_len, wdim) @ self.ww.T
         assert self.wscore.dtype == np.int64

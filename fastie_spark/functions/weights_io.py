@@ -1,0 +1,139 @@
+"""Torch-free model-weight interchange: ``.npz`` and ``.safetensors``.
+
+The reference persists trained models as torch pickles through
+``Hub.save``/``Hub.load`` (``/root/reference/fastie/utils/hub.py:16-30``);
+torch is absent from this engine's runtime, so its hub twin speaks two
+PUBLIC, torch-free tensor formats instead:
+
+* ``.npz`` — numpy's own zip container (``np.savez``/``np.load``);
+* ``.safetensors`` — the published safetensors layout: an 8-byte
+  little-endian unsigned header length, a JSON table mapping tensor
+  name → ``{dtype, shape, data_offsets}``, then one raw little-endian
+  C-contiguous byte buffer.  Read AND written here with numpy +
+  ``struct`` alone — no third-party dependency.
+
+A user holding a trained reference checkpoint exports its
+``state_dict`` to safetensors (one line with the public safetensors
+lib, no torch needed on THIS side) and runs the tensors through the
+engine's seam models via the ``weights=`` constructor arguments:
+
+    w = load_weights("ner.safetensors")
+    NumpyTokenClassifier(weights=w["weights"])
+    SpanClassifier(weights=(w["wl"], w["wr"], w["ww"]))
+    PackedPairClassifier(weights=(w["wq"], w["wk"], w["wv"], w["wr"]))
+
+All integer seam models use int64 ("I64"); the float-softmax path uses
+float64 ("F64").  Round-trips are bit-exact (pytest-pinned), so a
+save→load cycle changes NO inference output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+#: safetensors dtype tag ↔ numpy little-endian dtype string
+_ST_DTYPES = {
+    "I64": "<i8", "I32": "<i4", "I16": "<i2", "I8": "i1",
+    "U8": "u1", "F64": "<f8", "F32": "<f4", "F16": "<f2",
+    "BOOL": "|b1",
+}
+_NP_TO_ST = {v: k for k, v in _ST_DTYPES.items()}
+
+
+def save_npz(path: str, arrays: dict) -> None:
+    """Persist named tensors as an ``.npz`` (compressed numpy zip)."""
+    import numpy as np
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_npz(path: str) -> dict:
+    import numpy as np
+
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def save_safetensors(path: str, arrays: dict) -> None:
+    """Write the public safetensors layout with numpy + struct alone.
+
+    Header offsets are relative to the start of the byte buffer (i.e.
+    after the JSON header), tensors laid out in sorted-name order,
+    every tensor little-endian C-contiguous — the published format's
+    requirements.
+    """
+    import numpy as np
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    header: dict[str, dict] = {}
+    chunks: list[bytes] = []
+    off = 0
+    for name in sorted(arrays):
+        a = np.ascontiguousarray(arrays[name])
+        le = a.dtype.newbyteorder("<")
+        key = _NP_TO_ST.get(le.str.lstrip("|="))
+        if key is None and le.str in _NP_TO_ST:
+            key = _NP_TO_ST[le.str]
+        if key is None:
+            raise ValueError(f"unsupported dtype for safetensors: {a.dtype}")
+        raw = a.astype(le, copy=False).tobytes()
+        header[name] = {"dtype": key, "shape": list(a.shape),
+                        "data_offsets": [off, off + len(raw)]}
+        chunks.append(raw)
+        off += len(raw)
+    hjson = json.dumps(header, sort_keys=True).encode("utf-8")
+    # spec: headers may be space-padded to alignment; 8-byte align
+    pad = (8 - (len(hjson) % 8)) % 8
+    hjson += b" " * pad
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for raw in chunks:
+            f.write(raw)
+
+
+def load_safetensors(path: str) -> dict:
+    """Parse a safetensors file (any producer, not just :func:`save_
+    safetensors`): header length → JSON table → per-tensor frombuffer
+    at the recorded offsets."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        buf = f.read()
+    out = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        dt = _ST_DTYPES.get(meta["dtype"])
+        if dt is None:
+            raise ValueError(f"unsupported safetensors dtype "
+                             f"{meta['dtype']!r} for tensor {name!r}")
+        s, e = meta["data_offsets"]
+        out[name] = np.frombuffer(buf[s:e], dtype=dt).reshape(
+            meta["shape"]).copy()
+    return out
+
+
+def load_weights(path: str) -> dict:
+    """Load a named-tensor dict from ``.npz`` or ``.safetensors``."""
+    if path.endswith(".npz"):
+        return load_npz(path)
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    raise ValueError(
+        f"unknown weights format {path!r} (want .npz or .safetensors)")
+
+
+def save_weights(path: str, arrays: dict) -> None:
+    """Persist a named-tensor dict, format picked by extension."""
+    if path.endswith(".npz"):
+        return save_npz(path, arrays)
+    if path.endswith(".safetensors"):
+        return save_safetensors(path, arrays)
+    raise ValueError(
+        f"unknown weights format {path!r} (want .npz or .safetensors)")

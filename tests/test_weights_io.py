@@ -1,0 +1,141 @@
+"""Torch-free weights interchange (functions/weights_io.py) — the
+Hub.load interop twin (hub.py:16-30): export seam weights to a public
+file format, reload, and get BIT-IDENTICAL inference through every
+``weights=``-accepting model."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from fastie_spark.functions.weights_io import (
+    load_npz,
+    load_safetensors,
+    load_weights,
+    save_npz,
+    save_safetensors,
+    save_weights,
+)
+
+
+def _arrays():
+    rng = {"a": np.arange(12, dtype=np.int64).reshape(3, 4) * 7 - 40,
+           "b": np.array([[1.5, -2.25], [0.0, 1e12]], dtype=np.float64),
+           "c": np.array([True, False]),
+           "d": np.arange(5, dtype=np.int8)}
+    return rng
+
+
+@pytest.mark.parametrize("ext", ["npz", "safetensors"])
+def test_roundtrip_bit_exact(tmp_path, ext):
+    arrays = _arrays()
+    path = str(tmp_path / f"w.{ext}")
+    save_weights(path, arrays)
+    back = load_weights(path)
+    assert sorted(back) == sorted(arrays)
+    for k in arrays:
+        assert back[k].dtype == arrays[k].dtype, k
+        assert back[k].shape == arrays[k].shape, k
+        assert np.array_equal(back[k], arrays[k]), k
+
+
+def test_safetensors_layout_matches_public_spec(tmp_path):
+    """Independent struct-level parse: 8-byte LE header length, JSON
+    table with dtype/shape/data_offsets, contiguous LE buffer."""
+    arrays = {"w": np.array([[3, -1], [2, 9]], dtype=np.int64)}
+    path = str(tmp_path / "w.safetensors")
+    save_safetensors(path, arrays)
+    raw = open(path, "rb").read()
+    (hlen,) = struct.unpack("<Q", raw[:8])
+    header = json.loads(raw[8:8 + hlen].decode("utf-8"))
+    assert header["w"]["dtype"] == "I64"
+    assert header["w"]["shape"] == [2, 2]
+    s, e = header["w"]["data_offsets"]
+    assert e - s == 4 * 8
+    vals = struct.unpack("<4q", raw[8 + hlen + s:8 + hlen + e])
+    assert list(vals) == [3, -1, 2, 9]
+
+
+def test_safetensors_reads_external_producer(tmp_path):
+    """A file NOT written by save_safetensors (unsorted names, no
+    padding, __metadata__ present) still parses."""
+    w = np.array([1.0, 2.5], dtype=np.float32)
+    header = json.dumps({
+        "__metadata__": {"format": "pt"},
+        "zz": {"dtype": "F32", "shape": [2], "data_offsets": [0, 8]},
+    }).encode()
+    path = str(tmp_path / "ext.safetensors")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(header)) + header + w.tobytes())
+    back = load_safetensors(path)
+    assert list(back) == ["zz"]
+    assert np.array_equal(back["zz"], w)
+
+
+def test_token_classifier_file_roundtrip_inference(spark, tmp_path):
+    from fastie_spark.extraction.model_ner import NumpyTokenClassifier
+
+    df = spark.createDataFrame(
+        [("0", 0, ["spark", "joins", "tables", "fast"])],
+        "doc_key string, sent_id int, tokens array<string>")
+    base = NumpyTokenClassifier()
+    path = str(tmp_path / "tok.safetensors")
+    save_weights(path, {"weights": base.weights})
+    loaded = NumpyTokenClassifier(weights=load_weights(path)["weights"])
+    want = base.transform(df).collect()[0]["tag_pred"]
+    got = loaded.transform(df).collect()[0]["tag_pred"]
+    assert list(got) == list(want)
+
+
+def test_span_classifier_file_roundtrip_inference(spark, tmp_path):
+    from fastie_spark.extraction.span_model import SpanClassifier
+
+    df = spark.createDataFrame(
+        [("0", 0, ["alpha", "beta", "gamma", "delta", "eps"])],
+        "doc_key string, sent_id int, tokens array<string>")
+    base = SpanClassifier(max_span_len=3)
+    path = str(tmp_path / "span.npz")
+    save_weights(path, {"wl": base.wl, "wr": base.wr, "ww": base.ww})
+    w = load_weights(path)
+    loaded = SpanClassifier(max_span_len=3,
+                            weights=(w["wl"], w["wr"], w["ww"]))
+    key = ["start", "end", "tag"]
+    want = sorted(tuple(r[k] for k in key) for r in base.transform(df).collect())
+    got = sorted(tuple(r[k] for k in key) for r in loaded.transform(df).collect())
+    assert got == want and len(got) > 0
+
+
+def test_packed_classifier_file_roundtrip_inference(spark, tmp_path):
+    from fastie_spark.extraction.pure_forward import PackedPairClassifier
+    from fastie_spark.extraction.pure_pack import pack_pairs
+
+    rows = [("d", 0, ["Alpha", "met", "Beta", "near", "Gamma"],
+             [(0, 1, "PER"), (2, 3, "PER"), (4, 5, "LOC")], None)]
+    df = spark.createDataFrame(
+        rows, "doc_key string, sent_id int, tokens array<string>, "
+        "ent_pred array<struct<start:int,end:int,label:string>>, "
+        "relation_mentions array<struct<s_start:int,s_end:int,"
+        "o_start:int,o_end:int,label:string>>")
+    packed = pack_pairs(df, max_sequence_len=512)
+    base = PackedPairClassifier()
+    path = str(tmp_path / "rel.safetensors")
+    save_weights(path, {"wq": base.wq, "wk": base.wk,
+                        "wv": base.wv, "wr": base.wr})
+    w = load_weights(path)
+    loaded = PackedPairClassifier(
+        weights=(w["wq"], w["wk"], w["wv"], w["wr"]))
+    key = ["s_start", "s_end", "o_start", "o_end", "pred"]
+    want = sorted(tuple(r[k] for k in key)
+                  for r in base.transform(packed).collect())
+    got = sorted(tuple(r[k] for k in key)
+                 for r in loaded.transform(packed).collect())
+    assert got == want and len(got) == 6  # 3 mentions -> 6 ordered pairs
+
+
+def test_npz_trained_weights_roundtrip(tmp_path):
+    """npz carries a TRAINED (non-frozen) matrix bit-exactly."""
+    w = np.array([[11, -3, 5], [0, 2, -9]], dtype=np.int64)
+    path = str(tmp_path / "trained.npz")
+    save_npz(path, {"weights": w})
+    assert np.array_equal(load_npz(path)["weights"], w)

@@ -58,7 +58,7 @@ AUDIT = [
     ("dedup_substring", "substring dedup: anchor join + island runs"),
     ("model_ner_attn2", "2-block stacked attention, residual adds"),
     ("train_infer_roundtrip", "train epochs → trained-weights tagging"),
-    ("model_ner_softmax", "float softmax attention (rows-only query)"),
+    ("model_ner_softmax_tags", "float softmax attention, integer-tag hash"),
     ("dedup_survivors", "end-to-end dedup: LSH→verify→CC→election"),
     ("graph_khop", "k-hop BFS layers, frontier joins"),
     ("graph_triangles", "degree-ordered triangle counts"),
