@@ -146,21 +146,32 @@ def main() -> None:
     per_query["flagship_e2e"] = round(fl["e2e_sec"], 3)
 
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({
+    blob = {
         "metric": "headline suite wall time",
         "value": total,
         "unit": "sec",
         "timing": "best_of_2_per_query (queries_cold = first-run series)",
         "value_cold": round(sum(per_query_cold.values()), 3),
         "queries": per_query,
-        "queries_cold": per_query_cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": round(fl["docs_per_sec"], 1),
         "docs_per_sec_e2e": round(fl["docs_per_sec_e2e"], 1),
         "bench_docs": BENCH_DOCS,
         "host_firsttouch_s": {"pre": probe_pre,
                               "post": host_firsttouch_probe()},
-    }))
+    }
+    # artifact hygiene (VERDICT r4 wrong #3: BENCH_r04.json was front-
+    # truncated by a bounded stdout capture): stdout carries EXACTLY one
+    # compact JSON line — everything is on stderr or in the file — and
+    # the full blob (plus the per-query first-run/cold series, the
+    # largest map) also lands in BENCH.json next to this script so a
+    # truncated capture is always recoverable.
+    full = dict(blob, queries_cold=per_query_cold)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.json"), "w") as f:
+        json.dump(full, f, separators=(",", ":"))
+    sys.stdout.write(json.dumps(blob, separators=(",", ":")) + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

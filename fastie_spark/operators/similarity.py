@@ -883,3 +883,56 @@ def ivfpq_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
     scored = (part.groupBy("probe_id", F.col("id").alias("neighbor_id"))
               .agg(F.sum("partial").alias("sim")))
     return _topk_per_probe(scored, k)
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               scale: int = 1000, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to FIXED IVF centroids — the continuous-ingestion
+    path (streaming/ann.py): codebooks train once on a representative
+    corpus (the faiss train-then-add discipline), then every arriving
+    batch gets its coarse cell with NO retraining.
+
+    Same integer quantization, distance, and (d2, cell) tie-break as
+    the training-time assignment inside :func:`ivf_cells`, so
+    incremental assignment ≡ rebuild bit-exactly.  Scale shape: the
+    centroid table broadcasts (n_cells rows); the argmin is a
+    ``min(struct(d2, cell))`` partial aggregation — map-side combine
+    reduces to ONE row per vector before the shuffle, never the
+    |vectors|·n_cells scored frame.  Output: (id_col, cell).
+    """
+    q = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(f"transform(cast({vec_col} as array<double>), "
+               f"x -> cast(round(x * {scale}) as bigint))").alias("w"),
+    )
+    dist = ("aggregate(zip_with(w, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)")
+    return (q.join(F.broadcast(centroids))
+            .withColumn("d2", F.expr(dist))
+            .groupBy("id")
+            .agg(F.min(F.struct("d2", "cell")).alias("am"))
+            .select(F.col("id").alias(id_col), F.col("am.cell").alias("cell")))
+
+
+def pq_assign(vectors: DataFrame, codebook: DataFrame, m: int = 4,
+              dims: int = 64, scale: int = 1000, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against FIXED PQ codebooks — the incremental
+    counterpart of :func:`pq_encode`'s final assignment, for index
+    maintenance under continuous ingestion.
+
+    Same sub-vector split, distance, and (d2, code) tie-break as
+    training-time encoding; the per-subspace codebooks broadcast
+    (m·n_codes rows) and the argmin is a ``min(struct(d2, code))``
+    partial aggregation per (id, sub).  Output: (id_col, sub, code).
+    """
+    sub = _pq_subvectors(vectors, m, dims, scale, id_col, vec_col)
+    dist = ("aggregate(zip_with(w, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)")
+    return (sub.join(F.broadcast(codebook), "sub")
+            .withColumn("d2", F.expr(dist))
+            .groupBy("id", "sub")
+            .agg(F.min(F.struct("d2", "code")).alias("am"))
+            .select(F.col("id").alias(id_col), "sub",
+                    F.col("am.code").alias("code")))

@@ -6236,6 +6236,96 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming ANN index maintenance (batch twin): frozen codebooks +
+# incremental cell/code assignment == full rebuild
+# ---------------------------------------------------------------------------
+
+ANN_DELTA_SPLIT = 250  # train on vec_id < 250, ingest the rest
+
+
+@query("ann_index_delta", oracle=f"""
+WITH {_IVF_CHAIN.replace("FROM embeddings)",
+                         f"FROM embeddings WHERE vec_id < {ANN_DELTA_SPLIT})")},
+{_PQ_CHAIN_BODY},
+de AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> round(x * {IVF_SCALE})::BIGINT) AS w
+  FROM embeddings WHERE vec_id >= {ANN_DELTA_SPLIT}),
+dsc AS (
+  SELECT de.vec_id, c1.cell,
+         list_sum(list_transform(list_zip(de.w, c1.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM de, c1),
+dcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rn FROM dsc)
+  WHERE rn = 1),
+dsv AS (
+  SELECT vec_id, s.s AS sub,
+         w[(s.s * {PQ_DSUB} + 1):((s.s + 1) * {PQ_DSUB})] AS w
+  FROM de, generate_series(0, {PQ_M - 1}) s(s)),
+dps AS (
+  SELECT dsv.vec_id, dsv.sub, cb1.code,
+         list_sum(list_transform(list_zip(dsv.w, cb1.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM dsv JOIN cb1 ON cb1.sub = dsv.sub),
+dcode AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn FROM dps)
+  WHERE rn = 1),
+dfp AS (SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY sub)
+          AS pq_codes
+        FROM dcode GROUP BY vec_id)
+SELECT c.vec_id::BIGINT AS vec_id, c.cell::BIGINT AS cell, f.pq_codes
+FROM dcell c JOIN dfp f ON f.vec_id = c.vec_id
+""")
+def q_ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance, batch twin (VERDICT r4 next
+    #7): the IVF centroids and PQ codebooks train ONCE on the standing
+    corpus (vec_id < ANN_DELTA_SPLIT) and are then FROZEN; the delta
+    half arrives as two micro-batches, each assigned cells and codes
+    against the standing codebooks through the SAME row-local argmin
+    path the streaming foreachBatch ingest uses
+    (streaming/ann.py — drain/replay pytest).  The oracle trains the
+    quantizers on the standing half only and re-derives every delta
+    vector's (cell, m-code fingerprint) from scratch, so
+    merged-incremental ≡ rebuild is hash-pinned: any retraining drift,
+    wrong tie-break, or batch-boundary leak breaks it."""
+    from fastie_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cells,
+        pq_assign,
+        pq_encode,
+    )
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = vecs.where(F.col("vec_id") < ANN_DELTA_SPLIT)
+    delta = vecs.where(F.col("vec_id") >= ANN_DELTA_SPLIT)
+    _, centroids = ivf_cells(train, n_cells=IVF_CELLS, n_iters=2,
+                             scale=IVF_SCALE, return_centroids=True)
+    _, codebook = pq_encode(train, m=PQ_M, n_codes=PQ_CODES, n_iters=2,
+                            scale=IVF_SCALE, dims=64)
+    centroids = centroids.localCheckpoint()
+    codebook = codebook.localCheckpoint()
+    cells = codes = None
+    for i in (0, 1):  # two micro-batches by id parity
+        b = delta.where(F.pmod(F.col("vec_id"), F.lit(2)) == i)
+        c1 = ivf_assign(b, centroids, scale=IVF_SCALE)
+        k1 = pq_assign(b, codebook, m=PQ_M, dims=64, scale=IVF_SCALE)
+        cells = c1 if cells is None else cells.unionByName(c1)
+        codes = k1 if codes is None else codes.unionByName(k1)
+    fp = codes.groupBy("vec_id").agg(F.expr(
+        "array_join(transform(sort_array(collect_list(struct(sub, "
+        "code))), s -> cast(s.code as string)), ',')").alias("pq_codes"))
+    return (cells.join(fp, "vec_id")
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    F.col("cell").cast("bigint").alias("cell"),
+                    "pq_codes"))
+
+
+# ---------------------------------------------------------------------------
 # directed graph analytics over the code call graph (r4): strongly
 # connected components (mutual recursion groups) + condensation
 # topological layering (parallel build order / dependency depth).
@@ -7130,6 +7220,7 @@ for _n in _OVER_CAP_TAIL:
 _WINDOW_PROMOTE = [
     "model_ner_softmax_tags",  # new r5 hash contract for the float seam
     "vocab_build",         # rewritten r5: two-level rank, plan-asserted
+    "ann_index_delta",     # new r5 op: streaming ANN index maintenance
     "kg_scc",              # FB-coloring SCC — never driver-checked
     "kg_toposort",         # SCC + condensation layers — never checked
     "kg_transe",           # TransE weight tables — never checked

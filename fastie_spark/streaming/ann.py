@@ -1,0 +1,108 @@
+"""Streaming ANN index maintenance — continuous ingestion for the
+IVF/PQ similarity layer (the ``dedup_delta``/``kg_merge`` pattern
+applied to the vector index).
+
+A production vector index is fed by a stream of fresh embeddings.  The
+codebooks — IVF coarse centroids and PQ per-subspace codebooks — train
+ONCE on a representative corpus and are then FROZEN; every arriving
+micro-batch is assigned its coarse cell and its ``m`` PQ codes against
+the standing codebooks with NO retraining (the faiss train-then-add
+discipline).  Assignment is a pure row-local function of (vector,
+codebooks), so the incrementally-maintained index equals a full
+rebuild BY CONSTRUCTION — the ``ann_index_delta`` contract query pins
+that equivalence against the DuckDB oracle, and the drain/replay
+pytest pins it through the actual foreachBatch machinery.
+
+State lives as versioned parquet snapshots ``cells_<b>`` /
+``codes_<b>`` under ``out_root`` (the same ``_Snapshots`` helper as
+the streaming-KG and durable-CC paths) plus an append-only manifest.
+``foreachBatch`` delivery is at-least-once; the fold stays
+exactly-once because batch b unions onto the latest committed version
+STRICTLY BELOW b (``latest_round(below=b)``) and overwrites its own
+``_<b>`` snapshot — same inputs, same output, idempotent.
+
+At cluster scale the snapshots are Iceberg/Delta table versions and
+the source is Kafka; the per-batch plan — broadcast codebooks, one
+row-local argmin aggregation, append — is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastie_spark.graph import _Snapshots
+from fastie_spark.operators.similarity import ivf_assign, pq_assign
+
+MANIFEST_SCHEMA = ("batch_id bigint, version bigint, n_vectors bigint, "
+                   "n_cell_rows bigint, n_code_rows bigint")
+
+#: embedding-stream schema (the testdata embeddings table's shape)
+VECTORS_SCHEMA = "vec_id bigint, embedding array<double>"
+
+
+def latest_index(spark: SparkSession, out_root: str
+                 ) -> tuple[DataFrame, DataFrame] | None:
+    """The standing (cells, codes) pair — (vec_id, cell) and
+    (vec_id, sub, code) — or None before the first committed batch."""
+    snaps = _Snapshots(spark, out_root)
+    v = snaps.latest_round("cells")
+    if v is None:
+        return None
+    return snaps.load(f"cells_{v:04d}"), snaps.load(f"codes_{v:04d}")
+
+
+def assign_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+                 out_root: str, centroids: DataFrame, codebook: DataFrame,
+                 m: int = 4, dims: int = 64, scale: int = 1000,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> None:
+    """One foreachBatch fold: assign(batch) ∪ latest-committed-below-b
+    → versioned snapshot _<b>.  Idempotent under replay — a retried
+    batch re-reads the pre-b state and overwrites its own version."""
+    snaps = _Snapshots(spark, out_root)
+    cells = ivf_assign(batch_df, centroids, scale=scale,
+                       id_col=id_col, vec_col=vec_col)
+    codes = pq_assign(batch_df, codebook, m=m, dims=dims, scale=scale,
+                      id_col=id_col, vec_col=vec_col)
+    prev = snaps.latest_round("cells", below=batch_id)
+    if prev is not None:
+        cells = snaps.load(f"cells_{prev:04d}").unionByName(cells)
+        codes = snaps.load(f"codes_{prev:04d}").unionByName(codes)
+    cells = snaps.save(cells, f"cells_{batch_id:04d}")
+    codes = snaps.save(codes, f"codes_{batch_id:04d}")
+    spark.createDataFrame(
+        [(batch_id, batch_id, batch_df.count(),
+          cells.count(), codes.count())],
+        MANIFEST_SCHEMA,
+    ).write.mode("append").parquet(f"{out_root}/manifest")
+
+
+def streaming_ann_ingest(spark: SparkSession, vectors_path: str,
+                         checkpoint_dir: str, out_root: str,
+                         centroids: DataFrame, codebook: DataFrame,
+                         m: int = 4, dims: int = 64, scale: int = 1000,
+                         max_files_per_trigger: int = 1) -> None:
+    """Drain all available embedding files into the standing index
+    (availableNow; a long-running job drops the trigger), one
+    assign-and-union fold per micro-batch."""
+    # materialize the codebooks once — each micro-batch broadcast must
+    # not re-run their (possibly iterative) training lineage
+    centroids = centroids.localCheckpoint()
+    codebook = codebook.localCheckpoint()
+    stream = (
+        spark.readStream.schema(VECTORS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(vectors_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        assign_batch(spark, batch_df, batch_id, out_root,
+                     centroids, codebook, m=m, dims=dims, scale=scale)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

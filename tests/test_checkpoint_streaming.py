@@ -481,3 +481,84 @@ def test_streaming_history_ingest_equals_rebuild(spark, tmp_path):
     streaming_history_ingest(spark, src, ckpt, root,
                              max_files_per_trigger=1)
     assert standing() == rebuild(30)
+
+
+def test_streaming_ann_ingest_equals_rebuild(spark, tmp_path):
+    """Streaming ANN index maintenance (foreachBatch incremental
+    cell/code assignment against FROZEN codebooks): after draining N
+    micro-batches the standing index equals assigning ALL streamed
+    vectors at once; a replayed batch changes nothing; a later drain
+    folds new files in."""
+    import numpy as np
+
+    from fastie_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cells,
+        pq_assign,
+        pq_encode,
+    )
+    from fastie_spark.streaming.ann import (
+        assign_batch,
+        latest_index,
+        streaming_ann_ingest,
+    )
+
+    def vec_rows(lo, hi):
+        rng = [(i, [float(((i * 37 + d * 11) % 19) - 9) / 3.0
+                    for d in range(64)]) for i in range(lo, hi)]
+        return rng
+
+    schema = "vec_id bigint, embedding array<double>"
+    train = spark.createDataFrame(vec_rows(0, 40), schema)
+    _, centroids = ivf_cells(train, n_cells=3, n_iters=2,
+                             return_centroids=True)
+    _, codebook = pq_encode(train, m=4, n_codes=3, n_iters=2, dims=64)
+    centroids = centroids.localCheckpoint()
+    codebook = codebook.localCheckpoint()
+
+    src = str(tmp_path / "vecs")
+    spark.createDataFrame(vec_rows(40, 60), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(vec_rows(60, 85), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "ann_state")
+    ckpt = str(tmp_path / "ann_ckpt")
+    streaming_ann_ingest(spark, src, ckpt, root, centroids, codebook,
+                         m=4, dims=64)
+
+    def index_tuples(root):
+        cells, codes = latest_index(spark, root)
+        return (sorted(map(tuple, cells.collect())),
+                sorted(map(tuple, codes.collect())))
+
+    def rebuild_tuples(lo, hi):
+        allv = spark.createDataFrame(vec_rows(lo, hi), schema)
+        return (sorted(map(tuple,
+                           ivf_assign(allv, centroids).collect())),
+                sorted(map(tuple,
+                           pq_assign(allv, codebook, m=4,
+                                     dims=64).collect())))
+
+    got = index_tuples(root)
+    want = rebuild_tuples(40, 85)
+    assert got == want
+    assert len(got[0]) == 45 and len(got[1]) == 45 * 4
+
+    # at-least-once replay: re-running the LAST batch's fold with the
+    # same batch id must leave the index unchanged (identify the last
+    # batch by its distinct size: 20 vs 25 rows)
+    man = spark.read.parquet(f"{root}/manifest")
+    last = man.orderBy(F.col("batch_id").desc()).first()
+    lo, hi = (40, 60) if last["n_vectors"] == 20 else (60, 85)
+    replay = spark.createDataFrame(vec_rows(lo, hi), schema)
+    assign_batch(spark, replay, int(last["batch_id"]), root,
+                 centroids, codebook, m=4, dims=64)
+    assert index_tuples(root) == want
+
+    # a later drain folds NEW vectors into the standing index
+    spark.createDataFrame(vec_rows(85, 95), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    streaming_ann_ingest(spark, src, ckpt, root, centroids, codebook,
+                         m=4, dims=64)
+    assert index_tuples(root) == rebuild_tuples(40, 95)
