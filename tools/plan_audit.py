@@ -122,6 +122,9 @@ AUDIT = [
     ("kg_export_nt", "N-Triples lines: in-row escape chains, map-only"),
     ("graph_closeness", "landmark distance table + harmonic rollup"),
     ("vocab_build", "two-level token rank: no single-partition sort"),
+    ("pure_joint_infer", "PURE joint chain: span fwd → pack → pair fwd"),
+    ("weights_file_roundtrip", "safetensors hop → broadcast inference"),
+    ("ann_index_delta", "frozen codebooks, row-local delta assignment"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
