@@ -1952,3 +1952,202 @@ def merge_fact_intervals(standing: DataFrame, delta: DataFrame,
             .unionByName(stitched_open)
             .unionByName(kept_first)
             .unionByName(rest))
+
+
+# ---------------------------------------------------------------------------
+# querying the constructed KG: basic graph patterns + RDFS entailment
+# ---------------------------------------------------------------------------
+
+def match_bgp(facts: DataFrame, pattern, subj: str = "subj",
+              pred: str = "pred", obj: str = "obj") -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching over the triple
+    frame — the query face of the constructed KG (the reference
+    builds triples, `interact` answers per-sentence; a KG user's next
+    step is conjunctive queries over the merged graph).
+
+    ``pattern`` is a sequence of ``(s, p, o)`` triple patterns where
+    ``p`` is a constant predicate and ``s`` / ``o`` are either
+    ``"?var"`` variables or constant entity ids.  Returns one column
+    per distinct variable (named without the ``?``), one row per
+    distinct binding — SPARQL ``SELECT DISTINCT`` semantics over the
+    conjunction.
+
+    Plan shape (the scale story): each triple pattern becomes a
+    predicate-filtered projection of ``facts`` — with a
+    predicate-partitioned or sorted triple store the filter prunes at
+    the scan.  Patterns then fold left-to-right through hash
+    equi-joins on their shared variables.  Ordering is greedy:
+    the next pattern joined is always one sharing ≥1 variable with
+    the bindings built so far (earliest in user order wins —
+    deterministic), so no step is a Cartesian product; a pattern set
+    whose join graph is disconnected raises instead of exploding.
+    Constants beat variables: patterns with more constants are
+    seeded first (most selective scan starts the fold).  Every join
+    is a plain equi-join on entity-id columns — AQE handles skewed
+    hub entities, and no content column ever enters the shuffle.
+    """
+    pats = list(pattern)
+    if not pats:
+        raise ValueError("match_bgp: empty pattern")
+
+    def is_var(t) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    def frame(p):
+        s, pr, o = p
+        if is_var(pr):
+            raise ValueError(
+                "match_bgp: predicate must be constant (predicate-"
+                f"variable patterns do not prune the scan): {p}")
+        f = facts.where(F.col(pred) == pr)
+        cols, seen = [], {}
+        for term, col in ((s, subj), (o, obj)):
+            if is_var(term):
+                name = term[1:]
+                if name in seen:        # (?x, p, ?x) self-loop pattern
+                    f = f.where(F.col(subj) == F.col(obj))
+                else:
+                    seen[name] = True
+                    cols.append(F.col(col).alias(name))
+            else:
+                f = f.where(F.col(col) == term)
+        if not cols:                    # fully-ground pattern: an
+            cols = [F.lit(True).alias("_ground")]   # existence gate
+        return f.select(*cols).distinct(), set(seen)
+
+    frames = [frame(p) for p in pats]
+    var_ix = [i for i, (_, vs) in enumerate(frames) if vs]
+    ground_ix = [i for i, (_, vs) in enumerate(frames) if not vs]
+    if not var_ix:
+        raise ValueError(
+            "match_bgp: every pattern is fully ground — that is an "
+            "ASK, not a SELECT; probe facts directly instead")
+    # seed with the most-constant (most selective) variable pattern;
+    # stable on user order for ties
+    seed = min(var_ix, key=lambda i: (len(frames[i][1]), i))
+    bound, have = frames[seed]
+    done = {seed}
+    while len(done) < len(var_ix):
+        nxt = next((i for i in var_ix if i not in done
+                    and (frames[i][1] & have)), None)
+        if nxt is None:
+            raise ValueError(
+                "match_bgp: pattern join graph is disconnected — a "
+                "Cartesian product at triple-store scale is never "
+                "what the caller wants; split the query instead")
+        f, vs = frames[nxt]
+        bound = bound.join(f, on=sorted(vs & have), how="inner")
+        have |= vs
+        done.add(nxt)
+    for i in ground_ix:
+        # fully-ground pattern: a 0-or-1-row broadcast gate (SPARQL
+        # semantics — an unsatisfied ground triple empties the result)
+        gate, _ = frames[i]
+        bound = bound.crossJoin(F.broadcast(gate.limit(1))) \
+                     .drop("_ground")
+    return bound.distinct()
+
+
+def rdfs_entailment(types: DataFrame, subclass: DataFrame,
+                    max_depth: int, entity: str = "entity",
+                    cls: str = "cls", sub: str = "sub",
+                    sup: str = "sup",
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """RDFS type entailment over the constructed KG — the ρdf
+    fragment's rdfs11 (``subClassOf`` is transitive) + rdfs9 (an
+    instance of a class is an instance of every superclass).  Input:
+    asserted types ``(entity, cls)`` and the class hierarchy
+    ``(sub, sup)``; output ``(entity, cls, depth)`` where depth 0 is
+    the asserted class and depth k the k-hop inherited superclass
+    (min over paths, so diamond hierarchies yield one row).
+
+    Scale shape: the hierarchy closure runs over the CLASS graph
+    only — bounded by the ontology, not the corpus — via
+    :func:`transitive_closure` (per-round lineage cuts, durable
+    snapshots with ``checkpoint_dir``).  The corpus-sized ``types``
+    frame is touched exactly once, by a single equi-join against the
+    closed hierarchy (broadcast: ontologies are small), so entailment
+    adds ZERO corpus shuffles beyond the final min-depth fold at
+    (entity, cls) grain.
+    """
+    clo = transitive_closure(subclass, max_depth, src=sub, dst=sup,
+                             checkpoint_dir=checkpoint_dir)
+    asserted = types.select(
+        F.col(entity), F.col(cls),
+        F.lit(0).cast("bigint").alias("depth"))
+    inherited = (types.join(
+        F.broadcast(clo), types[cls] == clo["node"])
+        .select(types[entity], clo["anc"].alias(cls),
+                F.col("depth")))
+    return (asserted.unionByName(inherited)
+            .groupBy(entity, cls)
+            .agg(F.min("depth").alias("depth")))
+
+
+def neighbor_sample(edges: DataFrame, seeds: DataFrame, fanouts,
+                    src: str = "src", dst: str = "dst",
+                    seed_col: str = "seed",
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """Fanout-bounded k-hop neighborhood sampling — the GraphSAGE /
+    PinSAGE minibatch primitive: hop k keeps at most ``fanouts[k-1]``
+    out-neighbors per (seed, frontier-node), and the kept set is
+    chosen by PORTABLE-HASH rank (md5 of seed>node>neighbor>hop), not
+    an RNG — bit-reproducible under any partitioning and replayable
+    by the SQL oracle, the same determinism discipline as
+    :func:`random_walks`.  Output ``(seed, hop, u, v)``: the sampled
+    adjacency blocks a GNN layer-k aggregation consumes (hop 1 rows
+    have ``u`` = the seed itself).
+
+    Scale: each hop is one equi-join of the (seed, node) frontier
+    against the edge list plus a `row_number` window PARTITIONED BY
+    (seed, node) — keyed at frontier grain, never global — so the
+    per-hop cost is frontier-size · avg-degree, capped by the fanout
+    before the next hop fans out further.  A node reached via two
+    paths of the same seed is expanded once per hop (frontier is
+    distinct); per-hop lineage cuts via ``_Snapshots``
+    (``checkpoint_dir`` = cluster-durable parquet, the
+    :func:`connected_components` contract).
+    """
+    from pyspark.sql import Window
+
+    from fastie_spark.functions.hashing import spark_hash64_sql
+
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v")).distinct(), "ns_edges")
+    frontier = seeds.select(F.col(seed_col).alias("seed"),
+                            F.col(seed_col).alias("node")).distinct()
+    blocks = None
+    for k, fanout in enumerate(fanouts, start=1):
+        cand = frontier.join(e, frontier["node"] == e["u"])
+        h = spark_hash64_sql(
+            f"concat_ws('>', seed, u, v, '{k}')")
+        w = Window.partitionBy("seed", "u").orderBy(
+            F.expr(h).asc(), F.col("v").asc())
+        block = (cand.select("seed", "u", "v")
+                 .withColumn("_rk", F.row_number().over(w))
+                 .where(F.col("_rk") <= fanout)
+                 .select("seed",
+                         F.lit(k).cast("bigint").alias("hop"),
+                         "u", "v"))
+        block = snaps.save(block, f"ns_hop_{k:04d}")
+        blocks = block if blocks is None else blocks.unionByName(block)
+        frontier = block.select("seed", F.col("v").alias("node")) \
+                        .distinct()
+    return blocks
+
+
+def pivot_entities(triples: DataFrame, preds, subj: str = "subj",
+                   pred: str = "pred", obj: str = "obj") -> DataFrame:
+    """Property-table projection of the triple store — the serving
+    shape: one row per subject, one column per requested predicate
+    (EXPLICIT list — with it Spark's pivot skips the extra
+    distinct-values job and the column set is schema-stable at any
+    scale), deterministic ``min`` election when a predicate is
+    multi-valued.  One partial-aggregated groupBy; the corpus never
+    sees a window or a collect."""
+    return (triples.where(F.col(pred).isin(list(preds)))
+            .groupBy(F.col(subj))
+            .pivot(pred, list(preds))
+            .agg(F.min(obj)))

@@ -352,3 +352,77 @@ def resolve_symbols(src: DataFrame,
             .select("src_repo", F.col("def_repo").alias("dst_repo"),
                     "symbol",
                     F.col("n_uses").cast("bigint").alias("n_uses")))
+
+
+def boilerplate_lines(src: DataFrame, min_df: int,
+                      content_col: str = "content") -> DataFrame:
+    """Detect cross-file boilerplate lines — license headers, codegen
+    banners, copied preambles — as the distinct non-empty lines that
+    appear in at least ``min_df`` distinct files.  CCNet runs this at
+    paragraph grain over web text; over a source-code corpus the line
+    grain is the one that matches how boilerplate actually repeats.
+
+    Scale: the content column explodes to lines ONCE, immediately
+    collapses to ``sha256(line)`` digests (32 bytes, never the line
+    text) with a map-side-partial distinct at (digest, path) grain,
+    then a count at digest grain — the only shuffles carry digests.
+    Output ``(line_hash, df)`` is bounded above by
+    total_lines / min_df, broadcast-sized for any sane threshold.
+    """
+    lines = (src.select(
+        F.col("path"),
+        F.explode(F.split(F.col(content_col), "\n")).alias("line"))
+        .where(F.col("line") != "")
+        .select("path", F.sha2("line", 256).alias("line_hash"))
+        .distinct())
+    return (lines.groupBy("line_hash")
+            .agg(F.count("*").cast("bigint").alias("df"))
+            .where(F.col("df") >= min_df))
+
+
+def strip_boilerplate(src: DataFrame, min_df: int,
+                      content_col: str = "content",
+                      max_broadcast: int = 2_000_000) -> DataFrame:
+    """Remove cross-file boilerplate lines from every file, in place.
+
+    The detected set (:func:`boilerplate_lines`) folds to ONE row
+    holding the sorted digest array and broadcasts; the strip itself
+    is then fully in-row — a higher-order ``filter`` over the line
+    split with an ``array_contains`` probe — so file content never
+    enters a shuffle and the plan stays map-only after the bounded
+    detection aggregate.  ``max_broadcast`` guards the collapse: a
+    boilerplate set larger than that (min_df set pathologically low)
+    raises instead of silently building an undeliverable broadcast —
+    at that point the caller wants the explode/anti-join/reassemble
+    form, not this one.
+
+    Output: the input columns with ``content`` rewritten, plus
+    ``n_lines`` (pre-strip, non-empty), ``n_boiler`` (lines removed),
+    and ``content_sha`` of the rewritten content — the hash a
+    downstream exact-dedup stage keys on.
+    """
+    bp = boilerplate_lines(src, min_df, content_col)
+    n_bp = bp.count()
+    if n_bp > max_broadcast:
+        raise ValueError(
+            f"strip_boilerplate: {n_bp} boilerplate lines exceed "
+            f"max_broadcast={max_broadcast}; lower min_df or use the "
+            "explode/anti-join form")
+    bp_row = bp.agg(F.sort_array(F.collect_list("line_hash"))
+                    .alias("_bp"))
+    out_cols = [c for c in src.columns if c != content_col]
+    kept = F.filter(
+        F.split(F.col(content_col), "\n"),
+        lambda ln: (ln == "")
+        | ~F.array_contains(F.col("_bp"), F.sha2(ln, 256)))
+    nonempty = F.filter(F.split(F.col(content_col), "\n"),
+                        lambda ln: ln != "")
+    cleaned = F.array_join(kept, "\n")
+    return (src.crossJoin(F.broadcast(bp_row))
+            .select(*out_cols,
+                    cleaned.alias(content_col),
+                    F.size(nonempty).cast("bigint").alias("n_lines"),
+                    (F.size(nonempty)
+                     - F.size(F.filter(kept, lambda ln: ln != "")))
+                    .cast("bigint").alias("n_boiler"),
+                    F.sha2(cleaned, 256).alias("content_sha")))

@@ -7247,3 +7247,324 @@ _rest_o = dict(ORACLES)
 ORACLES.clear()
 ORACLES.update(_promoted_o)
 ORACLES.update(_rest_o)
+
+# ---------------------------------------------------------------------------
+# round 5 late additions (registered AFTER the window-promotion block, so
+# they land in the CI-gated tail and displace no first-50 slot): querying
+# the constructed KG (SPARQL-style BGP match, RDFS type entailment) and
+# cross-file boilerplate removal over the production source table.
+# ---------------------------------------------------------------------------
+
+
+@query("kg_bgp", oracle=f"""
+WITH f AS ({KG_FACTS_SQL})
+SELECT DISTINCT a.x AS o, a.z AS c, b.z AS n, cc.z AS s
+FROM f a
+JOIN f b  ON b.p = 'in_nation'     AND b.x = a.z
+JOIN f cc ON cc.p = 'sourced_from' AND cc.x = a.x
+JOIN f d  ON d.p = 'in_nation'     AND d.x = cc.z AND d.z = b.z
+WHERE a.p = 'by_customer'
+""")
+def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern match (graph.match_bgp) over
+    the constructed KG — the query face of KG construction: the
+    conjunction
+
+        ?o by_customer ?c . ?c in_nation ?n .
+        ?o sourced_from ?s . ?s in_nation ?n
+
+    i.e. "orders sourced from a supplier in the customer's own
+    nation" — a CYCLIC join graph (n is reached twice), so the match
+    exercises multi-variable equi-joins, not just a chain.  Each
+    pattern is a predicate-filtered projection (scan-prunable), the
+    fold is greedy on shared variables (never Cartesian), and the
+    oracle replays the same conjunction as plain SQL joins."""
+    from fastie_spark.graph import match_bgp
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(supplier, ("S", "s_suppkey"), "in_nation",
+                          ("N", "s_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+    )
+    return match_bgp(facts, [
+        ("?o", "by_customer", "?c"),
+        ("?c", "in_nation", "?n"),
+        ("?o", "sourced_from", "?s"),
+        ("?s", "in_nation", "?n"),
+    ])
+
+
+@query("kg_rdfs", oracle="""
+WITH sc AS (
+  SELECT DISTINCT 'B:'||p_brand AS sub,
+         'MF:'||(split_part(p_brand, '#', 2)::INT % 5) AS sup FROM part
+  UNION SELECT DISTINCT 'MF:'||(split_part(p_brand, '#', 2)::INT % 5),
+         'PART' FROM part
+  UNION SELECT DISTINCT 'M:'||c_mktsegment, 'CUSTOMER' FROM customer
+  UNION SELECT 'N:'||n_nationkey, 'R:'||n_regionkey FROM nation
+  UNION SELECT 'R:'||r_regionkey, 'GEO' FROM region),
+clo AS (
+  SELECT sub, sup, 1 AS depth FROM sc
+  UNION ALL
+  SELECT a.sub, b.sup, 2 FROM sc a JOIN sc b ON a.sup = b.sub
+  UNION ALL
+  SELECT a.sub, c.sup, 3
+  FROM sc a JOIN sc b ON a.sup = b.sub JOIN sc c ON b.sup = c.sub),
+clom AS (SELECT sub, sup, min(depth) AS depth FROM clo GROUP BY 1, 2),
+ty AS (
+  SELECT 'P:'||p_partkey AS entity, 'B:'||p_brand AS cls FROM part
+  UNION ALL SELECT 'C:'||c_custkey, 'M:'||c_mktsegment FROM customer
+  UNION ALL SELECT 'S:'||s_suppkey, 'N:'||s_nationkey FROM supplier),
+ent AS (
+  SELECT entity, cls, 0 AS depth FROM ty
+  UNION ALL
+  SELECT ty.entity, clom.sup, clom.depth
+  FROM ty JOIN clom ON clom.sub = ty.cls)
+SELECT entity, cls, min(depth)::BIGINT AS depth FROM ent GROUP BY 1, 2
+""")
+def q_kg_rdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS type entailment (graph.rdfs_entailment, rdfs9 + rdfs11)
+    over a class hierarchy INDUCED from the relational tables:
+    brand ⊑ manufacturer ⊑ PART, segment ⊑ CUSTOMER, and
+    nation ⊑ region ⊑ GEO; asserted types are part→brand,
+    customer→segment, supplier→nation.  Every entity inherits all
+    ancestors with its min hop depth (0 = asserted) — the subsumption
+    table ontology-aware KG queries join against.  The hierarchy
+    closure runs on the CLASS graph only (ontology-sized, broadcast);
+    the entity frame is touched by one join.  The oracle unrolls the
+    ≤3-hop closure and the inheritance join."""
+    from fastie_spark.graph import rdfs_entailment
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    def two(df, a, b):
+        return df.select(F.expr(a).alias("sub"),
+                         F.expr(b).alias("sup")).distinct()
+
+    mfgr = ("'MF:' || CAST(CAST(split_part(p_brand, '#', 2) AS INT) % 5 "
+            "AS STRING)")
+    subclass = (
+        two(part, "'B:' || p_brand", mfgr)
+        .unionByName(two(part, mfgr, "'PART'"))
+        .unionByName(two(customer, "'M:' || c_mktsegment",
+                         "'CUSTOMER'"))
+        .unionByName(two(nation, "'N:' || CAST(n_nationkey AS STRING)",
+                         "'R:' || CAST(n_regionkey AS STRING)"))
+        .unionByName(two(region, "'R:' || CAST(r_regionkey AS STRING)",
+                         "'GEO'")))
+
+    def ty(df, a, b):
+        return df.select(F.expr(a).alias("entity"),
+                         F.expr(b).alias("cls"))
+
+    types = (
+        ty(part, "'P:' || CAST(p_partkey AS STRING)", "'B:' || p_brand")
+        .unionByName(ty(customer, "'C:' || CAST(c_custkey AS STRING)",
+                        "'M:' || c_mktsegment"))
+        .unionByName(ty(supplier, "'S:' || CAST(s_suppkey AS STRING)",
+                        "'N:' || CAST(s_nationkey AS STRING)")))
+    return rdfs_entailment(types, subclass, max_depth=3)
+
+
+BP_MIN_DF = 20          # boilerplate threshold: binds on BOTH planted
+                        # headers (df ≈ n_docs·2/3 and n_docs/5) AND on
+                        # naturally repeated short lines, at both sf
+BP_HEADER = "Licensed to the ACME Foundation under one or more agreements."
+BP_CODEGEN = "Generated by codegen v2 do not edit"
+
+
+@query("code_boilerplate", oracle=f"""
+WITH {_SRC_SQL},
+bsrc AS (
+  SELECT repo, path,
+         CASE WHEN doc_id % 3 < 2 THEN '{BP_HEADER}' || chr(10)
+              ELSE '' END
+         || replace(content, 'e ', 'e' || chr(10))
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{BP_CODEGEN}'
+                 ELSE '' END AS content
+  FROM src),
+nl AS (
+  SELECT path, unnest(string_split(content, chr(10))) AS line
+  FROM bsrc),
+dfc AS (SELECT line, count(DISTINCT path) AS df FROM nl
+        WHERE line <> '' GROUP BY 1),
+bpl AS (SELECT coalesce(list(line), []) AS bl FROM dfc
+        WHERE df >= {BP_MIN_DF}),
+keep AS (
+  SELECT repo, path,
+         list_filter(string_split(content, chr(10)),
+                     l -> l = '' OR NOT list_contains(bl, l)) AS kl,
+         list_filter(string_split(content, chr(10)),
+                     l -> l <> '') AS nel
+  FROM bsrc, bpl)
+SELECT repo, path,
+       len(nel)::BIGINT AS n_lines,
+       (len(nel) - len(list_filter(kl, l -> l <> '')))::BIGINT
+         AS n_boiler,
+       sha256(array_to_string(kl, chr(10))) AS content_sha
+FROM keep
+""")
+def q_code_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-file boilerplate removal (code.strip_boilerplate) — the
+    CCNet paragraph-dedup discipline at the line grain a source-code
+    corpus actually repeats at: license headers and codegen banners.
+    The input plants a license header on 2/3 of files and a codegen
+    trailer on 1/5 (plus the usual 'e '→newline line structure), so
+    detection binds on BOTH planted lines and on naturally repeated
+    short lines.  Detection shuffles line DIGESTS only; the strip is
+    a broadcast set + in-row higher-order filter (content never
+    shuffles).  The oracle replays planting, df census, threshold and
+    reassembly; ``content_sha`` hashes the rewritten file so a single
+    kept-or-stripped line anywhere breaks the match."""
+    from fastie_spark.operators.code import strip_boilerplate
+    src = _source_view(spark, sf_dir)
+    content = F.concat(
+        F.when(F.col("doc_id") % 3 < 2,
+               F.lit(BP_HEADER + "\n")).otherwise(F.lit("")),
+        F.expr("replace(content, 'e ', concat('e', chr(10)))"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n" + BP_CODEGEN)).otherwise(F.lit("")))
+    planted = src.select("repo", "path", content.alias("content"))
+    return strip_boilerplate(planted, min_df=BP_MIN_DF).select(
+        "repo", "path", "n_lines", "n_boiler", "content_sha")
+
+
+NS_FANOUTS = (3, 2)     # hop-1 / hop-2 fanouts: order out-degree (~1
+                        # customer + ~4 lineitem suppliers + nation)
+                        # exceeds 3 at both sf, so the cap BINDS
+NS_SEED_MOD = 97        # ~1% of orders seed the minibatch
+
+
+def _ns_hash_duck(hop: int) -> str:
+    from fastie_spark.functions.hashing import duck_hash64_sql
+    return duck_hash64_sql(f"seed || '>' || u || '>' || v || '>{hop}'")
+
+
+@query("graph_sample", oracle=f"""
+WITH f AS ({KG_FACTS_SQL}),
+e AS (SELECT DISTINCT x AS u, z AS v FROM f WHERE x <> z),
+seeds AS (SELECT 'O:'||o_orderkey AS seed FROM orders
+          WHERE o_orderkey % {NS_SEED_MOD} = 0),
+h1 AS (
+  SELECT seed, u, v, row_number() OVER (
+    PARTITION BY seed, u
+    ORDER BY {_ns_hash_duck(1)}, v) AS rk
+  FROM seeds JOIN e ON e.u = seeds.seed),
+b1 AS (SELECT seed, 1 AS hop, u, v FROM h1 WHERE rk <= {NS_FANOUTS[0]}),
+fr2 AS (SELECT DISTINCT seed, v AS node FROM b1),
+h2 AS (
+  SELECT seed, u, v, row_number() OVER (
+    PARTITION BY seed, u
+    ORDER BY {_ns_hash_duck(2)}, v) AS rk
+  FROM fr2 JOIN e ON e.u = fr2.node),
+b2 AS (SELECT seed, 2 AS hop, u, v FROM h2 WHERE rk <= {NS_FANOUTS[1]})
+SELECT seed, hop::BIGINT AS hop, u, v FROM b1
+UNION ALL SELECT seed, hop::BIGINT, u, v FROM b2
+""")
+def q_graph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE minibatch sampling (graph.neighbor_sample) over the
+    constructed KG: from ~1% of order nodes, hop 1 keeps ≤3 and hop 2
+    keeps ≤2 out-neighbors per frontier node, chosen by portable-hash
+    rank — the deterministic, partitioning-independent stand-in for
+    the sampler's RNG, so the SQL oracle replays both hops' windowed
+    elections exactly.  Order out-degree exceeds the hop-1 fanout at
+    both sf, so the cap BINDS (real sampling, not a pass-through)."""
+    from fastie_spark.graph import neighbor_sample
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    oc = orders.join(customer,
+                     orders["o_custkey"] == customer["c_custkey"])
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(supplier, ("S", "s_suppkey"), "in_nation",
+                          ("N", "s_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
+                          ("P", "l_partkey")))
+        .unionByName(fact(lineitem, ("P", "l_partkey"), "supplied_by",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(oc, ("O", "o_orderkey"), "from_nation",
+                          ("N", "c_nationkey"))))
+    seeds = orders.where(F.col("o_orderkey") % NS_SEED_MOD == 0) \
+        .select(F.expr("'O:' || CAST(o_orderkey AS STRING)")
+                .alias("seed"))
+    return neighbor_sample(facts, seeds, NS_FANOUTS,
+                           src="subj", dst="obj")
+
+
+PIVOT_PREDS = ("by_customer", "from_nation", "sourced_from",
+               "contains_part")
+
+
+@query("kg_pivot", oracle=f"""
+WITH f AS ({KG_FACTS_SQL})
+SELECT x AS subj,
+       min(CASE WHEN p = 'by_customer' THEN z END) AS by_customer,
+       min(CASE WHEN p = 'from_nation' THEN z END) AS from_nation,
+       min(CASE WHEN p = 'sourced_from' THEN z END) AS sourced_from,
+       min(CASE WHEN p = 'contains_part' THEN z END) AS contains_part
+FROM f WHERE p IN {PIVOT_PREDS}
+GROUP BY x
+""")
+def q_kg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-table projection (graph.pivot_entities) — the serving
+    shape a KG consumer reads: one row per order entity, one column
+    per predicate, deterministic min election for the multi-valued
+    ones (sourced_from / contains_part).  Explicit predicate list, so
+    the pivot is ONE partial-aggregated groupBy with a schema-stable
+    column set — no distinct-values pre-job, no window, no collect.
+    The oracle is the classic conditional-aggregation rewrite."""
+    from fastie_spark.graph import pivot_entities
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    oc = orders.join(customer,
+                     orders["o_custkey"] == customer["c_custkey"])
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(oc, ("O", "o_orderkey"), "from_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
+                          ("P", "l_partkey"))))
+    return pivot_entities(facts, PIVOT_PREDS)

@@ -1,0 +1,173 @@
+"""Golden tests: SPARQL-style BGP matching, RDFS entailment, and
+cross-file boilerplate removal (the round-5 tail additions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastie_spark.graph import match_bgp, rdfs_entailment
+from fastie_spark.operators.code import (
+    boilerplate_lines,
+    strip_boilerplate,
+)
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj: string, pred: string, obj: string")
+
+
+def test_match_bgp_chain_and_cycle(spark):
+    facts = _facts(spark, [
+        ("o1", "by", "c1"), ("o2", "by", "c2"),
+        ("c1", "in", "n1"), ("c2", "in", "n2"),
+        ("o1", "src", "s1"), ("o2", "src", "s2"),
+        ("s1", "in", "n1"),             # same-nation: o1 matches
+        ("s2", "in", "n1"),             # cross-nation: o2 does not
+    ])
+    got = {tuple(sorted(r.asDict().items())) for r in match_bgp(
+        facts, [("?o", "by", "?c"), ("?c", "in", "?n"),
+                ("?o", "src", "?s"), ("?s", "in", "?n")]).collect()}
+    assert got == {(("c", "c1"), ("n", "n1"), ("o", "o1"), ("s", "s1"))}
+
+
+def test_match_bgp_constant_term_filters(spark):
+    facts = _facts(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "a")])
+    got = {r["x"] for r in
+           match_bgp(facts, [("?x", "knows", "b")]).collect()}
+    assert got == {"a"}
+
+
+def test_match_bgp_self_loop_variable(spark):
+    facts = _facts(spark, [("a", "p", "a"), ("a", "p", "b")])
+    got = [tuple(r) for r in
+           match_bgp(facts, [("?x", "p", "?x")]).collect()]
+    assert got == [("a",)]
+
+
+def test_match_bgp_ground_pattern_gates(spark):
+    facts = _facts(spark, [("a", "p", "b"), ("x", "flag", "on")])
+    hit = match_bgp(facts, [("?s", "p", "?o"), ("x", "flag", "on")])
+    assert hit.count() == 1
+    miss = match_bgp(facts, [("?s", "p", "?o"), ("x", "flag", "off")])
+    assert miss.count() == 0
+
+
+def test_match_bgp_rejects_cartesian_and_pred_var(spark):
+    facts = _facts(spark, [("a", "p", "b"), ("c", "q", "d")])
+    with pytest.raises(ValueError, match="disconnected"):
+        match_bgp(facts, [("?x", "p", "?y"), ("?u", "q", "?v")])
+    with pytest.raises(ValueError, match="predicate"):
+        match_bgp(facts, [("?x", "?p", "?y")])
+    with pytest.raises(ValueError, match="ASK"):
+        match_bgp(facts, [("a", "p", "b")])
+
+
+def test_rdfs_entailment_diamond_min_depth(spark):
+    # diamond: A ⊑ B ⊑ D and A ⊑ D directly — depth of D from A is 1
+    subclass = spark.createDataFrame(
+        [("A", "B"), ("B", "D"), ("A", "D")], "sub: string, sup: string")
+    types = spark.createDataFrame([("e1", "A")],
+                                  "entity: string, cls: string")
+    got = {(r["cls"], r["depth"]) for r in
+           rdfs_entailment(types, subclass, max_depth=3).collect()}
+    assert got == {("A", 0), ("B", 1), ("D", 1)}
+
+
+def test_rdfs_entailment_depth_bound_binds(spark):
+    chain = spark.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4")],
+        "sub: string, sup: string")
+    types = spark.createDataFrame([("e", "c0")],
+                                  "entity: string, cls: string")
+    got = {r["cls"] for r in
+           rdfs_entailment(types, chain, max_depth=2).collect()}
+    assert got == {"c0", "c1", "c2"}       # c3/c4 beyond the bound
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "path: string, content: string")
+
+
+def test_boilerplate_detect_and_strip(spark):
+    hdr = "COPYRIGHT HEADER"
+    rows = [(f"f{i}", hdr + "\nbody line " + str(i)) for i in range(4)]
+    rows.append(("f4", "unique only"))
+    src = _src(spark, rows)
+    bp = boilerplate_lines(src, min_df=3)
+    assert bp.count() == 1               # only the header crosses df≥3
+    out = {r["path"]: r for r in
+           strip_boilerplate(src, min_df=3).collect()}
+    assert out["f0"]["content"] == "body line 0"
+    assert out["f0"]["n_lines"] == 2 and out["f0"]["n_boiler"] == 1
+    assert out["f4"]["content"] == "unique only"
+    assert out["f4"]["n_boiler"] == 0
+
+
+def test_boilerplate_df_is_per_file_not_per_occurrence(spark):
+    # the same line 5× in ONE file must not cross a min_df=2 threshold
+    src = _src(spark, [("f0", "\n".join(["dup"] * 5)), ("f1", "other")])
+    assert boilerplate_lines(src, min_df=2).count() == 0
+
+
+def test_strip_boilerplate_broadcast_guard(spark):
+    src = _src(spark, [("f0", "a\nb"), ("f1", "a\nb")])
+    with pytest.raises(ValueError, match="max_broadcast"):
+        strip_boilerplate(src, min_df=1, max_broadcast=1)
+
+
+def test_strip_boilerplate_preserves_empty_lines_and_sha(spark):
+    src = _src(spark, [("f0", "keep\n\nkeep2"), ("f1", "solo")])
+    out = {r["path"]: r for r in
+           strip_boilerplate(src, min_df=99).collect()}
+    assert out["f0"]["content"] == "keep\n\nkeep2"   # nothing stripped
+    assert out["f0"]["n_lines"] == 2                 # empties not counted
+    row = spark.createDataFrame([("keep\n\nkeep2",)], "c: string") \
+        .select(F.sha2("c", 256).alias("h")).collect()[0]
+    assert out["f0"]["content_sha"] == row["h"]
+
+
+def test_neighbor_sample_fanout_binds_and_depth(spark):
+    from fastie_spark.graph import neighbor_sample
+    # star: s -> a..e (5 out-edges), a -> x,y,z
+    edges = spark.createDataFrame(
+        [("s", c) for c in "abcde"] + [("a", c) for c in "xyz"],
+        "src: string, dst: string")
+    seeds = spark.createDataFrame([("s",)], "seed: string")
+    out = neighbor_sample(edges, seeds, (2, 1)).collect()
+    h1 = [r for r in out if r["hop"] == 1]
+    h2 = [r for r in out if r["hop"] == 2]
+    assert len(h1) == 2 and all(r["u"] == "s" for r in h1)
+    # hop 2 expands only sampled hop-1 nodes; only 'a' has out-edges
+    picked = {r["v"] for r in h1}
+    assert {r["u"] for r in h2} <= picked
+    assert all(len([r for r in h2 if r["u"] == u]) <= 1
+               for u in {r["u"] for r in h2})
+
+
+def test_neighbor_sample_partitioning_independent(spark):
+    from fastie_spark.graph import neighbor_sample
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + j) % 40}") for i in range(40)
+         for j in range(1, 6)], "src: string, dst: string")
+    seeds = spark.createDataFrame([(f"n{i}",) for i in range(0, 40, 13)],
+                                  "seed: string")
+    a = {tuple(r) for r in
+         neighbor_sample(edges, seeds, (2, 2)).collect()}
+    b = {tuple(r) for r in
+         neighbor_sample(edges.repartition(7), seeds.repartition(3),
+                         (2, 2)).collect()}
+    assert a == b and a
+
+
+def test_pivot_entities_min_election_and_missing(spark):
+    from fastie_spark.graph import pivot_entities
+    t = spark.createDataFrame(
+        [("e1", "p1", "b"), ("e1", "p1", "a"), ("e1", "p2", "z"),
+         ("e2", "p2", "q"), ("e2", "other", "w")],
+        "subj: string, pred: string, obj: string")
+    rows = {r["subj"]: r for r in
+            pivot_entities(t, ("p1", "p2")).collect()}
+    assert rows["e1"]["p1"] == "a" and rows["e1"]["p2"] == "z"
+    assert rows["e2"]["p1"] is None and rows["e2"]["p2"] == "q"
+    assert set(rows) == {"e1", "e2"}     # 'other'-only rows filtered

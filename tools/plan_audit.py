@@ -125,6 +125,11 @@ AUDIT = [
     ("pure_joint_infer", "PURE joint chain: span fwd → pack → pair fwd"),
     ("weights_file_roundtrip", "safetensors hop → broadcast inference"),
     ("ann_index_delta", "frozen codebooks, row-local delta assignment"),
+    ("kg_bgp", "BGP match: predicate-pruned scans, greedy var joins"),
+    ("kg_rdfs", "RDFS entailment: class-graph closure, bcast inherit"),
+    ("code_boilerplate", "line-df census + bcast set, in-row strip"),
+    ("graph_sample", "GraphSAGE fanout sampling: keyed hash-rank hops"),
+    ("kg_pivot", "property-table pivot: one partial-agg groupBy"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
@@ -217,6 +222,11 @@ def main() -> None:
         "* parquet scans read only the projected columns (`read_cols`",
         "  vs the tables' full widths: documents=5, orders=9,",
         "  lineitem=11).",
+        "* `code_boilerplate`'s one SinglePartition exchange is the",
+        "  scalar `collect_list` collapse of the DETECTED boilerplate",
+        "  set — a frame already bounded by the `max_broadcast` guard",
+        "  (partial agg upstream), not corpus-sized data; the strip",
+        "  itself is in-row after the broadcast.",
         "",
         "Reproduce: `python tools/plan_audit.py` (writes PLANS.md).",
     ]
