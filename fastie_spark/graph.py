@@ -1958,8 +1958,9 @@ def merge_fact_intervals(standing: DataFrame, delta: DataFrame,
 # querying the constructed KG: basic graph patterns + RDFS entailment
 # ---------------------------------------------------------------------------
 
-def match_bgp(facts: DataFrame, pattern, subj: str = "subj",
-              pred: str = "pred", obj: str = "obj") -> DataFrame:
+def match_bgp(facts: DataFrame, pattern, optional=(),
+              subj: str = "subj", pred: str = "pred",
+              obj: str = "obj") -> DataFrame:
     """SPARQL-style basic-graph-pattern matching over the triple
     frame — the query face of the constructed KG (the reference
     builds triples, `interact` answers per-sentence; a KG user's next
@@ -1971,6 +1972,15 @@ def match_bgp(facts: DataFrame, pattern, subj: str = "subj",
     per distinct variable (named without the ``?``), one row per
     distinct binding — SPARQL ``SELECT DISTINCT`` semantics over the
     conjunction.
+
+    ``optional`` patterns are SPARQL ``OPTIONAL`` clauses: each one
+    LEFT-joins the required bindings on its shared variables, so a
+    binding that has no match keeps its row with the optional
+    variables null (one left join per clause — independent OPTIONALs,
+    the common case; nested optional groups are out of scope).  An
+    optional pattern must share ≥1 variable with the bindings built
+    before it; a later optional may join on an earlier optional's
+    variable (null keys never match, so such rows simply stay null).
 
     Plan shape (the scale story): each triple pattern becomes a
     predicate-filtered projection of ``facts`` — with a
@@ -2045,6 +2055,19 @@ def match_bgp(facts: DataFrame, pattern, subj: str = "subj",
         gate, _ = frames[i]
         bound = bound.crossJoin(F.broadcast(gate.limit(1))) \
                      .drop("_ground")
+    for p in optional:
+        f, vs = frame(p)
+        if not vs:
+            raise ValueError(
+                f"match_bgp: fully-ground OPTIONAL pattern {p} binds "
+                "nothing — drop it (it cannot filter a left join)")
+        shared = vs & have
+        if not shared:
+            raise ValueError(
+                "match_bgp: OPTIONAL pattern shares no variable with "
+                f"the bindings built before it: {p}")
+        bound = bound.join(f, on=sorted(shared), how="left")
+        have |= vs
     return bound.distinct()
 
 
@@ -2151,3 +2174,80 @@ def pivot_entities(triples: DataFrame, preds, subj: str = "subj",
             .groupBy(F.col(subj))
             .pivot(pred, list(preds))
             .agg(F.min(obj)))
+
+
+def maximal_independent_set(edges: DataFrame, src: str = "src",
+                            dst: str = "dst", max_iter: int = 25,
+                            checkpoint_dir: str | None = None
+                            ) -> DataFrame:
+    """Deterministic Luby-style maximal independent set over the
+    undirected graph — the DIVERSITY-SELECTION primitive: over the
+    near-duplicate similarity graph the MIS is a maximal set of
+    pairwise NON-similar documents (every excluded doc is similar to
+    a kept one), the "one representative per neighborhood" pick that
+    complements :func:`connected_components`' one-per-cluster
+    election.
+
+    Luby's algorithm with the engine's portable-hash determinism
+    discipline instead of an RNG: a node's priority is
+    ``(md5-hash(node), node)`` — total order, partitioning-independent,
+    replayable by the SQL oracle.  Each round, every undecided node
+    whose priority is strictly smallest in its undecided closed
+    neighborhood joins the MIS; MIS nodes and their neighbors leave
+    the undecided set.  Expected O(log n) rounds under a hash that
+    spreads like a random order; ``max_iter`` exhaustion RAISES (a
+    silently truncated run would emit a non-maximal set — the same
+    loud-failure contract as the SCC color loop).
+
+    Per round: two semi-joins restrict edges to undecided endpoints,
+    one bool_and partial agg at node grain, one anti-join — all keyed,
+    nothing global; per-round lineage cuts via ``_Snapshots``
+    (``checkpoint_dir`` = cluster-durable parquet).  Output:
+    ``(node, round)``, round = the 1-based round the node entered the
+    MIS (the election certificate a resumed run can verify).
+    """
+    from fastie_spark.functions.hashing import spark_hash64_sql
+
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    und_e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = snaps.save(
+        und_e.union(und_e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v")).distinct(), "mis_edges")
+    undecided = snaps.save(
+        sym.select(F.col("u").alias("node")).distinct(), "mis_und_0000")
+    h_u = F.expr(spark_hash64_sql("cast(u as string)"))
+    h_v = F.expr(spark_hash64_sql("cast(v as string)"))
+    mis = undecided.select(
+        "node", F.lit(0).cast("bigint").alias("round")).limit(0)
+    for rnd in range(1, max_iter + 1):
+        if undecided.isEmpty():
+            return mis
+        live = (sym.join(undecided.select(F.col("node").alias("u")),
+                         "u", "left_semi")
+                .join(undecided.select(F.col("node").alias("v")),
+                      "v", "left_semi"))
+        loses = (live.select(
+            "u", ((h_u < h_v) | ((h_u == h_v) & (F.col("u") < F.col("v"))))
+            .alias("ok"))
+            .groupBy("u").agg(F.min(F.col("ok").cast("int")).alias("w")))
+        winners = (undecided.join(
+            loses, undecided["node"] == loses["u"], "left")
+            .where(F.col("w").isNull() | (F.col("w") == 1))
+            .select("node", F.lit(rnd).cast("bigint").alias("round")))
+        winners = snaps.save(winners, f"mis_win_{rnd:04d}")
+        mis = mis.unionByName(winners)
+        removed = (winners.select("node")
+                   .union(sym.join(
+                       winners.select(F.col("node").alias("u")),
+                       "u", "left_semi").select(F.col("v").alias("node")))
+                   .distinct())
+        undecided = snaps.save(
+            undecided.join(removed, "node", "left_anti"),
+            f"mis_und_{rnd:04d}")
+    if not undecided.isEmpty():
+        raise RuntimeError(
+            f"maximal_independent_set: {undecided.count()} nodes still "
+            f"undecided after max_iter={max_iter} rounds — raise "
+            "max_iter (a truncated run would be non-maximal)")
+    return mis

@@ -401,7 +401,10 @@ def strip_boilerplate(src: DataFrame, min_df: int,
     and ``content_sha`` of the rewritten content — the hash a
     downstream exact-dedup stage keys on.
     """
-    bp = boilerplate_lines(src, min_df, content_col)
+    # eager localCheckpoint: the detection aggregate runs ONCE and both
+    # the guard count and the broadcast collapse read the materialized
+    # digests (without it the explode+agg would execute twice)
+    bp = boilerplate_lines(src, min_df, content_col).localCheckpoint()
     n_bp = bp.count()
     if n_bp > max_broadcast:
         raise ValueError(
@@ -426,3 +429,55 @@ def strip_boilerplate(src: DataFrame, min_df: int,
                      - F.size(F.filter(kept, lambda ln: ln != "")))
                     .cast("bigint").alias("n_boiler"),
                     F.sha2(cleaned, 256).alias("content_sha")))
+
+
+SECRET_PATTERNS = (
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("hex_token", r"\b[0-9a-f]{32,64}\b"),
+    ("bearer", r"Bearer [A-Za-z0-9_\-\.=]{20,}"),
+)
+
+SECRET_DENSITY_PPM = 350_000    # distinct-char density gate: a real
+                                # token mixes its alphabet; a padded or
+                                # repeated filler string does not
+
+
+def scan_secrets(src: DataFrame,
+                 patterns: tuple[tuple[str, str], ...] = SECRET_PATTERNS,
+                 min_density_ppm: int = SECRET_DENSITY_PPM,
+                 content_col: str = "content") -> DataFrame:
+    """Credential/secret scanning over the source table — the
+    gitleaks-style leak gate a public code corpus runs before
+    training (leaked keys in training data are a real incident
+    class).  Two in-row stages, zero shuffle:
+
+    1. candidate extraction: one ``regexp_extract_all`` per pattern
+       family (AWS-style access keys, long hex tokens, bearer
+       tokens), exploded to (file, kind, match) rows;
+    2. an INTEGER distinct-char density gate
+       ``distinct_chars(match) * 1e6 / len(match) >= min_density_ppm``
+       — the deterministic, oracle-replayable stand-in for the
+       Shannon-entropy cut every scanner applies (a real token mixes
+       its alphabet; ``aaaa…``/``0101…`` filler does not).  Integer
+       ppm on purpose: a float entropy threshold would make the
+       driver hash contract flap at the boundary.
+
+    Output: (repo, path, kind, secret_sha, density_ppm, hit) — one
+    row per CANDIDATE with the gate verdict, and the matched text
+    only as sha256 (the scanner must not re-leak what it found).
+    """
+    cands = None
+    for kind, pat in patterns:
+        c = src.select(
+            "repo", "path", F.lit(kind).alias("kind"),
+            F.explode(F.regexp_extract_all(
+                content_col, F.lit(pat), 0)).alias("m"))
+        cands = c if cands is None else cands.unionByName(c)
+    density = F.expr(
+        "CAST(size(array_distinct(split(m, ''))) AS BIGINT) "
+        "* 1000000 div length(m)")
+    return cands.select(
+        "repo", "path", "kind",
+        F.sha2("m", 256).alias("secret_sha"),
+        density.alias("density_ppm"),
+        (density >= min_density_ppm).alias("hit"))

@@ -1,0 +1,110 @@
+"""Batch temporal joins: as-of and point-in-interval.
+
+The temporal KG half of the engine (``graph.fact_intervals`` /
+``facts_asof`` / ``merge_fact_intervals``, ``streaming/temporal.py``)
+answers "the KG as of time T" for a SCALAR T.  These operators answer
+the per-row forms a consumer actually joins with:
+
+* :func:`asof_join` — every left row picks the latest right version at
+  or before its own timestamp (kdb ``aj`` / pandas ``merge_asof``
+  semantics), per key.
+* :func:`point_in_interval_join` — every left point row finds the
+  right interval(s) containing it, per key, WITHOUT the broadcast
+  nested-loop join a naive ``from <= t AND t < to`` predicate
+  degenerates to.
+
+Scale notes (10^12-row event streams):
+
+* ``asof_join`` is the UNION + forward-fill trick: both sides land in
+  ONE shuffle partitioned by key, a single ordered window carries the
+  last version forward onto each event row.  No range predicate, no
+  nested-loop — cost is one keyed shuffle + one keyed sort, the same
+  as any groupBy on the key.  Hot keys are window-partitioned, never
+  global.
+* ``point_in_interval_join`` grids time at a caller-chosen
+  ``granularity``: intervals explode to the cells they cover (bounded
+  by interval-length/granularity — the caller picks the grain that
+  bounds it), points map to exactly one cell, and the join is a plain
+  EQUI-join on (key, cell) + an exact residual filter.  This is the
+  published range-join bucketing technique; Catalyst would otherwise
+  plan BroadcastNestedLoopJoin, which AQE cannot skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_time: str, right_time: str,
+              right_prefix: str = "asof_") -> DataFrame:
+    """For every ``left`` row, attach the ``right`` row with the
+    greatest ``right_time`` <= ``left_time`` for the same ``on`` key
+    (backward as-of, inclusive at equality — kdb ``aj``).  Left rows
+    with no prior version keep nulls; right payload columns come back
+    ``right_prefix``-renamed.
+
+    Ties among right rows at the same (key, time) break
+    deterministically on the full right payload (max struct wins), so
+    the join is reproducible under any partitioning.
+    """
+    rcols = [c for c in right.columns if c not in (on, right_time)]
+    r = right.select(
+        F.col(on), F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_rv"))
+    lcols = [c for c in left.columns]
+    lf = left.select(
+        F.col(on), F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lv"))
+    u = (r.withColumn("_lv", F.lit(None).cast(lf.schema["_lv"].dataType))
+         .unionByName(
+             lf.withColumn("_rv",
+                           F.lit(None).cast(r.schema["_rv"].dataType))
+             .select(on, "_t", "_side", "_rv", "_lv")))
+    # right rows (_side 0) sort before left rows at equal time →
+    # "at or before" is inclusive; _rv tie-break makes same-time
+    # versions deterministic (the max payload is the carried one)
+    w = (Window.partitionBy(on).orderBy("_t", "_side", "_rv")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.withColumn("_r", F.last("_rv", ignorenulls=True).over(w))
+    out_cols = [F.col("_lv")[c].alias(c) for c in lcols]
+    out_cols += [F.col("_r")[c].alias(f"{right_prefix}{c}")
+                 for c in rcols]
+    return filled.where(F.col("_side") == 1).select(*out_cols)
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           on: str, time_col: str,
+                           from_col: str, to_col: str,
+                           granularity: int) -> DataFrame:
+    """Equi-join points to the containing half-open intervals
+    ``[from, to)`` per key, via a time grid of ``granularity``
+    (same unit as the time columns, which must be integer-like —
+    epoch seconds, micros, seq numbers).
+
+    Each interval explodes to the grid cells it covers (the caller
+    picks ``granularity`` so interval-length/granularity stays small
+    — for SCD2 tables, the typical version lifetime); each point maps
+    to ONE cell; the join is a plain equi-join on (key, cell) with an
+    exact residual ``from <= t AND t < to`` — never a nested loop.
+    Open intervals (``to`` null) are clamped to the max point time
+    (computed once, broadcast as a literal-free scalar join).
+    """
+    pts = points.withColumn("_cell",
+                            (F.col(time_col) / granularity)
+                            .cast("bigint"))
+    hi = points.agg(F.max(time_col).alias("_hi"))
+    iv = (intervals.crossJoin(F.broadcast(hi))
+          .withColumn("_to_eff",
+                      F.coalesce(F.col(to_col), F.col("_hi") + 1))
+          .drop("_hi"))
+    iv = iv.withColumn("_cell", F.explode(F.sequence(
+        (F.col(from_col) / granularity).cast("bigint"),
+        ((F.col("_to_eff") - 1) / granularity).cast("bigint"))))
+    j = pts.join(iv, on=[on, "_cell"], how="inner")
+    return (j.where((F.col(from_col) <= F.col(time_col))
+                    & (F.col(time_col) < F.col("_to_eff")))
+            .drop("_cell", "_to_eff"))

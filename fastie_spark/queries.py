@@ -7568,3 +7568,271 @@ def q_kg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
                           ("P", "l_partkey"))))
     return pivot_entities(facts, PIVOT_PREDS)
+
+
+MIS_ROUNDS_ORACLE = 8   # unrolled oracle rounds; Spark runs to the
+                        # fixpoint (max_iter=25) — rounds past the
+                        # fixpoint are no-ops on an empty undecided
+                        # set, so a generous unroll is harmless
+
+
+def _mis_round_sql(i: int) -> str:
+    return f"""
+m{i} AS MATERIALIZED (
+  SELECT d.node, {i} AS round
+  FROM und{i - 1} d
+  LEFT JOIN (
+    SELECT s.u AS node,
+           bool_and((hu.h < hv.h) OR (hu.h = hv.h AND s.u < s.v)) AS w
+    FROM se s
+    JOIN und{i - 1} a ON a.node = s.u
+    JOIN und{i - 1} b ON b.node = s.v
+    JOIN hn hu ON hu.node = s.u
+    JOIN hn hv ON hv.node = s.v
+    GROUP BY s.u) q ON q.node = d.node
+  WHERE q.w IS NULL OR q.w),
+und{i} AS MATERIALIZED (
+  SELECT node FROM und{i - 1}
+  EXCEPT (
+    SELECT node FROM m{i}
+    UNION
+    SELECT s.v FROM se s JOIN m{i} m ON m.node = s.u))"""
+
+
+def _mis_oracle() -> str:
+    from fastie_spark.functions.hashing import duck_hash64_sql
+    rounds = ",".join(_mis_round_sql(i)
+                      for i in range(1, MIS_ROUNDS_ORACLE + 1))
+    final = " UNION ALL ".join(
+        f"SELECT node, round FROM m{i}"
+        for i in range(1, MIS_ROUNDS_ORACLE + 1))
+    return f"""
+WITH {_bucket_cte(CC_LSH_PLANES)},
+pe AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+se AS MATERIALIZED (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+hn AS MATERIALIZED (SELECT DISTINCT u AS node,
+              {duck_hash64_sql("u::VARCHAR")} AS h FROM se),
+und0 AS (SELECT node FROM hn),
+{rounds}
+SELECT node::BIGINT AS vec_id, round::BIGINT AS round FROM ({final})
+"""
+
+
+@query("graph_mis", oracle=_mis_oracle())
+def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (graph.maximal_independent_set) over
+    the LSH near-duplicate graph — diversity selection: a maximal set
+    of pairwise NON-similar documents (every excluded doc has a kept
+    near-neighbor), the complement of the dedup pipeline's one-per-
+    cluster election.  Luby rounds with portable-hash priorities, so
+    the oracle unrolls the SAME rounds in SQL (rounds past the
+    fixpoint are no-ops); the (node, round) output is the election
+    certificate."""
+    from fastie_spark.graph import maximal_independent_set
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    mis = maximal_independent_set(edges)
+    return mis.select(F.col("node").cast("bigint").alias("vec_id"),
+                      F.col("round").cast("bigint").alias("round"))
+
+
+@query("kg_bgp_optional", oracle="""
+WITH f AS (
+  SELECT DISTINCT x, p, z FROM (
+    SELECT 'O:'||o_orderkey AS x, 'by_customer' AS p,
+           'C:'||o_custkey AS z FROM orders
+    UNION ALL SELECT 'C:'||c_custkey, 'in_nation', 'N:'||c_nationkey
+      FROM customer
+    UNION ALL SELECT 'O:'||o_orderkey, 'ships_to', 'N:'||c_nationkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 3 = 0))
+SELECT DISTINCT a.x AS o, a.z AS c, b.z AS n, st.z AS m
+FROM f a
+JOIN f b ON b.p = 'in_nation' AND b.x = a.z
+LEFT JOIN f st ON st.p = 'ships_to' AND st.x = a.x
+WHERE a.p = 'by_customer'
+""")
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the constructed KG: every order keeps its
+    (customer, nation) binding, and the ships_to clause — asserted
+    for only every third order — left-joins in as a nullable ?m
+    variable.  Two-thirds of the rows carry a NULL optional binding,
+    so the left-join semantics (keep the row, null the variable) are
+    load-bearing, not a pass-through; the oracle is the plain SQL
+    LEFT JOIN."""
+    from fastie_spark.graph import match_bgp
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    oc = orders.join(customer,
+                     orders["o_custkey"] == customer["c_custkey"])
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(oc.where(F.col("o_orderkey") % 3 == 0),
+                          ("O", "o_orderkey"), "ships_to",
+                          ("N", "c_nationkey"))))
+    return match_bgp(
+        facts,
+        [("?o", "by_customer", "?c"), ("?c", "in_nation", "?n")],
+        optional=[("?o", "ships_to", "?m")])
+
+
+@query("code_secrets", oracle=f"""
+WITH {_SRC_SQL},
+ss AS (
+  SELECT repo, path,
+         content
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' AKIA' || upper(substr(md5('k'||doc_id), 1, 16))
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' ' || md5('h'||doc_id) ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' ' || repeat('a', 40) ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' Bearer ' || md5('b'||doc_id) ELSE '' END
+           AS content
+  FROM src),
+cand AS (
+  SELECT repo, path, 'aws_key' AS kind,
+         unnest(regexp_extract_all(content, 'AKIA[0-9A-Z]{{16}}')) AS m
+  FROM ss
+  UNION ALL
+  SELECT repo, path, 'hex_token',
+         unnest(regexp_extract_all(content,
+                                   '\\b[0-9a-f]{{32,64}}\\b'))
+  FROM ss
+  UNION ALL
+  SELECT repo, path, 'bearer',
+         unnest(regexp_extract_all(
+             content, 'Bearer [A-Za-z0-9_\\-\\.=]{{20,}}'))
+  FROM ss),
+scored AS (
+  SELECT repo, path, kind, sha256(m) AS secret_sha,
+         len(list_distinct(string_split(m, ''))) * 1000000 // len(m)
+           AS density_ppm
+  FROM cand)
+SELECT repo, path, kind, secret_sha, density_ppm::BIGINT AS density_ppm,
+       density_ppm >= 350000 AS hit
+FROM scored
+""")
+def q_code_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret scanning (code.scan_secrets) over the production source
+    table — the gitleaks-style leak gate: regex candidate families
+    (AWS-style keys, long hex tokens, bearer tokens) plus an INTEGER
+    distinct-char density gate standing in for the float entropy cut
+    (a float threshold would flap the hash contract).  The input
+    plants a real-shaped AWS key (%13), a 32-hex token (%11), a
+    40-char 'aaaa…' filler that the hex regex CATCHES but the density
+    gate REJECTS (%17 — the gate binds, not a pass-through), and a
+    bearer token (%19, whose hex value also surfaces as a bearer-kind
+    candidate).  Matched text leaves the scanner only as sha256."""
+    from fastie_spark.operators.code import scan_secrets
+    src = _source_view(spark, sf_dir)
+    d = F.col("doc_id")
+    content = F.concat(
+        F.col("content"),
+        F.when(d % 13 == 0, F.concat(
+            F.lit(" AKIA"),
+            F.upper(F.substring(F.md5(F.concat(F.lit("k"),
+                                               d.cast("string"))), 1, 16))
+        )).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(
+            F.lit(" "), F.md5(F.concat(F.lit("h"), d.cast("string")))
+        )).otherwise(F.lit("")),
+        F.when(d % 17 == 0,
+               F.lit(" " + "a" * 40)).otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.concat(
+            F.lit(" Bearer "),
+            F.md5(F.concat(F.lit("b"), d.cast("string")))
+        )).otherwise(F.lit("")))
+    planted = src.select("repo", "path", content.alias("content"))
+    return scan_secrets(planted)
+
+
+@query("events_asof", oracle="""
+WITH sg AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS tier_cents
+  FROM events WHERE event_type = 'signup'),
+ev AS (SELECT event_id, user_id, ts FROM events)
+SELECT e.event_id, e.user_id, s.tier_cents AS asof_tier_cents
+FROM ev e ASOF LEFT JOIN sg s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""")
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (operators/temporal.asof_join): every event
+    picks the user's latest signup tier at or before the event —
+    kdb ``aj`` / pandas ``merge_asof`` semantics as ONE keyed shuffle
+    + one keyed window (union + forward-fill), no range predicate and
+    no nested loop anywhere in the plan.  The oracle is DuckDB's
+    NATIVE ``ASOF LEFT JOIN`` — a fully independent implementation of
+    the same semantics, so any drift in the inclusive-at-equality or
+    no-prior-version-null rules breaks the hash."""
+    from fastie_spark.operators.temporal import asof_join
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sg = events.where(F.col("event_type") == "signup").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("tier_cents"))
+    ev = events.select("event_id", "user_id", "ts")
+    return asof_join(ev, sg, on="user_id", left_time="ts",
+                     right_time="ts").select(
+        "event_id", "user_id", "asof_tier_cents")
+
+
+IVJ_GRAN_US = 86_400_000_000      # 1-day grid cells for the interval
+                                  # join: version lifetimes are days,
+                                  # so each interval covers few cells
+
+
+@query("events_in_intervals", oracle="""
+WITH sg AS (
+  SELECT user_id, epoch_us(ts) AS from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS to_us
+  FROM events WHERE event_type = 'signup'),
+ev AS (SELECT event_id, user_id, epoch_us(ts) AS p FROM events)
+SELECT e.event_id, e.user_id, s.from_us
+FROM ev e JOIN sg s ON e.user_id = s.user_id
+  AND s.from_us <= e.p
+  AND e.p < coalesce(s.to_us, (SELECT max(p) + 1 FROM ev))
+""")
+def q_events_in_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/temporal.point_in_interval_
+    join): each event finds the signup-version interval containing it
+    — the per-row form of the temporal KG's ``facts_asof``.  The time
+    axis grids at one day, intervals explode to their covered cells,
+    and the join is a plain EQUI-join on (user, cell) + exact residual
+    — Catalyst would otherwise plan a BroadcastNestedLoopJoin for the
+    raw range predicate, which AQE cannot skew-split.  The oracle is
+    the direct inequality join."""
+    from pyspark.sql import Window as W
+    from fastie_spark.operators.temporal import point_in_interval_join
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sg = (events.where(F.col("event_type") == "signup")
+          .select("user_id", F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("from_us")))
+    w = W.partitionBy("user_id").orderBy("from_us")
+    iv = sg.withColumn("to_us", F.lead("from_us").over(w))
+    ev = events.select("event_id", "user_id",
+                       F.unix_micros(F.col("ts").cast("timestamp"))
+                       .alias("p"))
+    out = point_in_interval_join(ev, iv, on="user_id", time_col="p",
+                                 from_col="from_us", to_col="to_us",
+                                 granularity=IVJ_GRAN_US)
+    return out.select("event_id", "user_id", "from_us")

@@ -1,0 +1,72 @@
+"""Golden tests: batch as-of join and point-in-interval join."""
+
+from fastie_spark.operators.temporal import (
+    asof_join,
+    point_in_interval_join,
+)
+
+
+def test_asof_join_backward_inclusive_and_null(spark):
+    versions = spark.createDataFrame(
+        [("u1", 10, "v1"), ("u1", 20, "v2"), ("u2", 5, "w1")],
+        "k: string, t: long, tag: string")
+    events = spark.createDataFrame(
+        [("u1", 9, "a"), ("u1", 10, "b"), ("u1", 15, "c"),
+         ("u1", 20, "d"), ("u1", 99, "e"), ("u2", 6, "f"),
+         ("u3", 50, "g")],
+        "k: string, t: long, ev: string")
+    out = {r["ev"]: r["asof_tag"] for r in asof_join(
+        events, versions, on="k", left_time="t",
+        right_time="t").collect()}
+    assert out == {"a": None,      # before any version
+                   "b": "v1",      # inclusive at equality
+                   "c": "v1", "d": "v2", "e": "v2", "f": "w1",
+                   "g": None}      # key with no versions at all
+
+
+def test_asof_join_same_time_tie_deterministic(spark):
+    versions = spark.createDataFrame(
+        [("u", 10, "x"), ("u", 10, "z"), ("u", 10, "y")],
+        "k: string, t: long, tag: string")
+    events = spark.createDataFrame([("u", 11, "e")],
+                                   "k: string, t: long, ev: string")
+    runs = {asof_join(events.repartition(n), versions.repartition(n),
+                      on="k", left_time="t", right_time="t")
+            .collect()[0]["asof_tag"] for n in (1, 3, 7)}
+    assert runs == {"z"}           # max payload wins, every time
+
+
+def test_point_in_interval_join_residual_and_open(spark):
+    intervals = spark.createDataFrame(
+        [("u", 0, 100, "i1"), ("u", 100, None, "i2"),
+         ("w", 50, 60, "j1")],
+        "k: string, f: long, t: long, iv: string")
+    points = spark.createDataFrame(
+        [("u", 0, "a"), ("u", 99, "b"), ("u", 100, "c"),
+         ("u", 5000, "d"), ("w", 50, "e"), ("w", 59, "f"),
+         ("w", 60, "g")],
+        "k: string, p: long, ev: string")
+    out = {r["ev"]: r["iv"] for r in point_in_interval_join(
+        points, intervals, on="k", time_col="p", from_col="f",
+        to_col="t", granularity=7).collect()}
+    # half-open [f, t): 'c' belongs to i2, 'g' to nothing; the open
+    # interval catches everything from 100 up
+    assert out == {"a": "i1", "b": "i1", "c": "i2", "d": "i2",
+                   "e": "j1", "f": "j1"}
+
+
+def test_point_in_interval_granularity_invariant(spark):
+    intervals = spark.createDataFrame(
+        [("u", i * 10, i * 10 + 25, f"i{i}") for i in range(5)],
+        "k: string, f: long, t: long, iv: string")
+    points = spark.createDataFrame(
+        [("u", p, f"e{p}") for p in range(0, 70, 3)],
+        "k: string, p: long, ev: string")
+    base = {(r["ev"], r["iv"]) for r in point_in_interval_join(
+        points, intervals, "k", "p", "f", "t",
+        granularity=1).collect()}
+    for g in (2, 9, 1000):
+        got = {(r["ev"], r["iv"]) for r in point_in_interval_join(
+            points, intervals, "k", "p", "f", "t",
+            granularity=g).collect()}
+        assert got == base

@@ -130,6 +130,11 @@ AUDIT = [
     ("code_boilerplate", "line-df census + bcast set, in-row strip"),
     ("graph_sample", "GraphSAGE fanout sampling: keyed hash-rank hops"),
     ("kg_pivot", "property-table pivot: one partial-agg groupBy"),
+    ("graph_mis", "Luby MIS: keyed semi-joins + bool_and rounds"),
+    ("kg_bgp_optional", "SPARQL OPTIONAL: left join on shared vars"),
+    ("code_secrets", "secret scan: in-row regex + integer density gate"),
+    ("events_asof", "as-of join: union + keyed forward-fill window"),
+    ("events_in_intervals", "interval join: grid cells, no nested loop"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
