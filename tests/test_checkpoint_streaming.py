@@ -562,3 +562,60 @@ def test_streaming_ann_ingest_equals_rebuild(spark, tmp_path):
     streaming_ann_ingest(spark, src, ckpt, root, centroids, codebook,
                          m=4, dims=64)
     assert index_tuples(root) == rebuild_tuples(40, 95)
+
+
+def test_streaming_asof_enrich_equals_batch(spark, tmp_path):
+    """Streaming as-of enrichment (foreachBatch asof_join against a
+    frozen dimension): after draining N micro-batches the union of
+    per-batch outputs equals one batch as-of join over all streamed
+    events; a replayed batch changes nothing; a later drain folds new
+    files in."""
+    from fastie_spark.operators.temporal import asof_join
+    from fastie_spark.streaming.enrich import (
+        drained_enrichment,
+        enrich_batch,
+        streaming_asof_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, 0, "bronze"), (1, 50, "silver"), (1, 90, "gold"),
+         (2, 10, "bronze")],
+        "user bigint, vt bigint, tier string")
+
+    def ev_rows(lo, hi):
+        return [(i, 1 + i % 2, i * 7 % 120) for i in range(lo, hi)]
+
+    schema = "event_id bigint, user bigint, et bigint"
+    src = str(tmp_path / "events")
+    spark.createDataFrame(ev_rows(0, 10), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(ev_rows(10, 25), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "enrich_state")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    streaming_asof_enrich(spark, src, schema, ckpt, root, dim,
+                          on="user", left_time="et", right_time="vt")
+
+    def drained():
+        return sorted(map(tuple, drained_enrichment(spark, root)
+                          .collect()))
+
+    def batch_ref(lo, hi):
+        ev = spark.createDataFrame(ev_rows(lo, hi), schema)
+        return sorted(map(tuple, asof_join(
+            ev, dim, on="user", left_time="et",
+            right_time="vt").collect()))
+
+    assert drained() == batch_ref(0, 25)
+    # at-least-once: replaying an old batch id is a no-op
+    replay = spark.createDataFrame(ev_rows(0, 10), schema)
+    enrich_batch(spark, replay, 0, root, dim,
+                 on="user", left_time="et", right_time="vt")
+    assert drained() == batch_ref(0, 25)
+    # late drain folds the new file
+    spark.createDataFrame(ev_rows(25, 30), schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    streaming_asof_enrich(spark, src, schema, ckpt, root, dim,
+                          on="user", left_time="et", right_time="vt")
+    assert drained() == batch_ref(0, 30)

@@ -252,3 +252,44 @@ def test_scan_secrets_density_gate_binds(spark):
     assert not any(p == "f4" for p, _ in rows)
     # the matched text never leaves in the clear
     assert all(len(r["secret_sha"]) == 64 for r in rows.values())
+
+
+def test_new_loops_checkpoint_dir_durable_form(spark, tmp_path):
+    """The round-5 iterative additions honor the same durability
+    contract as the older graph loops: checkpoint_dir output is
+    identical to the localCheckpoint fast path and every on-disk cut
+    is a committed (_SUCCESS) parquet snapshot."""
+    import os
+
+    from fastie_spark.graph import (
+        maximal_independent_set,
+        neighbor_sample,
+        rdfs_entailment,
+    )
+
+    e = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n1"), ("n3", "n4"),
+         ("n4", "n5"), ("n5", "n3"), ("n2", "n5")],
+        "src: string, dst: string")
+    seeds = spark.createDataFrame([("n1",)], "seed: string")
+    types = spark.createDataFrame([("e1", "n1"), ("e2", "n4")],
+                                  "entity: string, cls: string")
+
+    cases = {
+        "mis": lambda d: maximal_independent_set(e, checkpoint_dir=d),
+        "ns": lambda d: neighbor_sample(e, seeds, (2, 2),
+                                        checkpoint_dir=d),
+        "rdfs": lambda d: rdfs_entailment(types, e, max_depth=3,
+                                          sub="src", sup="dst",
+                                          checkpoint_dir=d),
+    }
+    for name, run in cases.items():
+        fast = sorted(tuple(r) for r in run(None).collect())
+        root = str(tmp_path / name)
+        durable = sorted(tuple(r) for r in run(root).collect())
+        assert durable == fast, name
+        snaps = [n for n in os.listdir(root)
+                 if os.path.isdir(os.path.join(root, n))]
+        assert snaps, name
+        assert all(os.path.isfile(os.path.join(root, n, "_SUCCESS"))
+                   for n in snaps), name
