@@ -2251,3 +2251,30 @@ def maximal_independent_set(edges: DataFrame, src: str = "src",
             f"undecided after max_iter={max_iter} rounds — raise "
             "max_iter (a truncated run would be non-maximal)")
     return mis
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  keys=None) -> DataFrame:
+    """Set-difference regression diff between two pipeline snapshots —
+    the KG-construction quality loop's before/after gate: run the new
+    extractor version, diff its output against the standing snapshot,
+    and review the 'added'/'removed' rows instead of eyeballing two
+    corpus-sized tables.  Works on any row grain (mentions, triples,
+    node tables).
+
+    ``keys`` defaults to the columns the two frames share.  Two
+    anti-joins on the key columns, each preceded by a distinct — the
+    shuffles carry key tuples only, and an unchanged corpus costs two
+    hash joins that emit nothing.  Output: the differing rows, each
+    tagged ``change`` ∈ {'added', 'removed'}.
+    """
+    cols = list(keys) if keys is not None else [
+        c for c in old.columns if c in set(new.columns)]
+    if not cols:
+        raise ValueError("snapshot_diff: no shared key columns")
+    o = old.select(*cols).distinct()
+    n = new.select(*cols).distinct()
+    return (n.join(o, cols, "left_anti")
+            .withColumn("change", F.lit("added"))
+            .unionByName(o.join(n, cols, "left_anti")
+                         .withColumn("change", F.lit("removed"))))

@@ -7836,3 +7836,49 @@ def q_events_in_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  from_col="from_us", to_col="to_us",
                                  granularity=IVJ_GRAN_US)
     return out.select("event_id", "user_id", "from_us")
+
+
+@query("extract_regression_diff", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "m_old", chunked=False)},
+{_mentions_cte(GAZ_GOLD, "m_new", chunked=False)},
+o AS (SELECT DISTINCT doc_id, start, "end", label, surface FROM m_old),
+n AS (SELECT DISTINCT doc_id, start, "end", label, surface FROM m_new)
+SELECT *, 'added' AS change
+FROM (SELECT * FROM n EXCEPT SELECT * FROM o)
+UNION ALL
+SELECT *, 'removed' AS change
+FROM (SELECT * FROM o EXCEPT SELECT * FROM n)
+""")
+def q_extract_regression_diff(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Extractor-version regression diff (graph.snapshot_diff): the
+    same corpus run through the production gazetteer (GAZ) and the
+    candidate one (GAZ_GOLD), diffed at mention grain — the
+    before/after gate a KG-construction team reviews instead of two
+    corpus-sized tables.  The two gazetteers genuinely disagree
+    (scan-vs-filter membership, join typed OP vs OP2), so both
+    'added' and 'removed' rows exist at every sf.  Two anti-joins on
+    the mention key, shuffles carry key tuples only; the oracle is
+    the symmetric EXCEPT."""
+    from fastie_spark.graph import snapshot_diff
+    from fastie_spark.extraction.ner import gazetteer_join_mentions
+
+    s = _doc_sentences(spark, sf_dir)
+
+    def mentions(gaz):
+        out = gazetteer_join_mentions(s, _gaz_df(spark, gaz),
+                                      max_len=2, out_col="ent_pred")
+        return out.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            "tokens", F.explode("ent_pred").alias("m"),
+        ).select(
+            "doc_id",
+            F.col("m.start").cast("bigint").alias("start"),
+            F.col("m.end").cast("bigint").alias("end"),
+            F.col("m.label").alias("label"),
+            F.concat_ws(" ", F.expr(
+                "slice(tokens, m.start + 1, m.end - m.start)"))
+            .alias("surface"))
+
+    return snapshot_diff(mentions(GAZ), mentions(GAZ_GOLD))

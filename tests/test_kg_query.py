@@ -293,3 +293,19 @@ def test_new_loops_checkpoint_dir_durable_form(spark, tmp_path):
         assert snaps, name
         assert all(os.path.isfile(os.path.join(root, n, "_SUCCESS"))
                    for n in snaps), name
+
+
+def test_snapshot_diff_tags_and_unchanged_is_empty(spark):
+    from fastie_spark.graph import snapshot_diff
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k: string, v: long")
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 9), ("d", 4)], "k: string, v: long")
+    got = {(r["k"], r["v"], r["change"])
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {("b", 9, "added"), ("d", 4, "added"),
+                   ("b", 2, "removed"), ("c", 3, "removed")}
+    assert snapshot_diff(old, old).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="shared"):
+        snapshot_diff(old.select(F.col("k").alias("x")), new.select("v"))

@@ -135,6 +135,7 @@ AUDIT = [
     ("code_secrets", "secret scan: in-row regex + integer density gate"),
     ("events_asof", "as-of join: union + keyed forward-fill window"),
     ("events_in_intervals", "interval join: grid cells, no nested loop"),
+    ("extract_regression_diff", "snapshot diff: key-tuple anti-joins"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
