@@ -481,3 +481,85 @@ def scan_secrets(src: DataFrame,
         F.sha2("m", 256).alias("secret_sha"),
         density.alias("density_ppm"),
         (density >= min_density_ppm).alias("hit"))
+
+
+def split_identifiers(src: DataFrame,
+                      group_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+    """Identifier subtoken census — camelCase / snake_case splitting,
+    the code-corpus analogue of word tokenization (BPE vocabularies,
+    symbol-mention recall and identifier-grain dedup all start here).
+
+    Three deterministic in-row rewrites split every token of
+    ``content`` at identifier boundaries:
+
+        snake:    '_'            → ' '         (parse_config → parse config)
+        camel:    ([a-z0-9])([A-Z]) → '\\1 \\2'  (DataLoader → Data Loader)
+        acronym:  ([A-Z]+)([A-Z][a-z]) → '\\1 \\2' (HTTPServer → HTTP Server)
+
+    then everything lower-cases and explodes to subtokens.  All three
+    rewrites and the lower-case run inside one JVM projection — the
+    only shuffle is the final (group, subtoken)-grain count, and
+    map-side partial agg bounds each task's output at the distinct
+    subtoken vocabulary, not the corpus size.
+
+    Output: one row per (*group_cols, subtoken) with occurrence count
+    ``n`` and distinct-file count ``n_files``.
+    """
+    camel = F.regexp_replace(
+        F.regexp_replace(F.col("tok"), r"([A-Z]+)([A-Z][a-z])", r"$1 $2"),
+        r"([a-z0-9])([A-Z])", r"$1 $2")
+    sub = F.explode(F.split(F.lower(
+        F.regexp_replace(camel, "_", " ")), " ")).alias("subtoken")
+    toks = (src.select(*group_cols, "path",
+                       F.explode(F.split("content", r"[ \n]")).alias("tok"))
+            .where(F.col("tok") != ""))
+    return (toks.select(*group_cols, "path", sub)
+            .where(F.col("subtoken") != "")
+            .groupBy(*group_cols, "subtoken")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("path").cast("bigint").alias("n_files")))
+
+
+def extract_function_units(
+        src: DataFrame,
+        header_pattern: str = r"^def ([a-z_][a-z0-9_]*)") -> DataFrame:
+    """Function-grain record extraction — splits every file into the
+    unit a code-LLM trains on (one function per row) instead of the
+    file blob, with a content hash for unit-grain dedup downstream.
+
+    Gaps-and-islands over the file's lines: header lines (matching
+    ``header_pattern``) open a unit, every following line up to the
+    next header belongs to it, and the preamble before the first
+    header is dropped.  The running-header-count island id is a
+    window over (repo, path) ordered by line position — a PER-FILE
+    frame, bounded by file length, never corpus-wide (the global-sort
+    trap this engine's vocab_build already avoids).  Unit text is
+    re-assembled order-exactly via sort_array over (pos, line)
+    structs — no collect_list ordering assumption — and hashed in the
+    same projection.
+
+    Output: (repo, path, lang, func, start_line, n_lines, unit_sha),
+    one row per function unit.
+    """
+    from pyspark.sql import Window as W
+    lines = src.select(
+        "repo", "path", "lang",
+        F.posexplode(F.split("content", "\n")).alias("pos", "line"))
+    w = W.partitionBy("repo", "path").orderBy("pos")
+    marked = lines.withColumn(
+        "is_hdr", F.col("line").rlike(header_pattern).cast("int")
+    ).withColumn("unit", F.sum("is_hdr").over(w))
+    return (marked.where(F.col("unit") > 0)
+            .groupBy("repo", "path", "lang", "unit")
+            .agg(F.max(F.when(F.col("is_hdr") == 1,
+                              F.regexp_extract("line", header_pattern, 1)))
+                 .alias("func"),
+                 F.min("pos").cast("bigint").alias("start_line"),
+                 F.count("*").cast("bigint").alias("n_lines"),
+                 F.sha2(F.concat_ws(
+                     "\n",
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("pos", "line"))),
+                         lambda s: s["line"])), 256).alias("unit_sha"))
+            .drop("unit"))

@@ -7882,3 +7882,308 @@ def q_extract_regression_diff(spark: SparkSession,
             .alias("surface"))
 
     return snapshot_diff(mentions(GAZ), mentions(GAZ_GOLD))
+
+
+# ---------------------------------------------------------------------------
+# r5 late additions: partition-quality + skew gauges, cardinality
+# validation, co-occurrence relatedness, identifier/function-grain
+# code ops.  Registered past the 50-entry driver window by design
+# (same convention as the late-r4 tail): evidence is the CI-gated
+# full-registry oracle + tools/check_queries.py.
+# ---------------------------------------------------------------------------
+
+@query("graph_modularity", oracle=f"""
+WITH
+{_bucket_cte(CC_LSH_PLANES)},
+edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+m AS (SELECT count(*)::BIGINT AS m FROM edges),
+deg AS (
+  SELECT n, count(*)::BIGINT AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT w FROM edges)
+  GROUP BY n),
+dc AS (
+  SELECT bk.bucket AS community, count(*)::BIGINT AS n_nodes,
+         coalesce(sum(deg.d), 0)::BIGINT AS d_c
+  FROM bk LEFT JOIN deg ON bk.vec_id = deg.n
+  GROUP BY bk.bucket),
+ec AS (
+  SELECT ba.bucket AS community, count(*)::BIGINT AS e_c
+  FROM edges
+  JOIN bk ba ON edges.u = ba.vec_id
+  JOIN bk bb ON edges.w = bb.vec_id
+  WHERE ba.bucket = bb.bucket
+  GROUP BY ba.bucket)
+SELECT dc.community, dc.n_nodes, dc.d_c,
+       coalesce(ec.e_c, 0)::BIGINT AS e_c, m.m,
+       (4 * m.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c)::BIGINT
+         AS q_x4m2
+FROM dc LEFT JOIN ec ON ec.community = dc.community CROSS JOIN m
+""")
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition quality of the sign-LSH bucketing, measured as exact
+    integer Newman modularity over the TRUE cosine graph — the
+    index-tuning gauge that decides n_planes: high modularity means
+    the buckets cut few real similarity edges (good recall per probe),
+    near-zero means the index is shredding clusters.  Both inputs are
+    machinery already under contract (exact blocked all-pairs +
+    sign-LSH buckets); the new math is the 4m²-scaled integer
+    Q-decomposition per bucket, no float anywhere."""
+    from fastie_spark.graph import modularity_x4m2
+    from fastie_spark.operators.similarity import (cosine_pairs,
+                                                   sign_lsh_buckets)
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs(vecs, threshold=CC_THRESH)
+    comm = sign_lsh_buckets(vecs, n_planes=CC_LSH_PLANES)
+    return modularity_x4m2(edges, comm, node="vec_id",
+                           community="bucket")
+
+
+@query("graph_degrees", oracle=f"""
+WITH {_SRC_SQL},
+mm AS (
+  SELECT repo, unnest(regexp_extract_all(content,
+         '(?:scan|join|merge) [a-z]+')) AS m FROM src),
+edges AS (
+  SELECT DISTINCT repo AS u, 'dep:' || split_part(m, ' ', 2) AS w
+  FROM mm),
+deg AS (
+  SELECT n, count(*)::BIGINT AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT w FROM edges)
+  GROUP BY n)
+SELECT length(d::VARCHAR)::BIGINT AS digits,
+       count(*)::BIGINT AS n_nodes,
+       min(d)::BIGINT AS min_deg, max(d)::BIGINT AS max_deg
+FROM deg GROUP BY 1
+""")
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-skew profile of the repo↔dependency graph (the bipartite
+    graph behind resolve_symbols / code_calls): order-of-magnitude
+    (decimal-digit) degree histogram — the two-shuffle gauge a 100 TB
+    run reads BEFORE deciding whether the next join over this graph
+    needs salting or a fan-out cap.  Hub deps used by every repo land
+    in a higher digit bucket than ordinary repos (both bucket
+    populations exist at every sf, so the skew signal binds).  Exact
+    integers end to end (digit count, not float log10); dep nodes are
+    prefixed so the two node families cannot collide."""
+    from fastie_spark.graph import degree_profile
+    from fastie_spark.operators.code import extract_call_edges
+    src = _source_view(spark, sf_dir)
+    deps = extract_call_edges(src, ["scan", "join", "merge"])
+    edges = deps.select(
+        F.col("repo").alias("src"),
+        F.concat(F.lit("dep:"), F.col("arg")).alias("dst"))
+    return degree_profile(edges)
+
+
+@query("kg_cardinality", oracle="""
+WITH t AS (
+  SELECT 'O:' || o_orderkey AS s, 'by_customer' AS p,
+         'C:' || o_custkey AS o
+  FROM orders
+  UNION ALL
+  -- conflicting second object for every 29th order (violation)
+  SELECT 'O:' || o_orderkey, 'by_customer', 'C:' || (o_custkey + 1)
+  FROM orders WHERE o_orderkey % 29 = 0
+  UNION ALL
+  -- duplicate of the SAME object for every 31st order (legal)
+  SELECT 'O:' || o_orderkey, 'by_customer', 'C:' || o_custkey
+  FROM orders WHERE o_orderkey % 31 = 0
+  UNION ALL
+  -- non-functional predicate rows: excluded by the declaration list
+  SELECT 'O:' || l_orderkey, 'contains_part', 'P:' || l_partkey
+  FROM lineitem)
+SELECT p, s, count(DISTINCT o)::BIGINT AS n_objects,
+       min(o) AS o_min, max(o) AS o_max
+FROM t WHERE p IN ('by_customer')
+GROUP BY p, s HAVING count(DISTINCT o) > 1
+""")
+def q_kg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-property (sh:maxCount 1) validation — the second
+    half of KG schema checking next to kg_validate's type signatures:
+    subjects whose declared-functional predicate carries two distinct
+    objects.  The input plants a conflicting object on o_orderkey%29
+    (must flag), a same-object re-extraction on %31 (must NOT flag)
+    and a genuinely multi-valued predicate outside the declaration
+    list (must be ignored), so both the dedup semantics and the
+    declaration filter bind.  One key-grain agg; evidence columns are
+    min/max object so output stays one row per violation."""
+    from fastie_spark.graph import functional_violations
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = orders.select(
+        F.concat(F.lit("O:"), F.col("o_orderkey").cast("string"))
+        .alias("s"),
+        F.lit("by_customer").alias("p"),
+        F.concat(F.lit("C:"), F.col("o_custkey").cast("string"))
+        .alias("o"))
+    conflict = (orders.where(F.col("o_orderkey") % 29 == 0)
+                .select(F.concat(F.lit("O:"),
+                                 F.col("o_orderkey").cast("string"))
+                        .alias("s"),
+                        F.lit("by_customer").alias("p"),
+                        F.concat(F.lit("C:"),
+                                 (F.col("o_custkey") + 1).cast("string"))
+                        .alias("o")))
+    dup = (orders.where(F.col("o_orderkey") % 31 == 0)
+           .select(F.concat(F.lit("O:"),
+                            F.col("o_orderkey").cast("string")).alias("s"),
+                   F.lit("by_customer").alias("p"),
+                   F.concat(F.lit("C:"),
+                            F.col("o_custkey").cast("string")).alias("o")))
+    multi = lineitem.select(
+        F.concat(F.lit("O:"), F.col("l_orderkey").cast("string"))
+        .alias("s"),
+        F.lit("contains_part").alias("p"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string"))
+        .alias("o"))
+    t = base.unionByName(conflict).unionByName(dup).unionByName(multi)
+    return functional_violations(t, ["by_customer"])
+
+
+COOC_MAX_DF_PPM = 800_000  # binds at sf0.001 (query/window/scan/merge/
+                           # sort all sit above 80% df) AND sf0.01
+                           # (batch does) — the guard is load-bearing,
+                           # not decorative
+
+@query("kg_cooccur_lift", oracle=f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS t
+  FROM documents),
+n AS (SELECT count(DISTINCT doc)::BIGINT AS n_docs FROM pres),
+dfq AS (
+  SELECT t, count(*)::BIGINT AS c FROM pres GROUP BY t),
+kept AS (
+  SELECT dfq.t, dfq.c FROM dfq CROSS JOIN n
+  WHERE dfq.c * 1000000 <= {COOC_MAX_DF_PPM} * n.n_docs),
+kp AS (SELECT pres.doc, pres.t FROM pres JOIN kept ON pres.t = kept.t),
+pairs AS (
+  SELECT l.t AS x, r.t AS y, count(*)::BIGINT AS c_xy
+  FROM kp l JOIN kp r ON l.doc = r.doc AND l.t < r.t
+  GROUP BY l.t, r.t)
+SELECT pairs.x, pairs.y, pairs.c_xy,
+       kx.c AS c_x, ky.c AS c_y, n.n_docs,
+       ((1000000::BIGINT * pairs.c_xy * n.n_docs)
+          // (kx.c * ky.c))::BIGINT AS lift_ppm
+FROM pairs
+JOIN kept kx ON kx.t = pairs.x
+JOIN kept ky ON ky.t = pairs.y
+CROSS JOIN n
+""")
+def q_kg_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-pair co-occurrence lift over the document corpus — the
+    distributional relatedness prior a linker feeds into candidate
+    ranking (PMI = log lift; the fixed-point ppm form keeps it
+    integer-exact).  Presence dedups in-row, stopword-hot terms are
+    dropped by the ppm-of-corpus guard BEFORE the per-doc pair
+    self-join (which the guard keeps bounded), and frequencies join
+    back at pair grain."""
+    from fastie_spark.linking import cooccurrence_lift
+    d = _documents(spark, sf_dir)
+    doc_terms = d.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("term"))
+    return cooccurrence_lift(doc_terms, doc_col="doc_id",
+                             term_col="term",
+                             max_df_ppm=COOC_MAX_DF_PPM)
+
+
+@query("code_identifiers", oracle=f"""
+WITH {_SRC_SQL},
+planted AS (
+  SELECT repo, path, lang,
+         content || ' DataLoader' || (doc_id % 5)::VARCHAR ||
+         ' parse_config' ||
+         CASE WHEN doc_id % 3 = 0 THEN ' HTTPServer' ELSE '' END
+           AS content
+  FROM src),
+toks AS (
+  SELECT lang, path, unnest(string_split(content, ' ')) AS tok
+  FROM (SELECT lang, path, replace(content, chr(10), ' ') AS content
+        FROM planted)),
+subs AS (
+  SELECT lang, path,
+         unnest(string_split(lower(replace(
+           regexp_replace(
+             regexp_replace(tok, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+             '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+           '_', ' ')), ' ')) AS subtoken
+  FROM toks WHERE tok != '')
+SELECT lang, subtoken, count(*)::BIGINT AS n,
+       count(DISTINCT path)::BIGINT AS n_files
+FROM subs WHERE subtoken != ''
+GROUP BY lang, subtoken
+""")
+def q_code_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier subtoken census over the source table: camelCase /
+    snake_case / ACRONYMWord splitting entirely in one JVM projection,
+    then a (lang, subtoken)-grain count — the vocabulary pass code-BPE
+    and symbol-mention recall start from.  The input plants DataLoader
+    / parse_config / HTTPServer tokens so all three split rules bind;
+    the oracle replays the rewrites with RE2 backrefs."""
+    from fastie_spark.operators.code import split_identifiers
+    src = _source_view(spark, sf_dir)
+    planted = src.withColumn(
+        "content",
+        F.concat(F.col("content"), F.lit(" DataLoader"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(" parse_config"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit(" HTTPServer"))
+                 .otherwise(F.lit(""))))
+    return split_identifiers(planted)
+
+
+@query("code_functions", oracle=f"""
+WITH {_SRC_SQL},
+planted AS (
+  SELECT repo, path, lang,
+         'import x' || chr(10) ||
+         'def f' || (doc_id % 7)::VARCHAR || '():' || chr(10) ||
+         replace(content, 'e ', 'e' || chr(10)) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'def g():' || chr(10) || 'return'
+              ELSE '' END AS content
+  FROM src),
+lines AS (
+  SELECT repo, path, lang,
+         unnest(range(0, len(string_split(content, chr(10))))) AS pos,
+         unnest(string_split(content, chr(10))) AS line
+  FROM planted),
+marked AS (
+  SELECT *, CASE WHEN regexp_matches(line, '^def [a-z_]')
+                 THEN 1 ELSE 0 END AS is_hdr
+  FROM lines),
+units AS (
+  SELECT *, sum(is_hdr) OVER (PARTITION BY repo, path
+                              ORDER BY pos) AS unit
+  FROM marked)
+SELECT repo, path, lang,
+       max(CASE WHEN is_hdr = 1 THEN
+             regexp_extract(line, '^def ([a-z_][a-z0-9_]*)', 1) END)
+         AS func,
+       min(pos)::BIGINT AS start_line,
+       count(*)::BIGINT AS n_lines,
+       sha256(string_agg(line, chr(10) ORDER BY pos)) AS unit_sha
+FROM units WHERE unit > 0
+GROUP BY repo, path, lang, unit
+""")
+def q_code_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-grain record extraction: every file splits at planted
+    ``def`` headers into the unit a code-LLM trains on, with an exact
+    per-unit content hash for unit-grain dedup.  Gaps-and-islands over
+    a PER-FILE window (bounded by file length, never corpus-wide); the
+    preamble-drop, multi-unit and single-unit paths all bind (planted
+    import line, %3 files get a second function).  The oracle replays
+    the islands with ORDINALITY + an ordered string_agg."""
+    from fastie_spark.operators.code import extract_function_units
+    src = _source_view(spark, sf_dir)
+    planted = src.withColumn(
+        "content",
+        F.concat(F.lit("import x\n"), F.lit("def f"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("():\n"),
+                 F.regexp_replace("content", "e ", "e\n"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("\ndef g():\nreturn"))
+                 .otherwise(F.lit(""))))
+    return extract_function_units(planted)

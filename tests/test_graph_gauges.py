@@ -1,0 +1,172 @@
+"""Partition-quality / skew gauges + cardinality validation +
+co-occurrence lift + identifier/function-grain code ops (round-5 late
+additions).  Every semantic branch the contract queries rely on gets a
+hand-computable golden here: modularity identities, digit bucketing,
+the functional-dedup distinction, the ppm guard binding, all three
+identifier split rules, and the islands' preamble/multi-unit paths.
+"""
+
+from pyspark.sql import functions as F
+
+from fastie_spark.graph import (degree_profile, functional_violations,
+                                modularity_x4m2)
+from fastie_spark.linking import cooccurrence_lift
+from fastie_spark.operators.code import (extract_function_units,
+                                         split_identifiers)
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+def _mod(spark, edges, comm):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    c = spark.createDataFrame(comm, "node string, community string")
+    rows = modularity_x4m2(e, c).collect()
+    return {r["community"]: r for r in rows}
+
+
+def test_modularity_two_cliques(spark):
+    # two triangles joined by one bridge: m = 7
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    comm = [(n, "L") for n in "abc"] + [(n, "R") for n in "xyz"]
+    by = _mod(spark, tri1 + tri2 + bridge, comm)
+    # L: e_c=3, d_c = 2+2+3 = 7 → q = 4·7·3 − 49 = 35; symmetric for R
+    assert by["L"]["q_x4m2"] == 35 and by["R"]["q_x4m2"] == 35
+    assert by["L"]["m"] == 7 and by["L"]["n_nodes"] == 3
+    # Q = 70/196 ≈ 0.357 — the natural cut scores positive
+    # anti-community split (one node from each side): strictly worse
+    bad = [("a", "L"), ("b", "R"), ("c", "L"),
+           ("x", "L"), ("y", "R"), ("z", "R")]
+    q_bad = sum(r["q_x4m2"] for r in _mod(
+        spark, tri1 + tri2 + bridge, bad).values())
+    assert q_bad < 70
+
+
+def test_modularity_handles_dups_self_loops_isolated(spark):
+    # duplicate edges, reversed duplicates and self-loops collapse;
+    # a community whose nodes have no edges still reports n_nodes
+    edges = [("a", "b"), ("b", "a"), ("a", "b"), ("c", "c")]
+    comm = [("a", "X"), ("b", "X"), ("q", "EMPTY")]
+    by = _mod(spark, edges, comm)
+    assert by["X"]["m"] == 1 and by["X"]["e_c"] == 1
+    assert by["X"]["q_x4m2"] == 4 * 1 * 1 - 2 * 2
+    assert by["EMPTY"]["n_nodes"] == 1 and by["EMPTY"]["d_c"] == 0
+    assert by["EMPTY"]["q_x4m2"] == 0
+
+
+# ---------------------------------------------------------------------------
+# degree profile
+# ---------------------------------------------------------------------------
+
+def test_degree_profile_buckets(spark):
+    # hub h touches 12 leaves (digits=2); each leaf has degree 1
+    edges = [("h", f"l{i}") for i in range(12)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["digits"]: r for r in degree_profile(e).collect()}
+    assert rows[1]["n_nodes"] == 12 and rows[1]["max_deg"] == 1
+    assert rows[2]["n_nodes"] == 1
+    assert rows[2]["min_deg"] == 12 and rows[2]["max_deg"] == 12
+
+
+# ---------------------------------------------------------------------------
+# functional violations
+# ---------------------------------------------------------------------------
+
+def test_functional_violations_semantics(spark):
+    t = spark.createDataFrame(
+        [("s1", "born_in", "rome"), ("s1", "born_in", "rome"),   # legal dup
+         ("s2", "born_in", "rome"), ("s2", "born_in", "oslo"),   # violation
+         ("s3", "works_at", "a"), ("s3", "works_at", "b")],      # undeclared
+        "s string, p string, o string")
+    rows = functional_violations(t, ["born_in"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["s"], r["n_objects"], r["o_min"], r["o_max"]) == \
+        ("s2", 2, "oslo", "rome")
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence lift
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_lift_exact_and_guard(spark):
+    # 4 docs; 'the' in all 4 (df ppm = 1e6), a+b together twice
+    rows = [(1, "a"), (1, "b"), (1, "the"),
+            (2, "a"), (2, "b"), (2, "the"),
+            (3, "a"), (3, "the"), (4, "the")]
+    dt = spark.createDataFrame(rows, "doc_key bigint, term string")
+    out = cooccurrence_lift(dt, max_df_ppm=900_000).collect()
+    # the guard drops 'the' BEFORE pairing: only (a, b) survives
+    assert [(r["x"], r["y"]) for r in out] == [("a", "b")]
+    r = out[0]
+    # N stays the PRE-guard corpus size (4), lift = 1e6·2·4 // (3·2)
+    assert r["n_docs"] == 4
+    assert (r["c_xy"], r["c_x"], r["c_y"]) == (2, 3, 2)
+    assert r["lift_ppm"] == (1_000_000 * 2 * 4) // (3 * 2)
+
+
+def test_cooccurrence_lift_presence_dedup(spark):
+    # repeated (doc, term) rows collapse: token count ≠ doc frequency
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    dt = spark.createDataFrame(rows, "doc_key bigint, term string")
+    out = cooccurrence_lift(dt).collect()
+    assert len(out) == 1 and out[0]["c_xy"] == 2 and out[0]["c_x"] == 2
+
+
+# ---------------------------------------------------------------------------
+# identifier splitting
+# ---------------------------------------------------------------------------
+
+def test_split_identifiers_rules(spark):
+    src = spark.createDataFrame(
+        [("r", "p1", "py", "DataLoader parse_config HTTPServer v2x")],
+        "repo string, path string, lang string, content string")
+    got = {r["subtoken"]: r["n"]
+           for r in split_identifiers(src).collect()}
+    # camel, snake, acronym and digit-boundary ('v2x' → 'v2x': no
+    # boundary — lowercase-digit runs stay whole) all as specified
+    assert got == {"data": 1, "loader": 1, "parse": 1, "config": 1,
+                   "http": 1, "server": 1, "v2x": 1}
+
+
+def test_split_identifiers_counts_files(spark):
+    src = spark.createDataFrame(
+        [("r", "p1", "py", "alphaBeta"), ("r", "p2", "py", "alpha_beta"),
+         ("r", "p3", "go", "alpha")],
+        "repo string, path string, lang string, content string")
+    rows = {(r["lang"], r["subtoken"]): (r["n"], r["n_files"])
+            for r in split_identifiers(src).collect()}
+    assert rows[("py", "alpha")] == (2, 2)
+    assert rows[("py", "beta")] == (2, 2)
+    assert rows[("go", "alpha")] == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# function-unit extraction
+# ---------------------------------------------------------------------------
+
+def test_extract_function_units_islands(spark):
+    content = "import os\ndef alpha():\nbody a\ndef beta_2():\nbody b1\nbody b2"
+    src = spark.createDataFrame(
+        [("r", "p", "py", content)],
+        "repo string, path string, lang string, content string")
+    rows = sorted(extract_function_units(src).collect(),
+                  key=lambda r: r["start_line"])
+    # preamble dropped; two units with exact line accounting
+    assert [(r["func"], r["start_line"], r["n_lines"]) for r in rows] == \
+        [("alpha", 1, 2), ("beta_2", 3, 3)]
+    # the unit hash covers the header AND its body lines, in order
+    import hashlib
+    want = hashlib.sha256(
+        b"def beta_2():\nbody b1\nbody b2").hexdigest()
+    assert rows[1]["unit_sha"] == want
+
+
+def test_extract_function_units_no_header_file(spark):
+    src = spark.createDataFrame(
+        [("r", "p", "md", "just prose\nno code here")],
+        "repo string, path string, lang string, content string")
+    assert extract_function_units(src).count() == 0

@@ -136,6 +136,12 @@ AUDIT = [
     ("events_asof", "as-of join: union + keyed forward-fill window"),
     ("events_in_intervals", "interval join: grid cells, no nested loop"),
     ("extract_regression_diff", "snapshot diff: key-tuple anti-joins"),
+    ("graph_modularity", "partition quality: integer 4m² Q per bucket"),
+    ("graph_degrees", "skew gauge: digit-bucket degree histogram"),
+    ("kg_cardinality", "functional maxCount-1: key-grain agg + HAVING"),
+    ("kg_cooccur_lift", "co-occurrence lift: ppm guard + per-doc pairs"),
+    ("code_identifiers", "identifier census: in-row splits, grain agg"),
+    ("code_functions", "function units: per-file islands window"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
