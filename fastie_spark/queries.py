@@ -8187,3 +8187,116 @@ def q_code_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit("\ndef g():\nreturn"))
                  .otherwise(F.lit(""))))
     return extract_function_units(planted)
+
+
+@query("cooccur_delta", oracle=f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS t
+  FROM documents),
+n AS (SELECT count(DISTINCT doc)::BIGINT AS n_docs FROM pres),
+dfq AS (
+  SELECT t, count(*)::BIGINT AS c FROM pres GROUP BY t),
+kept AS (
+  SELECT dfq.t, dfq.c FROM dfq CROSS JOIN n
+  WHERE dfq.c * 1000000 <= {COOC_MAX_DF_PPM} * n.n_docs),
+kp AS (SELECT pres.doc, pres.t FROM pres JOIN kept ON pres.t = kept.t),
+pairs AS (
+  SELECT l.t AS x, r.t AS y, count(*)::BIGINT AS c_xy
+  FROM kp l JOIN kp r ON l.doc = r.doc AND l.t < r.t
+  GROUP BY l.t, r.t)
+SELECT pairs.x, pairs.y, pairs.c_xy,
+       kx.c AS c_x, ky.c AS c_y, n.n_docs,
+       ((1000000::BIGINT * pairs.c_xy * n.n_docs)
+          // (kx.c * ky.c))::BIGINT AS lift_ppm
+FROM pairs
+JOIN kept kx ON kx.t = pairs.x
+JOIN kept ky ON ky.t = pairs.y
+CROSS JOIN n
+""")
+def q_cooccur_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL co-occurrence maintenance: the corpus arrives as two
+    doc-disjoint batches (odd/even doc_id), each reduced to its
+    mergeable stats (term df, pair counts, doc count — all additive
+    sums), folded at batch cost and finalized with the ppm guard.  The
+    oracle is the FULL one-shot rebuild (identical SQL to
+    kg_cooccur_lift): merged-incremental must be bit-equal, including
+    the guard (equivalent at finalize because pair counts are per-pair
+    independent) and the pre-guard N."""
+    from fastie_spark.linking import (cooccurrence_stats,
+                                      lift_from_stats,
+                                      merge_cooccurrence_stats)
+    d = _documents(spark, sf_dir)
+    terms = d.select("doc_id",
+                     F.explode(F.split("text", " ")).alias("term"))
+    a = cooccurrence_stats(terms.where(F.col("doc_id") % 2 == 0),
+                           doc_col="doc_id", term_col="term")
+    b = cooccurrence_stats(terms.where(F.col("doc_id") % 2 == 1),
+                           doc_col="doc_id", term_col="term")
+    return lift_from_stats(merge_cooccurrence_stats(a, b),
+                           max_df_ppm=COOC_MAX_DF_PPM)
+
+
+@query("dedup_functions", oracle=f"""
+WITH {_SRC_SQL},
+planted AS (
+  SELECT repo, path, lang,
+         'import x' || chr(10) ||
+         'def f' || (doc_id % 7)::VARCHAR || '():' || chr(10) ||
+         replace(content, 'e ', 'e' || chr(10)) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'def g():' || chr(10) || 'return'
+              ELSE '' END AS content
+  FROM src),
+lines AS (
+  SELECT repo, path, lang,
+         unnest(range(0, len(string_split(content, chr(10))))) AS pos,
+         unnest(string_split(content, chr(10))) AS line
+  FROM planted),
+marked AS (
+  SELECT *, CASE WHEN regexp_matches(line, '^def [a-z_]')
+                 THEN 1 ELSE 0 END AS is_hdr
+  FROM lines),
+units AS (
+  SELECT *, sum(is_hdr) OVER (PARTITION BY repo, path
+                              ORDER BY pos) AS unit
+  FROM marked),
+ug AS (
+  SELECT repo, path,
+         max(CASE WHEN is_hdr = 1 THEN
+               regexp_extract(line, '^def ([a-z_][a-z0-9_]*)', 1) END)
+           AS func,
+         sha256(string_agg(line, chr(10) ORDER BY pos)) AS unit_sha
+  FROM units WHERE unit > 0
+  GROUP BY repo, path, lang, unit)
+SELECT unit_sha, min(func) AS func,
+       count(*)::BIGINT AS n_copies,
+       min(repo || '/' || path) AS canonical
+FROM ug GROUP BY unit_sha HAVING count(*) > 1
+""")
+def q_dedup_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-grain duplicate detection — what the file-grain dedup
+    family cannot see: the planted ``def g(): return`` boilerplate is
+    byte-identical across every third FILE while the files themselves
+    stay unique, so only the unit grain catches it (the vendored-
+    helper case real code corpora are full of).  Unit extraction is
+    the audited per-file islands pass; duplicate election is one
+    digest-grain agg (count + min-key canonical) — bodies never
+    shuffle, exactly like dedup_exact."""
+    from fastie_spark.operators.code import extract_function_units
+    src = _source_view(spark, sf_dir)
+    planted = src.withColumn(
+        "content",
+        F.concat(F.lit("import x\n"), F.lit("def f"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("():\n"),
+                 F.regexp_replace("content", "e ", "e\n"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("\ndef g():\nreturn"))
+                 .otherwise(F.lit(""))))
+    units = extract_function_units(planted)
+    return (units
+            .groupBy("unit_sha")
+            .agg(F.min("func").alias("func"),
+                 F.count("*").cast("bigint").alias("n_copies"),
+                 F.min(F.concat_ws("/", "repo", "path"))
+                 .alias("canonical"))
+            .where(F.col("n_copies") > 1))

@@ -170,3 +170,37 @@ def test_extract_function_units_no_header_file(spark):
         [("r", "p", "md", "just prose\nno code here")],
         "repo string, path string, lang string, content string")
     assert extract_function_units(src).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental co-occurrence: merged batches ≡ one-shot rebuild
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_merge_equals_rebuild(spark):
+    from fastie_spark.linking import (cooccurrence_stats,
+                                      lift_from_stats,
+                                      merge_cooccurrence_stats)
+    rows = [(d, t) for d in range(1, 9)
+            for t in ["a", "b", "the"][: 1 + d % 3]]
+    dt = spark.createDataFrame(rows, "doc_key bigint, term string")
+    full = sorted(map(tuple, cooccurrence_lift(
+        dt, max_df_ppm=900_000).collect()))
+    a = cooccurrence_stats(dt.where(F.col("doc_key") % 2 == 0))
+    b = cooccurrence_stats(dt.where(F.col("doc_key") % 2 == 1))
+    inc = sorted(map(tuple, lift_from_stats(
+        merge_cooccurrence_stats(a, b), max_df_ppm=900_000).collect()))
+    assert inc == full and len(full) > 0
+
+
+def test_function_grain_dedup_sees_what_file_grain_cannot(spark):
+    # two files: different blobs (file-grain sha differs), but both
+    # carry a byte-identical helper — only unit grain catches it
+    f1 = "def uniq_a():\nbody one\ndef helper():\nreturn 1"
+    f2 = "def uniq_b():\nother body\ndef helper():\nreturn 1"
+    src = spark.createDataFrame(
+        [("r", "p1", "py", f1), ("r", "p2", "py", f2)],
+        "repo string, path string, lang string, content string")
+    units = extract_function_units(src)
+    dup = (units.groupBy("unit_sha")
+           .agg(F.count("*").alias("n")).where(F.col("n") > 1).collect())
+    assert len(dup) == 1 and dup[0]["n"] == 2

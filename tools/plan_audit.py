@@ -142,6 +142,8 @@ AUDIT = [
     ("kg_cooccur_lift", "co-occurrence lift: ppm guard + per-doc pairs"),
     ("code_identifiers", "identifier census: in-row splits, grain agg"),
     ("code_functions", "function units: per-file islands window"),
+    ("cooccur_delta", "incremental co-occur: additive stats fold"),
+    ("dedup_functions", "unit-grain dedup: digest-grain group"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
