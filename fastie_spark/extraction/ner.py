@@ -306,3 +306,41 @@ def gazetteer_ner_arrow(sentences: DataFrame,
                 names=in_names + [out_col])
 
     return sentences.mapInArrow(match, schema=out_schema)
+
+
+def salient_mentions(mentions: DataFrame, k: int = 3,
+                     doc_col: str = "doc_id",
+                     surface_col: str = "surface",
+                     label_col: str = "label",
+                     pos_col: str = "start") -> DataFrame:
+    """Per-document entity salience election — the selection step
+    between mention detection and KG materialization: of everything a
+    document mentions, which few entities is it ABOUT?  A KG built
+    from every stray mention drowns in noise; most pipelines keep the
+    top-k salient entities per document as node candidates and
+    relegate the rest to provenance.
+
+    The classic deterministic salience signal (frequency + earliness —
+    titles and ledes mention the subject first): rank per document by
+    mention count DESC, first position ASC, surface ASC (total order,
+    ties impossible), keep ``rank <= k``.
+
+    Scale shape: one (doc, surface)-grain partial agg, then a window
+    PARTITIONED BY THE DOC — frame size = distinct entities of one
+    document, bounded by document length, never corpus-wide.  Output:
+    (doc, surface, label, n_mentions, first_pos, rank).
+    """
+    from pyspark.sql import Window as W
+    per = (mentions.groupBy(F.col(doc_col).alias("doc"),
+                            F.col(surface_col).alias("surface"))
+           .agg(F.min(label_col).alias("label"),
+                F.count("*").cast("bigint").alias("n_mentions"),
+                F.min(pos_col).cast("bigint").alias("first_pos")))
+    w = W.partitionBy("doc").orderBy(
+        F.col("n_mentions").desc(), F.col("first_pos").asc(),
+        F.col("surface").asc())
+    return (per.withColumn("rank",
+                           F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select(F.col("doc").alias(doc_col), "surface", "label",
+                    "n_mentions", "first_pos", "rank"))

@@ -8300,3 +8300,44 @@ def q_dedup_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.concat_ws("/", "repo", "path"))
                  .alias("canonical"))
             .where(F.col("n_copies") > 1))
+
+
+@query("kg_salience", oracle=f"""
+WITH {TOKS_CTE},
+{_mentions_cte(GAZ, "m_sal", chunked=False)},
+per AS (
+  SELECT doc_id, surface, min(label) AS label,
+         count(*)::BIGINT AS n_mentions,
+         min(start)::BIGINT AS first_pos
+  FROM m_sal GROUP BY doc_id, surface),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY n_mentions DESC, first_pos ASC, surface ASC)
+            ::BIGINT AS rank
+  FROM per)
+SELECT doc_id, surface, label, n_mentions, first_pos, rank
+FROM ranked WHERE rank <= 3
+""")
+def q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document entity salience election: of every gazetteer
+    mention a document carries, keep the top-3 entities it is ABOUT
+    (mention count DESC, first position ASC — frequency + earliness,
+    the deterministic core of salience ranking) as KG node candidates.
+    One (doc, surface) partial agg + a PER-DOC window (frame bounded
+    by document length, never corpus-wide)."""
+    from fastie_spark.extraction.ner import (gazetteer_join_mentions,
+                                             salient_mentions)
+    s = _doc_sentences(spark, sf_dir)
+    out = gazetteer_join_mentions(s, _gaz_df(spark, GAZ), max_len=2,
+                                  out_col="ent_pred")
+    mentions = out.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        "tokens", F.explode("ent_pred").alias("m"),
+    ).select(
+        "doc_id",
+        F.col("m.start").cast("bigint").alias("start"),
+        F.col("m.label").alias("label"),
+        F.concat_ws(" ", F.expr(
+            "slice(tokens, m.start + 1, m.end - m.start)"))
+        .alias("surface"))
+    return salient_mentions(mentions, k=3)

@@ -204,3 +204,19 @@ def test_function_grain_dedup_sees_what_file_grain_cannot(spark):
     dup = (units.groupBy("unit_sha")
            .agg(F.count("*").alias("n")).where(F.col("n") > 1).collect())
     assert len(dup) == 1 and dup[0]["n"] == 2
+
+
+def test_salient_mentions_election(spark):
+    from fastie_spark.extraction.ner import salient_mentions
+    rows = [(1, "x", "A", 5), (1, "x", "A", 9),   # x: 2 mentions, first 5
+            (1, "y", "B", 0),                      # y: 1 mention, first 0
+            (1, "z", "C", 2),                      # z: 1 mention, first 2
+            (2, "w", "D", 7)]
+    m = spark.createDataFrame(
+        rows, "doc_id bigint, surface string, label string, start bigint")
+    out = sorted(salient_mentions(m, k=2).collect(),
+                 key=lambda r: (r["doc_id"], r["rank"]))
+    # frequency beats earliness; earliness breaks the frequency tie
+    assert [(r["doc_id"], r["surface"], r["rank"]) for r in out] == \
+        [(1, "x", 1), (1, "y", 2), (2, "w", 1)]
+    assert out[0]["n_mentions"] == 2 and out[0]["first_pos"] == 5

@@ -144,6 +144,7 @@ AUDIT = [
     ("code_functions", "function units: per-file islands window"),
     ("cooccur_delta", "incremental co-occur: additive stats fold"),
     ("dedup_functions", "unit-grain dedup: digest-grain group"),
+    ("kg_salience", "per-doc salience: doc-bounded window election"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
