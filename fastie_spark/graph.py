@@ -2407,3 +2407,172 @@ def functional_violations(triples: DataFrame,
                  F.min(obj).alias("o_min"),
                  F.max(obj).alias("o_max"))
             .where(F.col("n_objects") > 1))
+
+
+def louvain_move_round(edges: DataFrame, communities: DataFrame,
+                       src: str = "src", dst: str = "dst",
+                       node: str = "node",
+                       community: str = "community") -> DataFrame:
+    """One synchronous Louvain move phase — the greedy-modularity
+    community step the canonicalization layer lacks between label
+    propagation (no objective) and the modularity gauge (measures,
+    never moves): every node simultaneously evaluates joining each
+    neighboring community and takes the best-gain move.
+
+    Integer-exact gain.  For unit-weight undirected edges, moving an
+    (extracted) node i into community c changes modularity by
+    ΔQ = k_in(i,c)/m − Σtot(c∖i)·k_i/(2m²); scaling by 2m² keeps every
+    candidate comparable with no float anywhere:
+
+        gain_x2m2(i,c) = 2·m·k_in(i,c) − Σtot(c∖i)·k_i
+
+    (Σtot(c∖i) subtracts k_i iff c is i's own community, so "stay" is
+    scored by the same formula and a move only wins when strictly
+    better).  Ties break to the smallest community id — deterministic,
+    hash-comparable across engines.
+
+    Scale shape (the reason this is a round, not the full nested
+    Louvain): one unordered-pair dedup, one degree agg, one Σtot agg,
+    and ONE join of the directed adjacency against the community map
+    to get per-(node, neighbor-community) edge counts — every shuffle
+    carries (node)- or (node, community)-grain rows, adjacency lists
+    never materialize, and the per-node argmax is a ``min_by`` partial
+    agg (no window, no per-node frame).  A node's candidate set is
+    bounded by its degree; hub nodes are exactly the rows AQE skew
+    handling splits.  Call iteratively with the returned assignment,
+    checkpointing between rounds, for the full first Louvain level;
+    synchronous rounds need the usual bipartite-oscillation guard
+    (stop when Σ gain stops improving), which the caller owns.
+
+    Output: (node, old_comm, new_comm, gain_x2m2, m) — ``new_comm``
+    differs from ``old_comm`` only on a strictly positive gain.
+    """
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    m = und.agg(F.count("*").cast("bigint").alias("m"))
+    adj = (und.select(F.col("a").alias("i"), F.col("b").alias("j"))
+           .union(und.select(F.col("b"), F.col("a"))))
+    deg = adj.groupBy("i").agg(F.count("*").cast("bigint").alias("k"))
+    comm = communities.select(F.col(node).alias("i"),
+                              F.col(community).alias("c"))
+    sigma = (comm.join(deg, "i", "left")
+             .groupBy("c")
+             .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint")
+                  .alias("sigma_tot")))
+    # edges from i into each neighboring community
+    k_in = (adj.join(comm.select(F.col("i").alias("j"),
+                                 F.col("c").alias("cj")), "j")
+            .groupBy("i", F.col("cj").alias("c"))
+            .agg(F.count("*").cast("bigint").alias("k_in")))
+    # candidate set = neighbor communities ∪ own community (stay row)
+    cand = (k_in.unionByName(
+                comm.select("i", "c", F.lit(0).cast("bigint")
+                            .alias("k_in")))
+            .groupBy("i", "c")
+            .agg(F.max("k_in").alias("k_in")))
+    own = comm.withColumnRenamed("c", "own_c")
+    scored = (cand.join(own, "i")
+              .join(deg, "i", "left")
+              .withColumn("k", F.coalesce("k", F.lit(0)))
+              .join(sigma, "c")
+              .crossJoin(F.broadcast(m))
+              .withColumn(
+                  "gain_x2m2",
+                  (2 * F.col("m") * F.col("k_in")
+                   - (F.col("sigma_tot")
+                      - F.when(F.col("c") == F.col("own_c"),
+                               F.col("k")).otherwise(F.lit(0)))
+                   * F.col("k")).cast("bigint")))
+    best = F.min_by(F.struct(F.col("c").alias("new_comm"),
+                             F.col("gain_x2m2")),
+                    F.struct((-F.col("gain_x2m2")).alias("ng"),
+                             F.col("c")))
+    return (scored.groupBy("i")
+            .agg(F.first("own_c").alias("old_comm"),
+                 F.first("m").alias("m"),
+                 best.alias("b"))
+            .select(F.col("i").alias("node"), "old_comm",
+                    F.col("b.new_comm").alias("new_comm"),
+                    F.col("b.gain_x2m2").alias("gain_x2m2"), "m"))
+
+
+def truth_find(claims: DataFrame, source: str = "source",
+               s: str = "s", p: str = "p", o: str = "o",
+               n_rounds: int = 2, scale: int = 1_000_000,
+               return_trust: bool = False) -> DataFrame:
+    """Knowledge fusion for conflicting extractions — the step between
+    triple extraction and KG materialization when many sources claim
+    different objects for the same (subject, predicate): iterate
+    source-trust ↔ fact-confidence (the TruthFinder / Knowledge-Vault
+    voting family, Yin et al. 2008 / Dong et al. 2014) and elect one
+    winner per (s, p).
+
+    Integer-exact fixed-point arithmetic so the result is
+    hash-comparable across engines: trust starts at ``scale`` for
+    every source; each round
+
+        conf(s,p,o)  = Σ_{src backs it} trust(src)
+        trust(src)   = div( Σ_{claims of src} div(conf·scale, gmax),
+                            n_claims(src) )
+
+    where ``gmax`` is the max confidence inside the claim's (s,p)
+    conflict group — a source earns full marks for backing the
+    group's leading value and proportionally less for minority
+    claims; ``div`` is floor division on positives (identical in
+    Spark and DuckDB), so no float ever appears.
+
+    Scale shape: claims dedup once at (source,s,p,o) grain; each round
+    is two keyed aggs (fact grain, source grain) and two equi-joins —
+    nothing is ever all-pairs and no window is used; the (s,p)-group
+    max is a partial agg.  Rounds are fixed and small (2 by default:
+    uniform-vote → reliability-weighted revote), so lineage stays
+    linear without checkpoints.
+
+    Output (default): one row per conflict group —
+    (s, p, val, conf, n_sources, n_alternatives), ``val`` the
+    argmax-confidence object (ties to min object).
+    With ``return_trust=True``: (source, trust, n_claims) instead.
+    """
+    cl = (claims.select(F.col(source).alias("src"), F.col(s).alias("s"),
+                        F.col(p).alias("p"), F.col(o).alias("o"))
+          .distinct())
+    trust = (cl.select("src").distinct()
+             .withColumn("trust", F.lit(scale).cast("bigint")))
+    n_claims = cl.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("n_claims"))
+    conf = None
+    for _ in range(n_rounds):
+        conf = (cl.join(trust, "src")
+                .groupBy("s", "p", "o")
+                .agg(F.sum("trust").cast("bigint").alias("conf")))
+        gmax = conf.groupBy("s", "p").agg(
+            F.max("conf").cast("bigint").alias("gmax"))
+        share = (cl.join(conf, ["s", "p", "o"])
+                 .join(gmax, ["s", "p"])
+                 .withColumn("share", F.expr(
+                     f"div(conf * cast({scale} as bigint), gmax)")))
+        trust = (share.groupBy("src")
+                 .agg(F.sum("share").cast("bigint").alias("sum_share"))
+                 .join(n_claims, "src")
+                 .select("src", F.expr("div(sum_share, n_claims)")
+                         .cast("bigint").alias("trust")))
+    if return_trust:
+        return trust.join(n_claims, "src").select(
+            F.col("src").alias("source"), "trust", "n_claims")
+    n_src = (cl.join(conf, ["s", "p", "o"])
+             .groupBy("s", "p", "o")
+             .agg(F.count("*").cast("bigint").alias("n_sources"),
+                  F.first("conf").alias("conf")))
+    pick = F.min_by(
+        F.struct(F.col("o").alias("val"), F.col("conf"),
+                 F.col("n_sources")),
+        F.struct((-F.col("conf")).alias("nc"), F.col("o")))
+    return (n_src.groupBy("s", "p")
+            .agg(pick.alias("b"),
+                 F.count("*").cast("bigint").alias("n_alternatives"))
+            .select("s", "p", F.col("b.val").alias("val"),
+                    F.col("b.conf").alias("conf"),
+                    F.col("b.n_sources").alias("n_sources"),
+                    "n_alternatives"))

@@ -563,3 +563,45 @@ def extract_function_units(
                              F.struct("pos", "line"))),
                          lambda s: s["line"])), 256).alias("unit_sha"))
             .drop("unit"))
+
+
+def dead_functions(src: DataFrame,
+                   header_pattern: str = r"^def ([a-z_][a-z0-9_]*)",
+                   ident_pattern: str = r"[a-z_][a-z0-9_]*"
+                   ) -> DataFrame:
+    """Dead-code detection at function grain — defined-but-never-
+    referenced functions, the reachability complement of the call
+    graph: a curation pipeline drops (or down-weights) units no other
+    code ever names, and an API-surface audit starts from the same
+    list.
+
+    Liveness is the standard naive token rule: a function is LIVE iff
+    its name occurs as an identifier on any non-header line anywhere
+    in the corpus (self-recursion therefore counts as live, and
+    same-name collisions across files alias together — both
+    documented properties of name-grain liveness; a resolver-accurate
+    variant would compose ``resolve_symbols`` upstream).
+
+    Scale shape: definitions come from ``extract_function_units``
+    (per-file frames only); the reference side explodes non-header
+    lines to identifiers and DISTINCTs them — the shuffle is bounded
+    by the identifier VOCABULARY, not the corpus — and liveness is one
+    left-anti equi-join on the name.  Nothing is all-pairs, no window
+    beyond the per-file unit islands.
+
+    Output: (func, n_defs, canonical) — one row per dead function
+    name, ``canonical`` the min repo/path that defines it.
+    """
+    units = extract_function_units(src, header_pattern)
+    defs = (units.groupBy("func")
+            .agg(F.count("*").cast("bigint").alias("n_defs"),
+                 F.min(F.concat_ws("/", "repo", "path"))
+                 .alias("canonical")))
+    lines = src.select(
+        F.explode(F.split("content", "\n")).alias("line"))
+    refs = (lines.where(~F.col("line").rlike(header_pattern))
+            .select(F.explode(F.expr(
+                f"regexp_extract_all(line, '{ident_pattern}', 0)"))
+                .alias("tok"))
+            .distinct())
+    return defs.join(refs, defs.func == refs.tok, "left_anti")

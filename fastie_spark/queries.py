@@ -8341,3 +8341,216 @@ def q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slice(tokens, m.start + 1, m.end - m.start)"))
         .alias("surface"))
     return salient_mentions(mentions, k=3)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): greedy-modularity community move, knowledge fusion
+# (truth finding over conflicting per-source extractions), and dead-code
+# detection — registered in the CI-gated tail.
+# ---------------------------------------------------------------------------
+
+
+@query("graph_louvain", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM e0 WHERE s <> d),
+mm AS (SELECT count(*)::BIGINT AS m FROM und),
+adj AS (SELECT a AS i, b AS j FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT i, count(*)::BIGINT AS k FROM adj GROUP BY i),
+comm AS (SELECT DISTINCT i, i AS c FROM adj),
+sigma AS (SELECT c, sum(k)::BIGINT AS sigma_tot
+          FROM comm JOIN deg USING (i) GROUP BY c),
+k_in AS (SELECT adj.i, c2.c, count(*)::BIGINT AS k_in
+         FROM adj JOIN comm c2 ON c2.i = adj.j GROUP BY 1, 2),
+cand AS (SELECT i, c, max(k_in)::BIGINT AS k_in FROM (
+           SELECT i, c, k_in FROM k_in
+           UNION ALL SELECT i, c, 0 FROM comm) GROUP BY 1, 2),
+scored AS (
+  SELECT cand.i, cand.c, comm.c AS own_c, mm.m,
+         (2 * mm.m * cand.k_in
+          - (sigma.sigma_tot
+             - CASE WHEN cand.c = comm.c THEN deg.k ELSE 0 END)
+            * deg.k)::BIGINT AS gain
+  FROM cand
+  JOIN comm ON comm.i = cand.i
+  JOIN deg ON deg.i = cand.i
+  JOIN sigma ON sigma.c = cand.c, mm),
+pick AS (SELECT i, own_c, c, gain, m,
+                row_number() OVER (PARTITION BY i
+                  ORDER BY gain DESC, c ASC) AS rn
+         FROM scored)
+SELECT i AS node, own_c AS old_comm, c AS new_comm,
+       gain AS gain_x2m2, m
+FROM pick WHERE rn = 1
+""")
+def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain move phase (graph.louvain_move_round)
+    from the singleton partition of the call graph — the greedy-
+    modularity community step between label propagation (no
+    objective) and the modularity gauge (no moves).  Gains are the
+    integer-exact 2m²-scaled ΔQ with deterministic min-community
+    tie-break; the oracle re-derives every candidate's gain and takes
+    the same argmax, so a wrong Σtot, a missed stay-penalty, or a
+    tie-break drift all break the hash.  Every Spark-side shuffle is
+    (node)- or (node, community)-grain; the argmax is a min_by partial
+    agg, no window."""
+    from fastie_spark.graph import louvain_move_round
+    e = _call_edges(spark, sf_dir)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    comm = nodes.withColumn("community", F.col("node"))
+    return louvain_move_round(e, comm)
+
+
+TRUTH_CLAIMS_SQL = f"""
+{_SRC_SQL},
+tcalls AS (
+  SELECT repo,
+         regexp_extract_all(content, '(?:scan|join|merge) ([a-z]+)', 1)
+           AS args
+  FROM src),
+tpos AS (SELECT repo, args, generate_subscripts(args, 1) AS i
+         FROM tcalls),
+cl AS (
+  SELECT DISTINCT repo AS src_id, args[i] AS s, 'next' AS p,
+                  args[i+1] AS o
+  FROM tpos WHERE i < len(args) AND args[i] <> args[i+1]),
+nc AS (SELECT src_id, count(*)::BIGINT AS n_claims FROM cl GROUP BY 1),
+c1 AS (SELECT s, p, o, (count(*) * 1000000)::BIGINT AS conf
+       FROM cl GROUP BY 1, 2, 3),
+g1 AS (SELECT s, p, max(conf)::BIGINT AS gmax FROM c1 GROUP BY 1, 2),
+t1 AS (SELECT cl.src_id,
+              (sum((c1.conf * 1000000) // g1.gmax) // max(nc.n_claims))
+                ::BIGINT AS trust
+       FROM cl JOIN c1 USING (s, p, o) JOIN g1 USING (s, p)
+       JOIN nc USING (src_id)
+       GROUP BY cl.src_id),
+c2 AS (SELECT s, p, o, sum(trust)::BIGINT AS conf
+       FROM cl JOIN t1 USING (src_id) GROUP BY 1, 2, 3),
+g2 AS (SELECT s, p, max(conf)::BIGINT AS gmax FROM c2 GROUP BY 1, 2),
+t2 AS (SELECT cl.src_id,
+              (sum((c2.conf * 1000000) // g2.gmax) // max(nc.n_claims))
+                ::BIGINT AS trust
+       FROM cl JOIN c2 USING (s, p, o) JOIN g2 USING (s, p)
+       JOIN nc USING (src_id)
+       GROUP BY cl.src_id)
+"""
+
+
+def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (repo) conflicting claims: s --next--> o successor
+    assertions from the call-order extraction — different repos claim
+    different successors for the same verb argument, the conflict
+    structure truth finding exists for (matches TRUTH_CLAIMS_SQL)."""
+    srcv = _source_view(spark, sf_dir)
+    args = srcv.select(
+        "repo",
+        F.expr("regexp_extract_all(content, '(?:scan|join|merge) "
+               "([a-z]+)', 1)").alias("args"))
+    pos = args.select("repo", "args",
+                      F.posexplode("args").alias("i", "a"))
+    nxt = F.col("args")[F.col("i") + 1]
+    return (pos.where((F.col("i") + 1 < F.size("args"))
+                      & (F.col("a") != nxt))
+            .select(F.col("repo").alias("source"),
+                    F.col("a").alias("s"), F.lit("next").alias("p"),
+                    nxt.alias("o"))
+            .distinct())
+
+
+@query("kg_truthfind", oracle=f"""
+WITH {TRUTH_CLAIMS_SQL},
+nsrc AS (SELECT s, p, o, count(*)::BIGINT AS n_sources FROM cl
+         GROUP BY 1, 2, 3),
+fin AS (SELECT c2.s, c2.p, c2.o, c2.conf, nsrc.n_sources,
+               row_number() OVER (PARTITION BY c2.s, c2.p
+                 ORDER BY c2.conf DESC, c2.o ASC) AS rn,
+               count(*) OVER (PARTITION BY c2.s, c2.p)::BIGINT
+                 AS n_alternatives
+        FROM c2 JOIN nsrc USING (s, p, o))
+SELECT s, p, o AS val, conf, n_sources, n_alternatives
+FROM fin WHERE rn = 1
+""")
+def q_kg_truthfind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion (graph.truth_find): repos assert conflicting
+    successor facts; two integer trust↔confidence rounds (uniform
+    vote, then reliability-weighted revote) elect one object per
+    conflict group.  The oracle unrolls BOTH rounds CTE-by-CTE with
+    the same floor divisions, so a drifted trust update, a wrong
+    group max, or a tie-break change all break the hash.  Note the
+    round-2 confidence (not round-1) is what's hashed — the revote
+    must actually happen."""
+    from fastie_spark.graph import truth_find
+    return truth_find(_truth_claims(spark, sf_dir), n_rounds=2)
+
+
+@query("kg_truth_trust", oracle=f"""
+WITH {TRUTH_CLAIMS_SQL}
+SELECT t2.src_id AS source, t2.trust, nc.n_claims
+FROM t2 JOIN nc USING (src_id)
+""")
+def q_kg_truth_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-reliability face of the same fusion run: per-repo
+    trust after the second revote plus claim counts — the table a
+    curation pipeline uses to weight (or quarantine) extraction
+    sources.  Same operator, ``return_trust=True``; the oracle reuses
+    the unrolled t2 CTE, so the two contract queries cross-check each
+    other's intermediate state."""
+    from fastie_spark.graph import truth_find
+    return truth_find(_truth_claims(spark, sf_dir), n_rounds=2,
+                      return_trust=True)
+
+
+@query("code_dead", oracle=f"""
+WITH {_SRC_SQL},
+dplanted AS (
+  SELECT repo, path,
+         'call f' || (doc_id % 3)::VARCHAR || '()' || chr(10) ||
+         'def f' || (doc_id % 7)::VARCHAR || '():' || chr(10) ||
+         replace(content, 'e ', 'e' || chr(10)) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'def g_helper():' || chr(10) || ' return'
+              ELSE '' END AS content
+  FROM src),
+dlines AS (
+  SELECT repo, path,
+         unnest(string_split(content, chr(10))) AS line
+  FROM dplanted),
+ddefs AS (
+  SELECT regexp_extract(line, '^def ([a-z_][a-z0-9_]*)', 1) AS func,
+         count(*)::BIGINT AS n_defs,
+         min(repo || '/' || path) AS canonical
+  FROM dlines WHERE regexp_matches(line, '^def ([a-z_][a-z0-9_]*)')
+  GROUP BY 1),
+drefs AS (
+  SELECT DISTINCT unnest(regexp_extract_all(
+           line, '[a-z_][a-z0-9_]*', 0)) AS tok
+  FROM dlines
+  WHERE NOT regexp_matches(line, '^def ([a-z_][a-z0-9_]*)'))
+SELECT func, n_defs, canonical
+FROM ddefs ANTI JOIN drefs ON ddefs.func = drefs.tok
+""")
+def q_code_dead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-code detection (operators.code.dead_functions): the
+    planted corpus defines f0..f6 but only ever calls f0..f2, and
+    defines a ``g_helper`` nothing references — so exactly the
+    f3..f6 + g_helper tail must surface, with def counts and the
+    min-key canonical definer.  Liveness is the name-grain anti-join
+    of the unit-extraction def table against the corpus identifier
+    vocabulary (non-header lines only); the call lines sit in the
+    file PREAMBLE, which unit extraction drops but reference
+    scanning must still see — a pipeline that scans only extracted
+    units would wrongly kill f0..f2 and break the hash."""
+    from fastie_spark.operators.code import dead_functions
+    srcv = _source_view(spark, sf_dir)
+    planted = srcv.withColumn(
+        "content",
+        F.concat(F.lit("call f"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit("()\n"), F.lit("def f"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("():\n"),
+                 F.regexp_replace("content", "e ", "e\n"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("\ndef g_helper():\n return"))
+                 .otherwise(F.lit(""))))
+    return dead_functions(planted)

@@ -1,0 +1,164 @@
+"""Louvain move round + truth finding + dead-code detection (round-5
+late additions): hand-computable goldens for every semantic branch the
+contract queries rely on — the integer gain formula (incl. the stay
+penalty and min-community tie-break), the trust revote actually
+changing an election, and the preamble-reference liveness path.
+"""
+
+from pyspark.sql import functions as F
+
+from fastie_spark.graph import louvain_move_round, truth_find
+from fastie_spark.operators.code import dead_functions
+
+
+# ---------------------------------------------------------------------------
+# louvain_move_round
+# ---------------------------------------------------------------------------
+
+def _louvain(spark, edges, comm):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    c = spark.createDataFrame(comm, "node string, community string")
+    return {r["node"]: r for r in louvain_move_round(e, c).collect()}
+
+
+def test_louvain_path_singletons(spark):
+    # path a-b-c from singletons: m=2, degrees a=1 b=2 c=1.
+    # a's move into {b}: gain = 2*2*1 - 2*1 = 2 > stay 0 -> moves to b.
+    # b's candidates {a}: 2*2*1 - 1*2 = 2; {c}: same 2 -> tie breaks to
+    # the smaller community id 'a'.  stay gain is 0.
+    out = _louvain(spark, [("a", "b"), ("b", "c")],
+                   [("a", "a"), ("b", "b"), ("c", "c")])
+    assert out["a"]["new_comm"] == "b" and out["a"]["gain_x2m2"] == 2
+    assert out["b"]["new_comm"] == "a" and out["b"]["gain_x2m2"] == 2
+    assert out["c"]["new_comm"] == "b"
+    assert all(r["m"] == 2 for r in out.values())
+
+
+def test_louvain_stay_when_no_gain(spark):
+    # triangle already one community: for any node, stay scores
+    # 2*3*2 - (6-2)*2 = 4; no other candidate exists -> stays.
+    comm = [("a", "x"), ("b", "x"), ("c", "x")]
+    out = _louvain(spark, [("a", "b"), ("b", "c"), ("a", "c")], comm)
+    assert all(out[n]["new_comm"] == "x" for n in "abc")
+    assert all(out[n]["gain_x2m2"] == 4 for n in "abc")
+
+
+def test_louvain_stay_penalty_binds(spark):
+    # two triangles bridged by b2-c1; c1 sits ALONE in community 'y'
+    # while its triangle peers are in 'z'.  Joining z must win over
+    # staying isolated: k_in(c1,z)=2, m=7.
+    edges = [("a1", "a2"), ("a2", "b2"), ("a1", "b2"),
+             ("b2", "c1"),
+             ("c1", "c2"), ("c2", "c3"), ("c1", "c3")]
+    comm = [("a1", "w"), ("a2", "w"), ("b2", "w"),
+            ("c1", "y"), ("c2", "z"), ("c3", "z")]
+    out = _louvain(spark, edges, comm)
+    assert out["c1"]["new_comm"] == "z"
+    # gain into z: 2*7*2 - (2+2)*3 = 16
+    assert out["c1"]["gain_x2m2"] == 16
+
+
+def test_louvain_isolated_in_map_but_no_edges(spark):
+    # a node present in the community map with no edges keeps its
+    # community with gain 0 (degree 0 -> every term vanishes).
+    out = _louvain(spark, [("a", "b")],
+                   [("a", "a"), ("b", "b"), ("ghost", "g")])
+    assert out["ghost"]["new_comm"] == "g"
+    assert out["ghost"]["gain_x2m2"] == 0
+
+
+# ---------------------------------------------------------------------------
+# truth_find
+# ---------------------------------------------------------------------------
+
+def _claims(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, s string, p string, o string")
+
+
+def test_truthfind_majority_wins(spark):
+    # 2 sources say x, 1 says y; no source contradicts elsewhere.
+    cl = _claims(spark, [("s1", "e", "t", "x"), ("s2", "e", "t", "x"),
+                         ("s3", "e", "t", "y")])
+    row = truth_find(cl).collect()[0]
+    assert row["val"] == "x" and row["n_sources"] == 2
+    assert row["n_alternatives"] == 2
+
+
+def test_truthfind_revote_weighting(spark):
+    # s3 is wrong on group A (minority) -> its trust drops below s1/s2
+    # after round 1, so on group B (1-vs-1 tie between s2 and s3) the
+    # revote elects s2's value, which a single uniform vote could only
+    # resolve by tie-break to the smaller object ('zz' would lose).
+    cl = _claims(spark, [
+        ("s1", "a", "t", "x"), ("s2", "a", "t", "x"),
+        ("s3", "a", "t", "y"),
+        ("s2", "b", "t", "zz"), ("s3", "b", "t", "aa"),
+    ])
+    out = {(r["s"], r["p"]): r for r in truth_find(cl).collect()}
+    assert out[("a", "t")]["val"] == "x"
+    # uniform vote ties 'aa' vs 'zz' and min-object tie-break would
+    # pick 'aa'; the revote must overcome it via s2's higher trust
+    assert out[("b", "t")]["val"] == "zz"
+
+
+def test_truthfind_trust_table(spark):
+    cl = _claims(spark, [("s1", "a", "t", "x"), ("s2", "a", "t", "x"),
+                         ("s3", "a", "t", "y")])
+    t = {r["source"]: r for r in
+         truth_find(cl, return_trust=True).collect()}
+    assert t["s1"]["trust"] == t["s2"]["trust"]
+    assert t["s3"]["trust"] < t["s1"]["trust"]
+    assert t["s1"]["n_claims"] == 1
+
+
+def test_truthfind_duplicate_claims_collapse(spark):
+    # the same (source, s, p, o) asserted twice counts once
+    cl = _claims(spark, [("s1", "a", "t", "x"), ("s1", "a", "t", "x"),
+                         ("s2", "a", "t", "y")])
+    row = {r["s"]: r for r in truth_find(cl).collect()}["a"]
+    assert row["n_sources"] == 1  # each side backs its own value once
+    assert row["val"] == "x"     # conf tie -> min object
+
+
+# ---------------------------------------------------------------------------
+# dead_functions
+# ---------------------------------------------------------------------------
+
+def _src(spark, files):
+    return spark.createDataFrame(
+        [("r", p, "c0", "py", content) for p, content in files],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+
+
+def test_dead_functions_basic(spark):
+    src = _src(spark, [
+        ("a.py", "def used():\n x\ndef dead():\n y"),
+        ("b.py", "used()\nz"),
+    ])
+    out = {r["func"]: r for r in dead_functions(src).collect()}
+    assert set(out) == {"dead"}
+    assert out["dead"]["n_defs"] == 1
+    assert out["dead"]["canonical"] == "r/a.py"
+
+
+def test_dead_functions_preamble_reference_counts(spark):
+    # the reference sits in the preamble (before any def) of the SAME
+    # file — unit extraction drops it, reference scanning must not
+    src = _src(spark, [("a.py", "boot()\ndef boot():\n x")])
+    assert dead_functions(src).count() == 0
+
+
+def test_dead_functions_recursion_is_live(spark):
+    src = _src(spark, [("a.py", "def rec():\n rec()")])
+    assert dead_functions(src).count() == 0
+
+
+def test_dead_functions_header_line_is_not_a_reference(spark):
+    # two files each define `twin` but never call it: the other file's
+    # header line must not count as a reference
+    src = _src(spark, [("a.py", "def twin():\n x"),
+                       ("b.py", "def twin():\n y")])
+    out = dead_functions(src).collect()
+    assert len(out) == 1 and out[0]["n_defs"] == 2
