@@ -2576,3 +2576,87 @@ def truth_find(claims: DataFrame, source: str = "source",
                     F.col("b.conf").alias("conf"),
                     F.col("b.n_sources").alias("n_sources"),
                     "n_alternatives"))
+
+
+def stress_centrality(edges: DataFrame, sources: DataFrame,
+                      targets: DataFrame, max_depth: int,
+                      src: str = "src", dst: str = "dst",
+                      node_col: str = "node",
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Landmark stress centrality — the shortest-path-COUNTING member
+    of the centrality family (Shimbel 1953), the integer-exact
+    stand-in for betweenness: for every node v, how many shortest
+    s→t paths (s in ``sources``, t in ``targets``, both within
+    ``max_depth`` hops) pass THROUGH v.  Brandes-style betweenness
+    divides by σ_st and goes rational; stress keeps the raw count, so
+    the result is bit-comparable across engines — the same reason this
+    engine's PageRank and HITS run in scaled integers.
+
+    Two level-synchronous BFS sweeps with path-count accumulation:
+    forward from the sources, backward (reversed edges) from the
+    targets, each carrying (root, node, dist, sigma) where sigma = the
+    number of shortest root→node paths — all shortest paths to a node
+    arrive in the same BFS round, so sigma is one per-round partial
+    SUM, and first-touch = shortest is enforced by a left-anti join
+    against the visited set.  Then the combinatorial identity
+    σ_st(v) = σ_sv · σ_vt  iff  d(s,v) + d(v,t) = d(s,t) turns the two
+    sweeps into one equi-join on v plus a join against the (s,t)
+    distance table — no all-pairs state ever exists; work is bounded
+    by |sources ∪ targets| × reachable-within-depth, which is the
+    landmark contract (sample landmarks to taste at 10^12 scale).
+
+    Per-round lineage cuts are ``localCheckpoint`` by default,
+    reliable parquet snapshots (``stress_edges``, ``stress_fw_NNNN``,
+    ``stress_bw_NNNN``) when ``checkpoint_dir`` is given — the
+    cluster-durable form, same contract as :func:`sssp_integer`.
+
+    Output: (node, stress, n_pairs) for nodes interior to at least
+    one shortest s→t path (endpoints excluded, per the classic
+    definition).
+    """
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v")).distinct(),
+        "stress_edges")
+
+    def _sweep(roots: DataFrame, ed: DataFrame, tag: str) -> DataFrame:
+        vis = (roots.select(F.col(node_col).alias("root")).distinct()
+               .select("root", F.col("root").alias("node"),
+                       F.lit(0).cast("bigint").alias("dist"),
+                       F.lit(1).cast("bigint").alias("sigma")))
+        frontier = vis
+        for rnd in range(max_depth):
+            step = (frontier.join(ed, frontier["node"] == ed["u"])
+                    .groupBy("root", F.col("v").alias("node"))
+                    .agg(F.lit(rnd + 1).cast("bigint").alias("dist"),
+                         F.sum("sigma").cast("bigint").alias("sigma"))
+                    .select("root", "node", "dist", "sigma"))
+            new = step.join(vis.select("root", "node"),
+                            ["root", "node"], "left_anti")
+            vis = snaps.save(vis.union(new), f"{tag}_{rnd + 1:04d}")
+            frontier = new
+        return vis
+
+    fw = _sweep(sources, e, "stress_fw")
+    bw = _sweep(targets,
+                e.select(F.col("v").alias("u"), F.col("u").alias("v")),
+                "stress_bw")
+    st = (fw.join(bw.select(F.col("root").alias("t")).distinct(),
+                  fw["node"] == F.col("t"))
+          .select(F.col("root").alias("s"), "t",
+                  F.col("dist").alias("dd")))
+    mid = (fw.select(F.col("root").alias("s"), "node",
+                     F.col("dist").alias("d1"),
+                     F.col("sigma").alias("sig1"))
+           .join(bw.select(F.col("root").alias("t"),
+                           "node", F.col("dist").alias("d2"),
+                           F.col("sigma").alias("sig2")), "node")
+           .join(st, ["s", "t"])
+           .where((F.col("d1") + F.col("d2") == F.col("dd"))
+                  & (F.col("node") != F.col("s"))
+                  & (F.col("node") != F.col("t"))))
+    return (mid.groupBy("node")
+            .agg(F.sum(F.col("sig1") * F.col("sig2")).cast("bigint")
+                 .alias("stress"),
+                 F.count("*").cast("bigint").alias("n_pairs")))

@@ -8554,3 +8554,82 @@ def q_code_dead(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit("\ndef g_helper():\n return"))
                  .otherwise(F.lit(""))))
     return dead_functions(planted)
+
+
+@query("graph_stress", oracle=f"""
+WITH RECURSIVE {_CALL_EDGE_SQL},
+-- NB: explicit DISTINCT wrapper — inside a WITH RECURSIVE list,
+-- DuckDB gives a bare `a UNION b` CTE recursive-union semantics and
+-- the dedup is lost (duplicated landmarks would inflate every sigma)
+snodes AS (SELECT DISTINCT n FROM
+           (SELECT s AS n FROM e0 UNION ALL SELECT d FROM e0)),
+lblock AS (SELECT n FROM snodes
+           WHERE split_part(n, ':', 1) =
+                 (SELECT split_part(min(n), ':', 1) FROM snodes)),
+srcs AS (SELECT n FROM lblock ORDER BY n ASC LIMIT 4),
+tgts AS (SELECT n FROM lblock ORDER BY n DESC LIMIT 4),
+wf(root, v, dp) AS (
+  SELECT n, n, 0 FROM srcs
+  UNION ALL
+  SELECT w.root, e.d, w.dp + 1 FROM wf w JOIN e0 e ON e.s = w.v
+  WHERE w.dp < 4),
+fdist AS (SELECT root, v, min(dp)::BIGINT AS dist FROM wf GROUP BY 1, 2),
+fsig AS (SELECT w.root, w.v, count(*)::BIGINT AS sigma
+         FROM wf w JOIN fdist f
+           ON f.root = w.root AND f.v = w.v AND f.dist = w.dp
+         GROUP BY 1, 2),
+wb(root, v, dp) AS (
+  SELECT n, n, 0 FROM tgts
+  UNION ALL
+  SELECT w.root, e.s, w.dp + 1 FROM wb w JOIN e0 e ON e.d = w.v
+  WHERE w.dp < 4),
+bdist AS (SELECT root, v, min(dp)::BIGINT AS dist FROM wb GROUP BY 1, 2),
+bsig AS (SELECT w.root, w.v, count(*)::BIGINT AS sigma
+         FROM wb w JOIN bdist b
+           ON b.root = w.root AND b.v = w.v AND b.dist = w.dp
+         GROUP BY 1, 2),
+st AS (SELECT f.root AS s, t.n AS t, f.dist AS dd
+       FROM fdist f JOIN tgts t ON f.v = t.n),
+mid AS (
+  SELECT fs.v, fs.root AS s, bs.root AS t,
+         fs.sigma * bs.sigma AS c
+  FROM fsig fs
+  JOIN bsig bs ON bs.v = fs.v
+  JOIN fdist fd ON fd.root = fs.root AND fd.v = fs.v
+  JOIN bdist bd ON bd.root = bs.root AND bd.v = bs.v
+  JOIN st ON st.s = fs.root AND st.t = bs.root
+         AND fd.dist + bd.dist = st.dd
+  WHERE fs.v <> fs.root AND fs.v <> bs.root)
+SELECT v AS node, sum(c)::BIGINT AS stress,
+       count(*)::BIGINT AS n_pairs
+FROM mid GROUP BY v
+""")
+def q_graph_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark stress centrality (graph.stress_centrality) over the
+    call graph: shortest-path COUNTS through each interior node for
+    the 4-smallest-id → 4-largest-id landmark pairs within 4 hops —
+    the integer-exact betweenness stand-in.  The oracle enumerates
+    every ≤4-hop walk recursively, takes minimal-length walk counts
+    as σ (minimal walks are exactly the shortest paths), and applies
+    the same σ_sv·σ_vt distance-split identity — a missed equal-cost
+    predecessor, an off-by-one level, or endpoint inclusion all break
+    the hash."""
+    from fastie_spark.graph import stress_centrality
+    e = _call_edges(spark, sf_dir)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    # landmarks come from ONE language block (edges never cross langs,
+    # so mixed-lang pairs would be vacuously unreachable); the block
+    # is picked by the min node's lang prefix — a 1-row broadcast join,
+    # no collect.  All frames here are vocabulary-bounded (~150 nodes):
+    # the sort+limit is a tiny-frame op, not the corpus-wide
+    # single-partition window this engine bans.
+    pref = nodes.agg(F.split(F.min("node"), ":").getItem(0)
+                     .alias("pref"))
+    block = (nodes.crossJoin(F.broadcast(pref))
+             .where(F.split(F.col("node"), ":").getItem(0)
+                    == F.col("pref"))
+             .select("node"))
+    srcs = block.orderBy(F.col("node").asc()).limit(4)
+    tgts = block.orderBy(F.col("node").desc()).limit(4)
+    return stress_centrality(e, srcs, tgts, max_depth=4)

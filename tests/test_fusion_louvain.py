@@ -162,3 +162,43 @@ def test_dead_functions_header_line_is_not_a_reference(spark):
                        ("b.py", "def twin():\n y")])
     out = dead_functions(src).collect()
     assert len(out) == 1 and out[0]["n_defs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# stress_centrality
+# ---------------------------------------------------------------------------
+
+def _stress(spark, edges, srcs, tgts, depth=4):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in srcs], "node string")
+    t = spark.createDataFrame([(x,) for x in tgts], "node string")
+    from fastie_spark.graph import stress_centrality
+    return {r["node"]: r for r in
+            stress_centrality(e, s, t, max_depth=depth).collect()}
+
+
+def test_stress_diamond_counts_both_paths(spark):
+    # s -> {a, b} -> m -> t : sigma(s,m)=2, so m carries 2 paths; a and
+    # b carry 1 each.  d(s,t)=3.
+    edges = [("s", "a"), ("s", "b"), ("a", "m"), ("b", "m"), ("m", "t")]
+    out = _stress(spark, edges, ["s"], ["t"])
+    assert out["m"]["stress"] == 2 and out["m"]["n_pairs"] == 1
+    assert out["a"]["stress"] == 1 and out["b"]["stress"] == 1
+    assert "s" not in out and "t" not in out  # endpoints excluded
+
+
+def test_stress_shortcut_excludes_long_path(spark):
+    # s -> x -> t and s -> t direct: d(s,t)=1, x is on no SHORTEST path
+    out = _stress(spark, [("s", "x"), ("x", "t"), ("s", "t")],
+                  ["s"], ["t"])
+    assert out == {}
+
+
+def test_stress_depth_bound_binds(spark):
+    # chain s->a->b->t needs 3 hops; depth=2 finds no s..t distance
+    out = _stress(spark, [("s", "a"), ("a", "b"), ("b", "t")],
+                  ["s"], ["t"], depth=2)
+    assert out == {}
+    out3 = _stress(spark, [("s", "a"), ("a", "b"), ("b", "t")],
+                   ["s"], ["t"], depth=3)
+    assert out3["a"]["stress"] == 1 and out3["b"]["stress"] == 1
