@@ -2660,3 +2660,65 @@ def stress_centrality(edges: DataFrame, sources: DataFrame,
             .agg(F.sum(F.col("sig1") * F.col("sig2")).cast("bigint")
                  .alias("stress"),
                  F.count("*").cast("bigint").alias("n_pairs")))
+
+
+def wl_refine(edges: DataFrame, n_rounds: int = 2,
+              src: str = "src", dst: str = "dst",
+              checkpoint_dir: str | None = None) -> DataFrame:
+    """Weisfeiler–Lehman color refinement — structural-role discovery
+    over the constructed KG / call graph: after k rounds, two nodes
+    share a color iff their k-hop neighborhood trees are
+    indistinguishable, which is the classic 1-WL isomorphism sketch
+    and the label scheme WL-kernel features and role-equivalence
+    ("these functions sit in identical wiring") are built from.
+
+    Colors start at degree and each round rehash to
+
+        color' = sha256(color ‖ '|' ‖ sorted,comma-joined
+                        multiset of neighbor colors)[:16]
+
+    — a pure string recurrence with a binary-sorted neighbor list, so
+    the result is bit-identical across engines (no float, no
+    engine-specific hash).  Each round is one equi-join of the
+    directed adjacency against the color map plus ONE degree-bounded
+    per-node sort_array/collect_list — the multiset agg is the only
+    super-constant per-row work, bounded by max degree (hub-cap the
+    edge list upstream at web scale, as the jaccard/triangle ops do
+    with ``max_degree``).  Per-round lineage cuts are
+    ``localCheckpoint`` by default, reliable parquet snapshots
+    (``wl_colors_NNNN``) under ``checkpoint_dir``.
+
+    Output: (node, wl_color, class_size) — class_size = how many
+    nodes share the node's final color (1 ⇒ structurally unique).
+    """
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    adj = snaps.save(
+        und.select(F.col("a").alias("i"), F.col("b").alias("j"))
+        .union(und.select(F.col("b"), F.col("a"))), "wl_adj")
+    colors = (adj.groupBy("i")
+              .agg(F.count("*").cast("bigint").alias("k"))
+              .select(F.col("i").alias("node"),
+                      F.col("k").cast("string").alias("color")))
+    for rnd in range(n_rounds):
+        sig = (adj.join(colors.select(F.col("node").alias("j"),
+                                      F.col("color").alias("nc")), "j")
+               .groupBy("i")
+               .agg(F.concat_ws(",", F.sort_array(
+                   F.collect_list("nc"))).alias("sig")))
+        colors = snaps.save(
+            colors.join(sig, colors["node"] == sig["i"], "left")
+            .select("node",
+                    F.substring(F.sha2(F.concat_ws(
+                        "|", "color",
+                        F.coalesce("sig", F.lit(""))), 256),
+                        1, 16).alias("color")),
+            f"wl_colors_{rnd + 1:04d}")
+    sizes = colors.groupBy("color").agg(
+        F.count("*").cast("bigint").alias("class_size"))
+    return (colors.join(sizes, "color")
+            .select("node", F.col("color").alias("wl_color"),
+                    "class_size"))

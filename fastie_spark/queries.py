@@ -8633,3 +8633,115 @@ def q_graph_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = block.orderBy(F.col("node").asc()).limit(4)
     tgts = block.orderBy(F.col("node").desc()).limit(4)
     return stress_centrality(e, srcs, tgts, max_depth=4)
+
+
+@query("graph_wl", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+wund AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+         FROM e0 WHERE s <> d),
+wadj AS (SELECT a AS i, b AS j FROM wund
+         UNION ALL SELECT b, a FROM wund),
+c0 AS (SELECT i AS node, count(*)::VARCHAR AS color
+       FROM wadj GROUP BY i),
+c1 AS (SELECT n.node,
+              substr(sha256(n.color || '|' || coalesce(
+                (SELECT string_agg(c.color, ',' ORDER BY c.color)
+                 FROM wadj a JOIN c0 c ON c.node = a.j
+                 WHERE a.i = n.node), '')), 1, 16) AS color
+       FROM c0 n),
+c2 AS (SELECT n.node,
+              substr(sha256(n.color || '|' || coalesce(
+                (SELECT string_agg(c.color, ',' ORDER BY c.color)
+                 FROM wadj a JOIN c1 c ON c.node = a.j
+                 WHERE a.i = n.node), '')), 1, 16) AS color
+       FROM c1 n),
+csz AS (SELECT color, count(*)::BIGINT AS class_size
+        FROM c2 GROUP BY color)
+SELECT c2.node, c2.color AS wl_color, csz.class_size
+FROM c2 JOIN csz ON csz.color = c2.color
+""")
+def q_graph_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler–Lehman color refinement (graph.wl_refine), 2 rounds
+    over the undirected call graph — the 1-WL structural-role sketch:
+    nodes get the same color iff their 2-hop neighborhood trees
+    agree.  The recurrence is a pure sorted-string rehash, so the
+    oracle replays it with correlated string_agg subqueries and any
+    drift in the neighbor multiset, the sort, or the hash truncation
+    breaks every downstream color."""
+    from fastie_spark.graph import wl_refine
+    return wl_refine(_call_edges(spark, sf_dir), n_rounds=2)
+
+
+@query("linking_block_quality", oracle=f"""
+WITH bterms AS (
+  SELECT DISTINCT lang,
+         unnest(regexp_extract_all(text,
+                '(?:scan|join|merge) ([a-z]+)', 1)) AS term
+  FROM documents),
+brecs AS (SELECT lang || ':' || term AS id, term AS name FROM bterms),
+bblocks AS (
+  SELECT id, substr(regexp_replace(lower(name), '[^a-z0-9 ]', '', 'g'),
+                    1, 1) AS bk
+  FROM brecs),
+bn AS (SELECT count(*)::BIGINT AS n_records FROM brecs),
+bcand AS (SELECT count(*)::BIGINT AS n_candidates FROM (
+  SELECT DISTINCT b1.id AS xa, b2.id AS xb
+  FROM bblocks b1 JOIN bblocks b2
+    ON b1.bk = b2.bk AND b1.id < b2.id)),
+bgold AS (
+  SELECT DISTINCT r1.id AS ga, r2.id AS gb
+  FROM brecs r1 JOIN brecs r2
+    ON r1.id < r2.id
+   AND split_part(r1.id, ':', 1) = split_part(r2.id, ':', 1)
+   AND levenshtein(r1.name, r2.name) <= 2),
+bng AS (SELECT count(*)::BIGINT AS n_gold FROM bgold),
+bcov AS (SELECT count(*)::BIGINT AS n_gold_covered FROM (
+  SELECT DISTINCT g.ga, g.gb
+  FROM bgold g
+  JOIN bblocks b1 ON b1.id = g.ga
+  JOIN bblocks b2 ON b2.id = g.gb AND b2.bk = b1.bk))
+SELECT bn.n_records,
+       (bn.n_records * (bn.n_records - 1) // 2)::BIGINT
+         AS n_total_pairs,
+       bcand.n_candidates, bng.n_gold, bcov.n_gold_covered,
+       CASE WHEN bn.n_records * (bn.n_records - 1) // 2 = 0
+            THEN 1000000
+            ELSE ((bn.n_records * (bn.n_records - 1) // 2
+                   - bcand.n_candidates) * 1000000)
+                 // (bn.n_records * (bn.n_records - 1) // 2)
+       END::BIGINT AS reduction_ppm,
+       CASE WHEN bng.n_gold = 0 THEN 1000000
+            ELSE (bcov.n_gold_covered * 1000000) // bng.n_gold
+       END::BIGINT AS completeness_ppm
+FROM bn, bcand, bng, bcov
+""")
+def q_linking_block_quality(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Blocking-stage evaluation (linking.blocking_quality): records
+    are the lang-qualified call-arg vocabulary, blocks the same
+    2-char-prefix key the production entity linker uses, and gold the
+    within-lang edit-distance-≤2 alias pairs (all-pairs levenshtein is
+    fine at vocabulary grain — this is the TEST harness for the
+    blocker, not the blocker).  Reduction ratio and pair completeness
+    come out as integer ppm, one row, closed-form total — nothing
+    quadratic in the corpus ever materializes on the Spark side."""
+    from fastie_spark.linking import blocking_quality
+    d = _documents(spark, sf_dir)
+    terms = (d.select("lang", F.explode(F.expr(
+        "regexp_extract_all(text, '(?:scan|join|merge) ([a-z]+)', 1)"))
+        .alias("term")).distinct())
+    recs = terms.select(
+        F.concat("lang", F.lit(":"), "term").alias("id"),
+        F.col("term").alias("name"))
+    gold = (recs.alias("r1").join(
+                recs.alias("r2"),
+                (F.col("r1.id") < F.col("r2.id"))
+                & (F.split(F.col("r1.id"), ":").getItem(0)
+                   == F.split(F.col("r2.id"), ":").getItem(0))
+                & (F.levenshtein(F.col("r1.name"), F.col("r2.name"))
+                   <= 2))
+            .select(F.col("r1.id").alias("a"),
+                    F.col("r2.id").alias("b")))
+    # width-1 key: coarse enough that part of the gold set lands in
+    # shared blocks, so BOTH metric joins are exercised non-vacuously
+    return blocking_quality(recs, gold, block_width=1)

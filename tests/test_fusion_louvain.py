@@ -202,3 +202,76 @@ def test_stress_depth_bound_binds(spark):
     out3 = _stress(spark, [("s", "a"), ("a", "b"), ("b", "t")],
                    ["s"], ["t"], depth=3)
     assert out3["a"]["stress"] == 1 and out3["b"]["stress"] == 1
+
+
+# ---------------------------------------------------------------------------
+# wl_refine
+# ---------------------------------------------------------------------------
+
+def _wl(spark, edges, n_rounds=2):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    from fastie_spark.graph import wl_refine
+    return {r["node"]: r for r in
+            wl_refine(e, n_rounds=n_rounds).collect()}
+
+
+def test_wl_symmetric_nodes_share_color(spark):
+    # path a-b-c: endpoints a and c are structurally identical at any
+    # refinement depth; b is unique
+    out = _wl(spark, [("a", "b"), ("b", "c")])
+    assert out["a"]["wl_color"] == out["c"]["wl_color"]
+    assert out["a"]["class_size"] == 2
+    assert out["b"]["class_size"] == 1
+    assert out["b"]["wl_color"] != out["a"]["wl_color"]
+
+
+def test_wl_refinement_splits_degree_ties(spark):
+    # star center z (deg 3) vs path node p2 of p1-p2-p3 plus leaf p4
+    # on p2 (deg 3 too) — same degree, different neighbor structure:
+    # round 1 already splits them because z's neighbors are all
+    # degree-1 while p2 has a mix once we add p3-p5 edge
+    edges = [("z", "l1"), ("z", "l2"), ("z", "l3"),
+             ("p1", "p2"), ("p2", "p3"), ("p2", "p4"), ("p3", "p5")]
+    out = _wl(spark, edges)
+    assert out["z"]["wl_color"] != out["p2"]["wl_color"]
+
+
+def test_wl_isomorphic_components_align(spark):
+    # two disjoint triangles: all six nodes one color class
+    out = _wl(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                      ("x", "y"), ("y", "z"), ("x", "z")])
+    assert len({r["wl_color"] for r in out.values()}) == 1
+    assert all(r["class_size"] == 6 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality
+# ---------------------------------------------------------------------------
+
+def test_blocking_quality_counts(spark):
+    from fastie_spark.linking import blocking_quality
+    recs = spark.createDataFrame(
+        [("1", "alpha"), ("2", "alps"), ("3", "beta"), ("4", "bet")],
+        "id string, name string")
+    gold = spark.createDataFrame(
+        [("1", "2"), ("1", "3")], "a string, b string")
+    row = blocking_quality(recs, gold, block_width=2).collect()[0]
+    # blocks: al={1,2}, be={3,4} -> 2 candidate pairs of C(4,2)=6
+    assert row["n_records"] == 4 and row["n_total_pairs"] == 6
+    assert row["n_candidates"] == 2
+    # gold (1,2) covered (same block), (1,3) not
+    assert row["n_gold"] == 2 and row["n_gold_covered"] == 1
+    assert row["reduction_ppm"] == (6 - 2) * 1_000_000 // 6
+    assert row["completeness_ppm"] == 500_000
+
+
+def test_blocking_quality_gold_orientation_and_dups(spark):
+    from fastie_spark.linking import blocking_quality
+    recs = spark.createDataFrame(
+        [("1", "aa"), ("2", "ab")], "id string, name string")
+    gold = spark.createDataFrame(
+        [("2", "1"), ("1", "2"), ("1", "1")], "a string, b string")
+    row = blocking_quality(recs, gold, block_width=1).collect()[0]
+    assert row["n_gold"] == 1          # reversed dup + self-pair drop
+    assert row["n_gold_covered"] == 1  # shared 'a' block
+    assert row["completeness_ppm"] == 1_000_000

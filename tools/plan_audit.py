@@ -145,6 +145,10 @@ AUDIT = [
     ("cooccur_delta", "incremental co-occur: additive stats fold"),
     ("dedup_functions", "unit-grain dedup: digest-grain group"),
     ("kg_salience", "per-doc salience: doc-bounded window election"),
+    ("graph_louvain", "Louvain move: min_by argmax, no window"),
+    ("kg_truthfind", "truth finding: 2-round keyed trust/conf aggs"),
+    ("code_dead", "dead funcs: vocab-bounded anti-join liveness"),
+    ("graph_stress", "stress centrality: BFS sigma sweeps + split join"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
