@@ -2722,3 +2722,40 @@ def wl_refine(edges: DataFrame, n_rounds: int = 2,
     return (colors.join(sizes, "color")
             .select("node", F.col("color").alias("wl_color"),
                     "class_size"))
+
+
+def mutual_reach_pairs(edges: DataFrame, max_depth: int,
+                       src: str = "src", dst: str = "dst",
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """Bounded-length cycle detection on a directed dependency graph:
+    every unordered pair (a, b), a < b, where a reaches b AND b
+    reaches a within ``max_depth`` hops — i.e. the pair sits on a
+    directed cycle of length ≤ d_fwd + d_bwd.  Over repo-grain import
+    edges this is the circular-dependency report every monorepo
+    governance pass wants; over KG predicates it flags ontology
+    cycles (isa loops) with the witness path lengths attached.
+
+    Composition, not a new loop: ONE bounded
+    :func:`transitive_closure` (level-synchronous BFS, per-round
+    lineage cuts, durable under ``checkpoint_dir``) consumed TWICE —
+    forward as (a reaches b), flipped as (b reaches a) — joined on
+    the unordered pair key.  The join is keyed on closure-grain rows,
+    never the input corpus; nothing here exceeds the closure's own
+    scale envelope.  Self-loop rows (node reaches itself ≤ max_depth)
+    are excluded by the a < b guard — :func:`transitive_closure`
+    already exposes them directly as node == anc rows.
+
+    Output: (a, b, d_fwd, d_bwd, cycle_len) — shortest witness depths
+    each way and their sum, the shortest cycle through the pair.
+    """
+    c = transitive_closure(edges, max_depth, src=src, dst=dst,
+                           checkpoint_dir=checkpoint_dir)
+    fwd = c.select(F.col("node").alias("a"), F.col("anc").alias("b"),
+                   F.col("depth").alias("d_fwd"))
+    bwd = c.select(F.col("anc").alias("a"), F.col("node").alias("b"),
+                   F.col("depth").alias("d_bwd"))
+    return (fwd.join(bwd, ["a", "b"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "d_fwd", "d_bwd",
+                    (F.col("d_fwd") + F.col("d_bwd")).cast("bigint")
+                    .alias("cycle_len")))

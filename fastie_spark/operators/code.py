@@ -605,3 +605,46 @@ def dead_functions(src: DataFrame,
                 .alias("tok"))
             .distinct())
     return defs.join(refs, defs.func == refs.tok, "left_anti")
+
+
+def dir_rollup(src: DataFrame, path_col: str = "path",
+               lang_col: str = "lang",
+               content_col: str = "content") -> DataFrame:
+    """Directory-tree rollup of the source table — per-directory file
+    count, token volume, and language spread for EVERY ancestor
+    prefix of every path (``a/b/c.py`` contributes to ``a`` and
+    ``a/b``).  This is the corpus-governance view a code-curation run
+    budgets by: which subtrees dominate token volume, where vendored
+    trees hide, what to sample or cap at the directory grain (the
+    unit mirrors sample_cap_per_repo one level finer).
+
+    Spark shape: the ancestor set is built IN-ROW (one transform over
+    the split path, fan-out = path depth, a small constant), then ONE
+    partial-aggregating groupBy on the directory key — counts and
+    sums combine map-side, so the shuffle carries directory-grain
+    partials, never files.  Languages are counted distinct per
+    directory (second agg on the same key, still directory-grain).
+
+    Output: (dir, depth, n_files, n_tokens, n_langs) — ``depth`` =
+    number of path segments in ``dir``.
+    """
+    parts = F.split(F.col(path_col), "/")
+    prefixes = F.when(
+        F.size(parts) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts) - 1),
+            lambda d: F.array_join(F.slice(parts, 1, d), "/"))
+    ).otherwise(F.array().cast("array<string>"))
+    per_file = src.select(
+        F.explode(prefixes).alias("dir"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(F.col(content_col), " "))
+        .cast("bigint").alias("n_toks"))
+    return (per_file.groupBy("dir")
+            .agg(F.count("*").cast("bigint").alias("n_files"),
+                 F.sum("n_toks").cast("bigint").alias("n_tokens"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"))
+            .select("dir",
+                    F.size(F.split("dir", "/")).cast("bigint")
+                    .alias("depth"),
+                    "n_files", "n_tokens", "n_langs"))

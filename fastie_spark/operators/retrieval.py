@@ -185,3 +185,41 @@ def search_bm25(docs: DataFrame, query_terms: list[str], k: int = 10,
         .agg(F.sum(F.expr("idf * tfc_ppm")).alias("score"))
     )
     return _bounded_topk(scored, k)
+
+
+def kwic(docs: DataFrame, term: str, window: int = 3,
+         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keyword-in-context concordance — the corpus-forensics view a
+    curation run reaches for right after search: every occurrence of
+    ``term`` with ``window`` tokens of left/right context, so a human
+    (or a downstream rule) can audit HOW a term is used before acting
+    on the documents that contain it (contamination triage, PII
+    spot-checks, sense inventory for linking gazetteers).
+
+    Spark shape: map-only and match-bounded.  Occurrence positions
+    are found IN-ROW with a filtered index sequence (no
+    explode-every-token-then-filter — only actual matches ever leave
+    the row), then each match slices its own context windows from the
+    already-split token array.  Zero shuffles, zero Python; at 100 TB
+    this is one codegen'd scan whose output is proportional to the
+    match count, not the corpus.
+
+    Output: (doc_id, pos, left_ctx, right_ctx) — ``pos`` 0-based,
+    contexts space-joined and clipped at document edges.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    toks.alias("_toks"))
+    hits = F.filter(
+        F.sequence(F.lit(0), F.size("_toks") - 1),
+        lambda i: F.col("_toks")[i] == F.lit(term))
+    out = (d.where(F.size("_toks") > 0)
+           .select("doc_id", "_toks", F.explode(hits).alias("pos")))
+    p1 = F.col("pos") + 1  # 1-based match position for slice()
+    return (out.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"),
+        F.array_join(F.slice(
+            "_toks", F.greatest(F.lit(1), p1 - window),
+            F.least(F.lit(window), F.col("pos"))), " ").alias("left_ctx"),
+        F.array_join(F.slice("_toks", p1 + 1, F.lit(window)), " ")
+        .alias("right_ctx")))

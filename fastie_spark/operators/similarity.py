@@ -936,3 +936,48 @@ def pq_assign(vectors: DataFrame, codebook: DataFrame, m: int = 4,
             .agg(F.min(F.struct("d2", "code")).alias("am"))
             .select(F.col("id").alias(id_col), "sub",
                     F.col("am.code").alias("code")))
+
+
+def hard_negatives(vectors: DataFrame, probes: DataFrame,
+                   k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training:
+    for each probe, the top-k nearest vectors whose ``label_col``
+    DIFFERS from the probe's — the near-miss examples an embedding
+    or reranker trainer pairs against positives to sharpen decision
+    boundaries (the standard dense-retrieval curriculum: random
+    negatives are too easy; nearest wrong-label ones carry the
+    gradient).  Labels can be class ids, dedup-cluster ids, or
+    query-group ids — anything where "same id" means "not a valid
+    negative".
+
+    Same scale contract as :func:`cosine_topk`: probes broadcast,
+    both sides L2-normalized once, one dot per surviving pair, and
+    the wrong-label filter applied BEFORE ranking so every probe
+    still gets k true negatives.  Ranking is the two-level bounded
+    top-k (:func:`_topk_per_probe`) — no per-probe single-task
+    window at any scale.
+
+    Output: (probe_id, neighbor_id, rank), ties broken (sim desc,
+    neighbor_id asc).
+    """
+    p = l2_normalize(
+        probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(label_col).alias("_plab"),
+                      F.col(vec_col).cast("array<double>").alias("pv0")),
+        "pv0", "pv").drop("pv0")
+    v = l2_normalize(
+        vectors.repartition(
+            vectors.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_nlab"),
+                F.col(vec_col).cast("array<double>").alias("nv0")),
+        "nv0", "nv").drop("nv0")
+    scored = (
+        v.join(F.broadcast(p))
+        .where((F.col("probe_id") != F.col("neighbor_id"))
+               & (F.col("_plab") != F.col("_nlab")))
+        .select("probe_id", "neighbor_id",
+                F.expr(_dot("pv", "nv")).alias("sim")))
+    return _topk_per_probe(scored, k)

@@ -8745,3 +8745,136 @@ def q_linking_block_quality(spark: SparkSession, sf_dir: str
     # width-1 key: coarse enough that part of the gold set lands in
     # shared blocks, so BOTH metric joins are exercised non-vacuously
     return blocking_quality(recs, gold, block_width=1)
+
+
+# ---------------------------------------------------------------------------
+# round 5 final additions (tail-registered, window untouched): corpus
+# forensics (KWIC concordance), directory-grain governance rollup,
+# dependency-cycle detection, and hard-negative mining for retrieval
+# training.
+# ---------------------------------------------------------------------------
+
+
+@query("text_kwic", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+m AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM t),
+h AS (SELECT doc_id, toks, i FROM m WHERE toks[i] = 'spark')
+SELECT doc_id, (i - 1)::BIGINT AS pos,
+       coalesce(array_to_string(toks[greatest(1, i - 3):i - 1], ' '),
+                '') AS left_ctx,
+       coalesce(array_to_string(toks[i + 1:least(len(toks), i + 3)],
+                                ' '), '') AS right_ctx
+FROM h
+""")
+def q_text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance (retrieval.kwic) for the term
+    'spark' with a ±3-token window — map-only, match-bounded: match
+    positions found in-row with a filtered index sequence (only hits
+    explode), contexts sliced from the already-split token array.
+    The oracle replays every occurrence with 1-based list slicing and
+    clips at document edges exactly as slice() does."""
+    from fastie_spark.operators.retrieval import kwic
+    return kwic(_documents(spark, sf_dir), term="spark", window=3)
+
+
+@query("code_tree_rollup", oracle="""
+WITH p AS (
+  SELECT 'src/' || lang || '/m' || (doc_id % 5)::VARCHAR
+           || '/f' || doc_id::VARCHAR AS path,
+         lang, text AS content
+  FROM documents),
+x AS (SELECT lang, len(string_split(content, ' '))::BIGINT AS n_toks,
+             string_split(path, '/') AS parts
+      FROM p),
+e0 AS (SELECT parts, lang, n_toks,
+              unnest(generate_series(1, len(parts) - 1)) AS d
+       FROM x),
+e AS (SELECT array_to_string(parts[1:d], '/') AS dir, lang, n_toks
+      FROM e0)
+SELECT dir, len(string_split(dir, '/'))::BIGINT AS depth,
+       count(*)::BIGINT AS n_files, sum(n_toks)::BIGINT AS n_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM e GROUP BY dir
+""")
+def q_code_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-tree governance rollup (code.dir_rollup) over a
+    3-level deterministic path layout (src/<lang>/m<doc_id%5>/f<id>):
+    every ancestor prefix aggregates file count, token volume, and
+    language spread — in-row prefix fan-out (depth-bounded) + one
+    partial-aggregating groupBy at directory grain.  The oracle
+    replays the prefix explosion with generate_series + list slicing;
+    any off-by-one in the prefix set or a file leaking into its own
+    leaf segment breaks counts on every level."""
+    from fastie_spark.operators.code import dir_rollup
+    d = _documents(spark, sf_dir)
+    src = d.select(
+        F.concat(F.lit("src/"), "lang", F.lit("/m"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit("/f"), F.col("doc_id").cast("string"))
+        .alias("path"),
+        "lang", F.col("text").alias("content"))
+    return dir_rollup(src)
+
+
+@query("code_dep_cycles", oracle=f"""
+WITH RECURSIVE {_CALL_EDGE_SQL},
+reach(node, anc, depth) AS (
+  SELECT s, d, 1 FROM e0
+  UNION
+  SELECT r.node, e.d, r.depth + 1
+  FROM reach r JOIN e0 e ON e.s = r.anc
+  WHERE r.depth < 4),
+minr AS (SELECT node, anc, min(depth)::BIGINT AS depth
+         FROM reach GROUP BY node, anc)
+SELECT f.node AS a, f.anc AS b, f.depth AS d_fwd, w.depth AS d_bwd,
+       (f.depth + w.depth)::BIGINT AS cycle_len
+FROM minr f JOIN minr w ON w.node = f.anc AND w.anc = f.node
+WHERE f.node < f.anc
+""")
+def q_code_dep_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular-dependency report (graph.mutual_reach_pairs) over the
+    directed call graph, cycles bounded at 4 hops each way: one
+    bounded transitive closure consumed forward and flipped, joined
+    on the unordered pair — the monorepo governance pass that flags
+    mutually-entangled modules with shortest witness depths.  The
+    oracle materializes the same min-depth closure with a recursive
+    CTE and self-joins it; any BFS depth drift or a lost min fold
+    shifts d_fwd/d_bwd and breaks the hash."""
+    from fastie_spark.graph import mutual_reach_pairs
+    return mutual_reach_pairs(_call_edges(spark, sf_dir), max_depth=4)
+
+
+@query("ann_hard_negatives", oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+p AS (SELECT vec_id AS probe_id, label AS plab, v AS pv
+      FROM e WHERE vec_id < {ANN_PROBES}),
+scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(p.pv, e.v) AS sim
+  FROM p, e
+  WHERE e.vec_id != p.probe_id AND e.label != p.plab),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT probe_id::BIGINT AS probe_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {ANN_K}
+""")
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per probe the
+    top-k nearest vectors with a DIFFERENT class label — the
+    contrastive-training near-miss set.  Same plan contract as
+    ann_topk (probes broadcast, one dot per pair, two-level bounded
+    top-k) with the wrong-label filter applied before ranking so
+    every probe gets k true negatives; the oracle replays it brute
+    force with the label exclusion inline."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = vecs.where(F.col("vec_id") < ANN_PROBES)
+    from fastie_spark.operators.similarity import hard_negatives
+    return hard_negatives(vecs, probes, k=ANN_K)

@@ -1,0 +1,99 @@
+"""Round-5 final additions: KWIC concordance, directory rollup,
+dependency cycles (mutual reachability), hard-negative mining."""
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# kwic
+# ---------------------------------------------------------------------------
+
+def _kwic(spark, rows, term, window=2):
+    from fastie_spark.operators.retrieval import kwic
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {(r["doc_id"], r["pos"]): (r["left_ctx"], r["right_ctx"])
+            for r in kwic(docs, term, window=window).collect()}
+
+
+def test_kwic_contexts_and_edges(spark):
+    out = _kwic(spark, [(1, "a b t c d"), (2, "t x"), (3, "y t")], "t")
+    assert out[(1, 2)] == ("a b", "c d")
+    assert out[(2, 0)] == ("", "x")       # doc-start clip
+    assert out[(3, 1)] == ("y", "")       # doc-end clip
+    assert len(out) == 3
+
+
+def test_kwic_multiple_occurrences_and_window_clip(spark):
+    out = _kwic(spark, [(1, "t a t")], "t", window=5)
+    assert out[(1, 0)] == ("", "a t")
+    assert out[(1, 2)] == ("t a", "")
+    # no match → no rows
+    assert _kwic(spark, [(9, "a b c")], "zz") == {}
+
+
+# ---------------------------------------------------------------------------
+# dir_rollup
+# ---------------------------------------------------------------------------
+
+def test_dir_rollup_prefix_aggregation(spark):
+    from fastie_spark.operators.code import dir_rollup
+    src = spark.createDataFrame(
+        [("a/b/f1", "py", "x y"),
+         ("a/c/f2", "js", "x"),
+         ("f3", "py", "x y z")],       # rootless file: no dir rows
+        "path string, lang string, content string")
+    out = {r["dir"]: r for r in dir_rollup(src).collect()}
+    assert set(out) == {"a", "a/b", "a/c"}
+    a = out["a"]
+    assert (a["depth"], a["n_files"], a["n_tokens"], a["n_langs"]) \
+        == (1, 2, 3, 2)
+    assert (out["a/b"]["depth"], out["a/b"]["n_files"],
+            out["a/b"]["n_tokens"], out["a/b"]["n_langs"]) == (2, 1, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# mutual_reach_pairs
+# ---------------------------------------------------------------------------
+
+def _cycles(spark, edges, depth):
+    from fastie_spark.graph import mutual_reach_pairs
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {(r["a"], r["b"]): (r["d_fwd"], r["d_bwd"], r["cycle_len"])
+            for r in mutual_reach_pairs(e, max_depth=depth).collect()}
+
+
+def test_mutual_reach_two_cycle(spark):
+    out = _cycles(spark, [("a", "b"), ("b", "a"), ("b", "c")], 3)
+    assert out == {("a", "b"): (1, 1, 2)}   # c is reachable one way only
+
+
+def test_mutual_reach_triangle_depths(spark):
+    out = _cycles(spark, [("a", "b"), ("b", "c"), ("c", "a")], 3)
+    assert out[("a", "b")] == (1, 2, 3)
+    assert out[("b", "c")] == (1, 2, 3)
+    assert out[("a", "c")] == (2, 1, 3)
+    assert len(out) == 3
+
+
+def test_mutual_reach_depth_bound_binds(spark):
+    # 3-cycle needs depth 2 on the return leg; max_depth=1 finds none
+    assert _cycles(spark, [("a", "b"), ("b", "c"), ("c", "a")], 1) == {}
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_excludes_same_label(spark):
+    from fastie_spark.operators.similarity import hard_negatives
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0),      # probe
+         (1, [1.0, 0.01], 0),     # nearest but SAME label → excluded
+         (2, [0.9, 0.1], 1),
+         (3, [0.0, 1.0], 1)],
+        "vec_id bigint, embedding array<double>, label int")
+    probes = vecs.where(F.col("vec_id") == 0)
+    out = [(r["neighbor_id"], r["rank"])
+           for r in hard_negatives(vecs, probes, k=5)
+           .orderBy("rank").collect()]
+    assert out == [(2, 1), (3, 2)]
