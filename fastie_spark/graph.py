@@ -2759,3 +2759,173 @@ def mutual_reach_pairs(edges: DataFrame, max_depth: int,
             .select("a", "b", "d_fwd", "d_bwd",
                     (F.col("d_fwd") + F.col("d_bwd")).cast("bigint")
                     .alias("cycle_len")))
+
+
+def clustering_coefficient(edges: DataFrame, scale: int = 1_000_000,
+                           src: str = "src", dst: str = "dst",
+                           checkpoint_dir: str | None = None
+                           ) -> DataFrame:
+    """Local clustering coefficient per node, integer-exact ppm:
+    ``cc_ppm = scale · 2 · n_tri div (d · (d − 1))`` (0 when d < 2).
+    The classic cohesion gauge on a KG or near-dup graph: a node
+    whose neighbors are wired to each other (duplicate clique, tight
+    entity community) scores near ``scale``; a hub of unrelated
+    spokes scores 0 — the signal that separates genuine clusters from
+    star-shaped false merges BEFORE canonicalization commits them.
+
+    Pure composition: one :func:`triangle_counts` pass (degree-ordered
+    oriented wedges, each triangle found once) + the same degree
+    census, joined at node grain.  Floor division keeps the row
+    hash-comparable across engines — no float ratio anywhere.
+
+    Output: (node, deg, n_tri, cc_ppm).
+    """
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    tri = triangle_counts(und, src="a", dst="b",
+                          checkpoint_dir=checkpoint_dir)
+    deg = (und.select(F.col("a").alias("node"))
+           .union(und.select("b"))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
+    return (deg.join(tri, "node")
+            .select("node", "deg", "n_tri",
+                    F.when(F.col("deg") >= 2, F.expr(
+                        f"({scale}L * 2 * n_tri) div (deg * (deg - 1))"))
+                    .otherwise(F.lit(0)).cast("bigint").alias("cc_ppm")))
+
+
+def degree_assortativity_terms(edges: DataFrame, src: str = "src",
+                               dst: str = "dst") -> DataFrame:
+    """Exact integer sufficient statistics for the degree-assortativity
+    coefficient (Newman's r) over the undirected simple graph — the
+    wiring gauge that says whether hubs attach to hubs (r > 0, social
+    shape) or to leaves (r < 0, dependency/star shape), which predicts
+    how canonicalization merges and centrality scores will behave at
+    corpus scale.
+
+    Each undirected edge contributes BOTH orientations, so the pair
+    list is symmetric and ``sx = sy``, ``sxx = syy`` by construction
+    (all six terms still emitted — the downstream formula is the
+    standard one).  r itself needs a square root, so the FLOAT value
+    is left to the caller: this row is the exact, mergeable,
+    hash-comparable part — ``r = (n·sxy − sx·sy) /
+    sqrt((n·sxx − sx²) · (n·syy − sy²))``.
+
+    One degree census + one edge-grain join + one global partial agg;
+    nothing here is ever larger than the edge list.
+
+    Output: ONE row (n_pairs, sx, sy, sxx, syy, sxy).
+    """
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b"), F.col("a")))
+    deg = (sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d")))
+    pairs = (sym.join(deg, "u")
+             .join(deg.select(F.col("u").alias("v"),
+                              F.col("d").alias("dv")), "v")
+             .select(F.col("d").alias("x"), F.col("dv").alias("y")))
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over an id-canonical (a < b)
+    undirected simple edge list — the k-truss census.  Degree-ordered
+    oriented wedge enumeration (same discipline as
+    :func:`triangle_counts`: out-adjacency bounded O(√m), each
+    triangle found exactly once), then each triangle credits its
+    THREE canonical edges via one explode + partial-agg count."""
+    deg = (und.select(F.col("a").alias("n")).union(und.select("b"))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    o = (und.join(deg.select(F.col("n").alias("a"),
+                             F.col("d").alias("da")), "a")
+         .join(deg.select(F.col("n").alias("b"),
+                          F.col("d").alias("db")), "b")
+         .select(F.when((F.col("da") < F.col("db"))
+                        | ((F.col("da") == F.col("db"))
+                           & (F.col("a") < F.col("b"))),
+                        F.struct(F.col("a").alias("u"),
+                                 F.col("b").alias("v")))
+                 .otherwise(F.struct(F.col("b").alias("u"),
+                                     F.col("a").alias("v")))
+                 .alias("e"))
+         .select("e.u", "e.v"))
+    wedges = (o.alias("x").join(
+                  o.alias("y"),
+                  (F.col("x.u") == F.col("y.u"))
+                  & (F.col("x.v") < F.col("y.v")))
+              .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"),
+                      F.col("y.v").alias("w")))
+    tri = wedges.join(und.select(F.col("a").alias("v"),
+                                 F.col("b").alias("w")),
+                      ["v", "w"], "left_semi")
+    sides = tri.select(F.explode(F.array(
+        F.struct(F.least("u", "v").alias("a"),
+                 F.greatest("u", "v").alias("b")),
+        F.struct(F.least("u", "w").alias("a"),
+                 F.greatest("u", "w").alias("b")),
+        F.struct(F.col("v").alias("a"), F.col("w").alias("b")),
+    )).alias("e")).select("e.a", "e.b")
+    return sides.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("support"))
+
+
+def ktruss(edges: DataFrame, k: int, n_rounds: int,
+           src: str = "src", dst: str = "dst",
+           checkpoint_dir: str | None = None) -> DataFrame:
+    """k-truss peeling — the EDGE-grain cohesion filter one notch
+    stronger than :func:`kcore`: ``n_rounds`` synchronous rounds of
+    "drop every edge in fewer than k−2 triangles (among survivors)".
+    Once a round removes nothing the survivors ARE the k-truss: every
+    remaining edge is embedded in k−2 surviving triangles, which on a
+    near-dup or co-mention graph isolates the genuinely clique-like
+    cores that k-core still over-accepts (a hub passes a degree test
+    without a single closed triangle).  Fixed ``n_rounds`` keeps the
+    recurrence oracle-replayable, the :func:`kcore` argument; truss
+    peeling strips a full shell per round.
+
+    Per round: one :func:`_edge_support` census (oriented wedges +
+    keyed joins, never adjacency-in-one-task) + one edge-grain
+    left-semi filter.  Each round's edge frame feeds the next twice
+    (census + filter), so every round cuts lineage: ``localCheckpoint``
+    by default, reliable parquet snapshots (``truss_und_NNNN``) under
+    ``checkpoint_dir`` — the cluster-durable
+    :func:`connected_components` contract.
+
+    Requires k ≥ 3 (k = 2 is vacuous: every edge is a 2-truss, but
+    the support census cannot distinguish "zero triangles" from
+    "absent", so the filter would be wrong — fail loudly instead).
+
+    Output: surviving (a, b, support), support = triangles among
+    survivors, id-canonical a < b.
+    """
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3 (k=2 keeps every "
+                         "edge; use the edge list itself)")
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    und = snaps.save(
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct(), "truss_und_0000")
+    for rnd in range(n_rounds):
+        sup = _edge_support(und)
+        und = snaps.save(
+            und.join(sup.where(F.col("support") >= k - 2)
+                     .select("a", "b"), ["a", "b"], "left_semi"),
+            f"truss_und_{rnd + 1:04d}")
+    final = _edge_support(und)
+    return (und.join(final, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("support", F.lit(0)).cast("bigint")
+                    .alias("support")))

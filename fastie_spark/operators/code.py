@@ -648,3 +648,45 @@ def dir_rollup(src: DataFrame, path_col: str = "path",
                     F.size(F.split("dir", "/")).cast("bigint")
                     .alias("depth"),
                     "n_files", "n_tokens", "n_langs"))
+
+
+def type2_clone_groups(src: DataFrame, keywords: list[str],
+                       content_col: str = "content",
+                       min_size: int = 2) -> DataFrame:
+    """Type-2 code-clone detection: files that are identical AFTER
+    identifier normalization — every whitespace token not in the
+    ``keywords`` structural vocabulary is rewritten to ``ID`` and
+    digit runs to ``N``, so renamed-variable copies (the classic
+    type-2 clone class, Roy & Cordy's taxonomy) collapse to one key
+    where exact dedup sees two distinct files.  On a training corpus
+    this is the dedup pass between exact (type-1) and MinHash
+    (type-3): it catches systematic-rename vendoring at exact-match
+    cost.
+
+    Spark shape: normalization is IN-ROW (split → transform → join —
+    codegen'd, no Python), the key is an 8-byte-prefix sha256 of the
+    normalized text, and the only shuffle carries (key, repo, path)
+    rows — content never leaves the map side.  Group sizes come from
+    one partial agg on the key; singletons drop before the members
+    join back.
+
+    Output: (clone_key, repo, path, group_size, n_repos) — one row
+    per member of each group with ≥ ``min_size`` files.
+    """
+    kw = F.array(*[F.lit(k) for k in keywords])
+    norm = F.array_join(
+        F.transform(
+            F.split(F.col(content_col), " "),
+            lambda t: F.when(F.array_contains(kw, t), t)
+            .when(t.rlike("^[0-9]+$"), F.lit("N"))
+            .otherwise(F.lit("ID"))), " ")
+    keyed = src.select(
+        "repo", "path",
+        F.substring(F.sha2(norm, 256), 1, 16).alias("clone_key"))
+    groups = (keyed.groupBy("clone_key")
+              .agg(F.count("*").cast("bigint").alias("group_size"),
+                   F.countDistinct("repo").cast("bigint")
+                   .alias("n_repos"))
+              .where(F.col("group_size") >= min_size))
+    return keyed.join(groups, "clone_key").select(
+        "clone_key", "repo", "path", "group_size", "n_repos")

@@ -8878,3 +8878,161 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = vecs.where(F.col("vec_id") < ANN_PROBES)
     from fastie_spark.operators.similarity import hard_negatives
     return hard_negatives(vecs, probes, k=ANN_K)
+
+
+_UND_CALL_SQL = """
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM e0 WHERE s <> d)
+"""
+
+
+@query("graph_clustering", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+{_UND_CALL_SQL},
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+cnt AS (SELECT n, count(*)::BIGINT AS c FROM corners GROUP BY n),
+deg AS (SELECT n, count(*)::BIGINT AS deg FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY n)
+SELECT deg.n AS node, deg.deg,
+       coalesce(cnt.c, 0)::BIGINT AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN (1000000 * 2 * coalesce(cnt.c, 0))
+                 // (deg.deg * (deg.deg - 1))
+            ELSE 0 END::BIGINT AS cc_ppm
+FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+""")
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (graph.clustering_coefficient)
+    over the undirected call graph, integer ppm — the cohesion gauge
+    that separates clique-embedded nodes from star hubs before
+    canonicalization merges on them.  The oracle enumerates
+    id-ordered triangles directly and replays the floor-division
+    ratio; the degree-ordered oriented Spark enumeration must produce
+    the identical triangle multiset."""
+    from fastie_spark.graph import clustering_coefficient
+    return clustering_coefficient(_call_edges(spark, sf_dir))
+
+
+@query("graph_assortativity", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+{_UND_CALL_SQL},
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY u),
+p AS (SELECT du.d AS x, dv.d AS y
+      FROM sym JOIN deg du ON du.u = sym.u
+      JOIN deg dv ON dv.u = sym.v)
+SELECT count(*)::BIGINT AS n_pairs,
+       sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+       sum(x * y)::BIGINT AS sxy
+FROM p
+""")
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity sufficient statistics
+    (graph.degree_assortativity_terms): ONE exact integer row of the
+    six sums Newman's r is computed from — hub-wiring structure as a
+    mergeable gauge, the float square root left to the caller.  The
+    oracle replays the symmetric pair list and all six folds."""
+    from fastie_spark.graph import degree_assortativity_terms
+    return degree_assortativity_terms(_call_edges(spark, sf_dir))
+
+
+CLONE_KEYWORDS = ["scan", "join", "merge", "order", "window"]
+
+
+@query("code_clones_t2", oracle=f"""
+WITH {_SRC_SQL},
+planted AS (
+  SELECT repo, path, content FROM src
+  UNION ALL
+  SELECT 'clone/' || repo, path, replace(content, 'fast', 'speedy')
+  FROM src WHERE doc_id % 13 = 0),
+keyed AS (
+  SELECT repo, path,
+         substr(sha256(array_to_string(list_transform(
+             string_split(content, ' '),
+             t -> CASE WHEN t IN ({', '.join(
+                 "'" + k + "'" for k in CLONE_KEYWORDS)}) THEN t
+                       WHEN regexp_matches(t, '^[0-9]+$') THEN 'N'
+                       ELSE 'ID' END), ' ')), 1, 16) AS clone_key
+  FROM planted),
+grp AS (SELECT clone_key, count(*)::BIGINT AS group_size,
+               count(DISTINCT repo)::BIGINT AS n_repos
+        FROM keyed GROUP BY clone_key HAVING count(*) >= 2)
+SELECT k.clone_key, k.repo, k.path, g.group_size, g.n_repos
+FROM keyed k JOIN grp g ON g.clone_key = k.clone_key
+""")
+def q_code_clones_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 clone detection (code.type2_clone_groups): files
+    identical after identifier normalization (non-keyword tokens →
+    ID, digit runs → N).  The input plants a renamed copy
+    ('fast'→'speedy', a non-keyword rename) of every doc_id%13 file
+    under a clone/ repo, so the type-2 class is non-vacuous and
+    provably invisible to exact dedup; the oracle replays the
+    planting, the normalization, and the ≥2 group election."""
+    from fastie_spark.operators.code import type2_clone_groups
+    src = _source_view(spark, sf_dir)
+    planted = src.select("repo", "path", "content").unionAll(
+        src.where(F.col("doc_id") % 13 == 0).select(
+            F.concat(F.lit("clone/"), "repo").alias("repo"), "path",
+            F.regexp_replace("content", "fast", "speedy")
+            .alias("content")))
+    return type2_clone_groups(planted, CLONE_KEYWORDS)
+
+
+KTRUSS_K, KTRUSS_ROUNDS = 3, 2
+
+
+def _ktruss_cte_chain(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel over ``und`` (a, b): per round an
+    id-ordered triangle census credits each triangle's three edges,
+    then edges below k−2 support drop — the same recurrence
+    graph.ktruss runs with degree-ordered wedges."""
+    parts = [f"s0 AS (SELECT a, b FROM und)"]
+    for r in range(rounds):
+        parts.append(f"""
+t{r} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       FROM s{r} e1 JOIN s{r} e2 ON e2.a = e1.b
+       JOIN s{r} e3 ON e3.a = e1.a AND e3.b = e2.b),
+sup{r} AS (SELECT a, b, count(*)::BIGINT AS sup FROM (
+       SELECT x AS a, y AS b FROM t{r}
+       UNION ALL SELECT y, z FROM t{r}
+       UNION ALL SELECT x, z FROM t{r}) GROUP BY a, b),
+s{r + 1} AS (SELECT s.a, s.b FROM s{r} s
+       JOIN sup{r} p ON p.a = s.a AND p.b = s.b
+       WHERE p.sup >= {k - 2})""")
+    parts.append(f"""
+tf AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       FROM s{rounds} e1 JOIN s{rounds} e2 ON e2.a = e1.b
+       JOIN s{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b),
+supf AS (SELECT a, b, count(*)::BIGINT AS sup FROM (
+       SELECT x AS a, y AS b FROM tf
+       UNION ALL SELECT y, z FROM tf
+       UNION ALL SELECT x, z FROM tf) GROUP BY a, b)""")
+    return ",".join(parts)
+
+
+@query("graph_ktruss", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+{_UND_CALL_SQL},
+{_ktruss_cte_chain(KTRUSS_K, KTRUSS_ROUNDS)}
+SELECT s.a, s.b, coalesce(supf.sup, 0)::BIGINT AS support
+FROM s{KTRUSS_ROUNDS} s
+LEFT JOIN supf ON supf.a = s.a AND supf.b = s.b
+""")
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KTRUSS_K}-truss of the call graph (graph.ktruss,
+    {KTRUSS_ROUNDS} peel rounds): edge-grain cohesion one notch
+    beyond k-core — every surviving edge sits in ≥ {KTRUSS_K - 2}
+    surviving triangles, isolating clique-like cores a degree test
+    over-accepts.  The oracle unrolls the same census + filter rounds
+    with id-ordered triangle enumeration; survivor support must match
+    edge-for-edge."""
+    from fastie_spark.graph import ktruss
+    return ktruss(_call_edges(spark, sf_dir), k=KTRUSS_K,
+                  n_rounds=KTRUSS_ROUNDS)

@@ -97,3 +97,84 @@ def test_hard_negatives_excludes_same_label(spark):
            for r in hard_negatives(vecs, probes, k=5)
            .orderBy("rank").collect()]
     assert out == [(2, 1), (3, 2)]
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient
+# ---------------------------------------------------------------------------
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    from fastie_spark.graph import clustering_coefficient
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "src string, dst string")
+    out = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert (out["a"]["deg"], out["a"]["n_tri"]) == (3, 1)
+    assert out["a"]["cc_ppm"] == 2_000_000 // 6       # 1/3 floor
+    assert out["b"]["cc_ppm"] == 1_000_000            # closed pair
+    assert out["d"]["cc_ppm"] == 0                    # deg 1
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity_terms
+# ---------------------------------------------------------------------------
+
+def test_assortativity_terms_path(spark):
+    from fastie_spark.graph import degree_assortativity_terms
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    r = degree_assortativity_terms(e).collect()[0]
+    # sym pairs (x=deg u, y=deg v): (1,2) (2,1) (2,1) (1,2)
+    assert (r["n_pairs"], r["sx"], r["sy"]) == (4, 6, 6)
+    assert (r["sxx"], r["syy"], r["sxy"]) == (10, 10, 8)
+
+
+# ---------------------------------------------------------------------------
+# type2_clone_groups
+# ---------------------------------------------------------------------------
+
+def test_type2_clones_rename_and_digits(spark):
+    from fastie_spark.operators.code import type2_clone_groups
+    src = spark.createDataFrame(
+        [("r1", "f1", "def foo 123"),
+         ("r2", "f2", "def bar 9"),      # type-2 clone of f1
+         ("r1", "f3", "def baz def")],   # different keyword shape
+        "repo string, path string, content string")
+    out = type2_clone_groups(src, ["def"]).collect()
+    assert sorted(r["path"] for r in out) == ["f1", "f2"]
+    assert all(r["group_size"] == 2 and r["n_repos"] == 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# ktruss
+# ---------------------------------------------------------------------------
+
+def _truss(spark, edges, k, rounds):
+    from fastie_spark.graph import ktruss
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {(r["a"], r["b"]): r["support"]
+            for r in ktruss(e, k=k, n_rounds=rounds).collect()}
+
+
+def test_ktruss_drops_pendant_keeps_triangle(spark):
+    out = _truss(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                         ("c", "d")], k=3, rounds=2)
+    assert out == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_ktruss_cascade_to_empty(spark):
+    # bowtie: two triangles sharing edge (b,c); k=4 needs support >= 2
+    # round 1 keeps only (b,c), round 2 drops it (no triangles left)
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert _truss(spark, edges, k=4, rounds=2) == {}
+    # k=3 keeps the whole bowtie, shared edge support 2
+    out3 = _truss(spark, edges, k=3, rounds=2)
+    assert out3[("b", "c")] == 2 and len(out3) == 5
+
+
+def test_ktruss_rejects_k2(spark):
+    import pytest
+    from fastie_spark.graph import ktruss
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        ktruss(e, k=2, n_rounds=1)
