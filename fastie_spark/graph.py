@@ -262,7 +262,8 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
                      checkpoint_dir: str | None = None,
                      resume: bool = False,
                      checkpoint_every: int = 8,
-                     seeds: DataFrame | None = None) -> DataFrame:
+                     seeds: DataFrame | None = None,
+                     init_ranks: DataFrame | None = None) -> DataFrame:
     """Deterministic integer PageRank over an edge list — KG entity
     salience via the same iterative-join machinery as
     :func:`connected_components` (GraphFrames-style rounds, no library).
@@ -302,6 +303,14 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
     context) — the standard KG relevance-expansion primitive.  The
     seed flag rides the existing rank-vector join as one broadcast
     left-semi annotation; cost per round is unchanged.
+
+    ``init_ranks`` (node, rank) switches to a **warm restart** — the
+    incremental-maintenance form: after an edge delta, start from the
+    standing rank vector (new nodes enter at the neutral ``scale``)
+    and run a SHORT refresh instead of the full cold iteration count.
+    Deterministic like everything else here, so an oracle can replay
+    cold rounds + warm rounds end-to-end.  Mutually exclusive with
+    ``seeds``.
     """
     spark = edges.sparkSession
     if n_partitions is None:
@@ -333,6 +342,24 @@ def pagerank_integer(edges: DataFrame, n_iters: int = 3,
         start = done
     else:
         ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
+        if init_ranks is not None:
+            # warm restart (incremental maintenance): start from the
+            # standing rank vector; nodes the standing table has never
+            # seen enter at the neutral r0 = scale.  One rank-grain
+            # left join — the standing vector is (node, rank) longs,
+            # never corpus-sized payloads
+            if seeds is not None:
+                raise ValueError("pagerank_integer: init_ranks and "
+                                 "seeds are mutually exclusive (a "
+                                 "personalized warm restart needs the "
+                                 "seed-gated base term re-derived, "
+                                 "not a neutral fill)")
+            ir = init_ranks.select(
+                "node", F.col("rank").cast("bigint").alias("_r0"))
+            ranks = (nodes.join(ir, "node", "left")
+                     .select("node",
+                             F.coalesce("_r0", F.lit(scale))
+                             .cast("bigint").alias("r")))
     if seeds is not None:
         sflag = (seeds.select("node").distinct()
                  .withColumn("is_seed", F.lit(True)))

@@ -9036,3 +9036,66 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastie_spark.graph import ktruss
     return ktruss(_call_edges(spark, sf_dir), k=KTRUSS_K,
                   n_rounds=KTRUSS_ROUNDS)
+
+
+PR_WARM_ITERS = 2
+# deterministic standing/delta edge split both engines evaluate
+# identically on ASCII 'lang:term' node strings
+_PR_OLD_PRED = "(length({s}) + length({d})) % 4 != 0"
+
+
+def _pagerank_warm_cte(n_iters: int, scale: int,
+                       damp_num: int = 85) -> str:
+    """Unrolled WARM-RESTART integer-PageRank rounds over ``ed2``
+    (the post-delta edge set) starting from ``st`` (n, r), the
+    standing rank vector: w0 = coalesce(standing, scale), then the
+    identical floor-div recurrence graph.pagerank_integer runs —
+    the incremental-maintenance twin of _pagerank_cte_chain."""
+    base = (100 - damp_num) * scale // 100
+    parts = [f"""
+nodes2 AS (SELECT src AS n FROM ed2 UNION SELECT dst FROM ed2),
+outd2 AS (SELECT src, count(*)::BIGINT AS od FROM ed2 GROUP BY src),
+w0 AS (SELECT nodes2.n, coalesce(st.r, {scale})::BIGINT AS r
+       FROM nodes2 LEFT JOIN st ON st.n = nodes2.n)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""
+wc{i} AS (SELECT ed2.dst AS n, sum(w{i-1}.r // outd2.od)::BIGINT AS s
+       FROM ed2 JOIN w{i-1} ON w{i-1}.n = ed2.src
+                JOIN outd2 ON outd2.src = ed2.src
+       GROUP BY ed2.dst),
+w{i} AS (SELECT nodes2.n,
+              ({base} + ({damp_num} * coalesce(wc{i}.s, 0)) // 100)::BIGINT
+                  AS r
+       FROM nodes2 LEFT JOIN wc{i} ON wc{i}.n = nodes2.n)""")
+    return ",".join(parts)
+
+
+@query("kg_pagerank_delta", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+alle AS (SELECT s AS src, d AS dst FROM e0),
+ed AS (SELECT src, dst FROM alle
+       WHERE {_PR_OLD_PRED.format(s='src', d='dst')}),
+{_pagerank_cte_chain(PR_ITERS, PR_SCALE)},
+st AS (SELECT n, r FROM r{PR_ITERS}),
+ed2 AS (SELECT src, dst FROM alle),
+{_pagerank_warm_cte(PR_WARM_ITERS, PR_SCALE)}
+SELECT n AS node, r::BIGINT AS rank FROM w{PR_WARM_ITERS}
+""")
+def q_kg_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank maintenance (pagerank_integer
+    ``init_ranks``): a standing {PR_ITERS}-round rank vector over the
+    pre-delta call graph is WARM-RESTARTED on the post-delta edge set
+    for only {PR_WARM_ITERS} refresh rounds — the continuous-ingestion
+    pattern (cc_delta / ann_index_delta applied to centrality): after
+    a batch lands, salience refreshes at delta cost instead of the
+    full cold iteration count, and new nodes enter at neutral mass.
+    The oracle replays cold rounds then warm rounds end-to-end; any
+    drift in the standing vector, the neutral fill, or the refresh
+    recurrence breaks every downstream rank."""
+    from fastie_spark.graph import pagerank_integer
+    e = _call_edges(spark, sf_dir)
+    old = e.where(F.expr(_PR_OLD_PRED.format(s="src", d="dst")))
+    standing = pagerank_integer(old, n_iters=PR_ITERS, scale=PR_SCALE)
+    out = pagerank_integer(e, n_iters=PR_WARM_ITERS, scale=PR_SCALE,
+                           init_ranks=standing)
+    return out.select("node", F.col("rank").cast("bigint").alias("rank"))

@@ -178,3 +178,30 @@ def test_ktruss_rejects_k2(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         ktruss(e, k=2, n_rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# pagerank warm restart
+# ---------------------------------------------------------------------------
+
+def test_pagerank_warm_restart_neutral_fill_and_recurrence(spark):
+    from fastie_spark.graph import pagerank_integer
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    standing = spark.createDataFrame([("a", 500_000)],
+                                     "node string, rank bigint")
+    out = {r["node"]: r["rank"]
+           for r in pagerank_integer(e, n_iters=1,
+                                     init_ranks=standing).collect()}
+    # b absent from standing → starts at scale; one refresh round:
+    # b = 150000 + 85*(500000 div 1) div 100; a has no in-edges
+    assert out == {"a": 150_000, "b": 575_000}
+
+
+def test_pagerank_warm_restart_rejects_seeds(spark):
+    import pytest
+    from fastie_spark.graph import pagerank_integer
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    standing = spark.createDataFrame([("a", 1)], "node string, rank bigint")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        pagerank_integer(e, n_iters=1, init_ranks=standing, seeds=seeds)
