@@ -465,7 +465,8 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
                    src: str = "src", dst: str = "dst",
                    directed: bool = False,
                    node_col: str = "node",
-                   checkpoint_dir: str | None = None) -> DataFrame:
+                   checkpoint_dir: str | None = None,
+                   _name: str = "khop") -> DataFrame:
     """BFS layers: (node, hop) for every node within ``k`` hops of any
     seed, hop = exact shortest-path distance (min over seeds).
 
@@ -481,11 +482,14 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
     payloads, and a node already seen never re-enters the frontier
     (its min hop is already < i), so total join work is O(Σ frontier
     degree) = O(m) across all rounds, the textbook Pregel BFS bound.
-    ``k`` is fixed and small, each round's frame feeds exactly one
-    consumer, so the whole recurrence has LINEAR lineage and runs as
-    one job — same no-checkpoint argument as
-    :func:`pagerank_integer`'s fixed rounds (an unbounded-diameter
-    traversal would instead reuse the CC loop's snapshot machinery).
+    Each round reads the previous distance frame TWICE (frontier
+    filter + min fold), so the un-cut plan would DOUBLE per round
+    (~2^k) — hence the k-core-style per-round cut: ``localCheckpoint``
+    by default, reliable parquet snapshots (``<name>_round_NNNN``)
+    under ``checkpoint_dir`` (cluster-durable, the
+    :func:`connected_components` contract).  ``_name`` prefixes the
+    snapshot names so two traversals may share one ``checkpoint_dir``
+    (the :func:`diameter_double_sweep` case).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
@@ -498,7 +502,7 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
     # parquet snapshot (cluster-durable) instead of executor-resident
     snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
     e = snaps.save(e.where(F.col("u") != F.col("v")).distinct(),
-                   "khop_edges")
+                   f"{_name}_edges")
     dist = (seeds.select(F.col(node_col).alias("node")).distinct()
             .withColumn("hop", F.lit(0).cast("bigint")))
     for i in range(1, k + 1):
@@ -508,8 +512,10 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int,
             .select(F.col("v").alias("node"),
                     F.lit(i).cast("bigint").alias("hop"))
         )
-        dist = (dist.union(nxt)
-                .groupBy("node").agg(F.min("hop").alias("hop")))
+        dist = snaps.save(
+            dist.union(nxt)
+            .groupBy("node").agg(F.min("hop").alias("hop")),
+            f"{_name}_round_{i:04d}")
     return dist
 
 
@@ -2956,3 +2962,104 @@ def ktruss(edges: DataFrame, k: int, n_rounds: int,
             .select("a", "b",
                     F.coalesce("support", F.lit(0)).cast("bigint")
                     .alias("support")))
+
+
+def ppr_expand(edges: DataFrame, seeds: DataFrame, n_top: int,
+               n_iters: int = 2, scale: int = 1_000_000,
+               src: str = "src", dst: str = "dst",
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """Seeded subgraph retrieval — the KG-RAG primitive: personalized
+    PageRank from the seed set, keep the ``n_top`` most relevant
+    nodes (rank desc, node asc — deterministic), and return the
+    INDUCED edge list among them with both endpoint ranks attached.
+    "Give me the context subgraph around these entities" is exactly
+    what grounding an LLM on a constructed KG needs per query.
+
+    Scale shape: the PPR rounds are :func:`pagerank_integer`'s keyed
+    joins (teleport gated to seeds); the global top-N is the
+    TWO-LEVEL bounded election (partial top-N inside hash-salted
+    shards, final top-N over ≤ shards·N survivors — no
+    single-partition window ever sees the node table); the induced
+    filter is two semi-join-shaped equi-joins of the edge list
+    against an N-row broadcast.  Output size is O(n_top²) worst case
+    but really the subgraph's edge count.
+
+    Output: (src, dst, src_rank, dst_rank).
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    pr = pagerank_integer(edges, n_iters=n_iters, scale=scale,
+                          seeds=seeds, src=src, dst=dst,
+                          checkpoint_dir=checkpoint_dir)
+    n_salts = spark.sparkContext.defaultParallelism
+    order = [F.col("rank").desc(), F.col("node").asc()]
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    w2 = Window.orderBy(*order)
+    top = (pr.withColumn("_salt", F.pmod(F.xxhash64("node"),
+                                         F.lit(n_salts)))
+           .withColumn("_rk", F.row_number().over(w1))
+           .where(F.col("_rk") <= n_top)
+           .withColumn("_rk2", F.row_number().over(w2))
+           .where(F.col("_rk2") <= n_top)
+           .select("node", "rank"))
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    return (e.join(F.broadcast(top.select(F.col("node").alias("src"),
+                                          F.col("rank")
+                                          .alias("src_rank"))), "src")
+            .join(F.broadcast(top.select(F.col("node").alias("dst"),
+                                         F.col("rank")
+                                         .alias("dst_rank"))), "dst")
+            .select("src", "dst", "src_rank", "dst_rank"))
+
+
+def diameter_double_sweep(edges: DataFrame, max_depth: int,
+                          src: str = "src", dst: str = "dst",
+                          checkpoint_dir: str | None = None
+                          ) -> DataFrame:
+    """Diameter lower bound via the classic double-sweep BFS: one
+    bounded BFS from the deterministic start (minimum node id) finds
+    the farthest node (hop desc, id asc tie-break), a second BFS from
+    there reports ITS eccentricity — on real graphs this is the
+    standard near-tight diameter estimate at 2-BFS cost where the
+    exact diameter is all-pairs.  The gauge that tells a pipeline how
+    many iterations its propagation loops (CC, label-prop, closure)
+    actually need before scheduling them.
+
+    Both sweeps are :func:`khop_distances` (level-synchronous
+    frontier joins, min-hop folds, durable cuts under
+    ``checkpoint_dir``); ``max_depth`` bounds them — if the true
+    eccentricity exceeds it the reported values are depth-clipped
+    (still a valid lower bound; raise ``max_depth`` to tighten).  On
+    a disconnected graph the sweep stays inside the start node's
+    component — also a lower bound.  Farthest-node election is a
+    distributed take-ordered (top-1), never a full sort.
+
+    Output: ONE row (start_node, far_node, ecc_start, far2_node,
+    diameter_lb).
+    """
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    start = snaps.save(
+        edges.select(F.least(src, dst).alias("n"))
+        .union(edges.select(F.greatest(src, dst)))
+        .agg(F.min("n").alias("node")), "diam_start")
+    d1 = khop_distances(edges, start, k=max_depth, src=src, dst=dst,
+                        checkpoint_dir=checkpoint_dir,
+                        _name="diam_bfs1")
+    # the election frame is ONE row but roots the next sweep — cut it
+    # so sweep 2's lineage starts fresh
+    far1 = snaps.save(
+        d1.orderBy(F.col("hop").desc(), F.col("node").asc()).limit(1),
+        "diam_far1")
+    d2 = khop_distances(edges, far1.select("node"), k=max_depth,
+                        src=src, dst=dst,
+                        checkpoint_dir=checkpoint_dir,
+                        _name="diam_bfs2")
+    far2 = (d2.orderBy(F.col("hop").desc(), F.col("node").asc())
+            .limit(1))
+    return (start.select(F.col("node").alias("start_node"))
+            .crossJoin(far1.select(F.col("node").alias("far_node"),
+                                   F.col("hop").alias("ecc_start")))
+            .crossJoin(far2.select(F.col("node").alias("far2_node"),
+                                   F.col("hop").alias("diameter_lb"))))

@@ -9099,3 +9099,79 @@ def q_kg_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank_integer(e, n_iters=PR_WARM_ITERS, scale=PR_SCALE,
                            init_ranks=standing)
     return out.select("node", F.col("rank").cast("bigint").alias("rank"))
+
+
+PPR_EXPAND_TOP, PPR_EXPAND_ITERS = 20, 2
+
+
+@query("kg_expand", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+ed AS (SELECT s AS src, d AS dst FROM e0),
+{_pagerank_cte_chain(PPR_EXPAND_ITERS, PR_SCALE,
+                     seed_pred=_PPR_SEED_PRED)},
+top AS (SELECT n, r,
+               row_number() OVER (ORDER BY r DESC, n ASC) AS rk
+        FROM r{PPR_EXPAND_ITERS}),
+t AS (SELECT n, r FROM top WHERE rk <= {PPR_EXPAND_TOP})
+SELECT ed.src, ed.dst, ts.r::BIGINT AS src_rank,
+       td.r::BIGINT AS dst_rank
+FROM ed JOIN t ts ON ts.n = ed.src JOIN t td ON td.n = ed.dst
+""")
+def q_kg_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded subgraph retrieval (graph.ppr_expand) — the KG-RAG
+    primitive: personalized PageRank from the deterministic seed set
+    (``length(node) %% 3 = 0``), two-level bounded top-{PPR_EXPAND_TOP}
+    election (no single-partition node window), induced edges among
+    the winners with both endpoint ranks.  The oracle unrolls the
+    seeded rounds, ranks with one window (fine at oracle scale), and
+    replays the induced join."""
+    from fastie_spark.graph import ppr_expand
+    e = _call_edges(spark, sf_dir)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    seeds = nodes.where(F.expr(_PPR_SEED_PRED.format(col="node")))
+    return ppr_expand(e, seeds, n_top=PPR_EXPAND_TOP,
+                      n_iters=PPR_EXPAND_ITERS, scale=PR_SCALE)
+
+
+DIAM_DEPTH = 8
+
+
+@query("graph_diameter", oracle=f"""
+WITH RECURSIVE {_CALL_EDGE_SQL},
+{_UND_CALL_SQL},
+dsym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+dstart AS (SELECT min(n) AS s FROM (
+    SELECT a AS n FROM und UNION SELECT b FROM und)),
+bfs1(node, hop) AS (
+  SELECT s, 0 FROM dstart
+  UNION
+  SELECT dsym.v, b.hop + 1 FROM bfs1 b JOIN dsym ON dsym.u = b.node
+  WHERE b.hop < {DIAM_DEPTH}),
+d1 AS (SELECT node, min(hop)::BIGINT AS hop FROM bfs1 GROUP BY node),
+far1 AS (SELECT node, hop FROM d1 ORDER BY hop DESC, node ASC LIMIT 1),
+bfs2(node, hop) AS (
+  SELECT node, 0 FROM far1
+  UNION
+  SELECT dsym.v, b.hop + 1 FROM bfs2 b JOIN dsym ON dsym.u = b.node
+  WHERE b.hop < {DIAM_DEPTH}),
+d2 AS (SELECT node, min(hop)::BIGINT AS hop FROM bfs2 GROUP BY node),
+far2 AS (SELECT node, hop FROM d2 ORDER BY hop DESC, node ASC LIMIT 1)
+SELECT dstart.s AS start_node, far1.node AS far_node,
+       far1.hop AS ecc_start, far2.node AS far2_node,
+       far2.hop AS diameter_lb
+FROM dstart, far1, far2
+""")
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter bound (graph.diameter_double_sweep) over
+    the undirected call graph: BFS from the min node id, BFS again
+    from the farthest node found (hop desc, id asc tie-break) — the
+    2-BFS estimate that tells propagation loops how many rounds they
+    need.  The oracle replays both min-hop BFS closures and the
+    take-ordered elections."""
+    from fastie_spark.graph import diameter_double_sweep
+    und = (_call_edges(spark, sf_dir)
+           .select(F.least("src", "dst").alias("src"),
+                   F.greatest("src", "dst").alias("dst"))
+           .where(F.col("src") != F.col("dst")).distinct())
+    return diameter_double_sweep(und, max_depth=DIAM_DEPTH)

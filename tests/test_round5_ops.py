@@ -205,3 +205,55 @@ def test_pagerank_warm_restart_rejects_seeds(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError):
         pagerank_integer(e, n_iters=1, init_ranks=standing, seeds=seeds)
+
+
+# ---------------------------------------------------------------------------
+# ppr_expand
+# ---------------------------------------------------------------------------
+
+def test_ppr_expand_induced_subgraph(spark):
+    from fastie_spark.graph import ppr_expand
+    # star: s -> a, b, c plus an off-seed tail c -> d -> e
+    e = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("s", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {(r["src"], r["dst"]) for r in
+           ppr_expand(e, seeds, n_top=4, n_iters=1).collect()}
+    # after 1 round the top-4 is {a, b, c, s}; edge (c, d) leaves the
+    # subgraph because d is outside the top set
+    assert out == {("s", "a"), ("s", "b"), ("s", "c")}
+
+
+def test_ppr_expand_ranks_attached(spark):
+    from fastie_spark.graph import ppr_expand
+    e = spark.createDataFrame([("s", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    r = ppr_expand(e, seeds, n_top=2, n_iters=1).collect()[0]
+    # r0: s=1e6, a=0; one round: a = 0 + 85*(1e6 div 1) div 100,
+    # s = teleport 150000 (seed-gated base)
+    assert (r["src_rank"], r["dst_rank"]) == (150_000, 850_000)
+
+
+# ---------------------------------------------------------------------------
+# diameter_double_sweep
+# ---------------------------------------------------------------------------
+
+def test_diameter_double_sweep_path(spark):
+    from fastie_spark.graph import diameter_double_sweep
+    # path a-b-c-d: start=a, ecc=3, far=d; sweep2 from d → diameter 3
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
+                              "src string, dst string")
+    r = diameter_double_sweep(e, max_depth=6).collect()[0]
+    assert (r["start_node"], r["far_node"], r["ecc_start"]) == ("a", "d", 3)
+    assert (r["far2_node"], r["diameter_lb"]) == ("a", 3)
+
+
+def test_diameter_double_sweep_improves_on_first_ecc(spark):
+    from fastie_spark.graph import diameter_double_sweep
+    # T shape: center m, arms a-m, m-b-c; start=a: ecc(a)=3 (to c)
+    # far1=c, sweep2 from c finds 3 again — and the bound is tight
+    e = spark.createDataFrame(
+        [("m", "a"), ("m", "b"), ("b", "c")], "src string, dst string")
+    r = diameter_double_sweep(e, max_depth=6).collect()[0]
+    assert r["diameter_lb"] == 3

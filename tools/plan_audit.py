@@ -149,6 +149,19 @@ AUDIT = [
     ("kg_truthfind", "truth finding: 2-round keyed trust/conf aggs"),
     ("code_dead", "dead funcs: vocab-bounded anti-join liveness"),
     ("graph_stress", "stress centrality: BFS sigma sweeps + split join"),
+    ("graph_wl", "WL refinement: degree-bounded sorted multiset rehash"),
+    ("linking_block_quality", "blocking gauge: block joins, closed-form total"),
+    ("text_kwic", "KWIC concordance: in-row match slice, map-only"),
+    ("code_tree_rollup", "dir rollup: in-row prefix fan-out, partial agg"),
+    ("code_dep_cycles", "cycle report: bounded closure ⋈ flipped closure"),
+    ("ann_hard_negatives", "hard negatives: label-filtered bounded top-k"),
+    ("graph_clustering", "local cc ppm: oriented triangles + degree join"),
+    ("graph_assortativity", "assortativity terms: one exact global fold"),
+    ("code_clones_t2", "type-2 clones: in-row normalize, key-grain group"),
+    ("graph_ktruss", "k-truss peel: per-round edge support + semi filter"),
+    ("kg_pagerank_delta", "warm-restart PR: standing-vector fill + refresh"),
+    ("kg_expand", "PPR subgraph retrieval: two-level top-N + induced join"),
+    ("graph_diameter", "double-sweep BFS bound: frontier joins, cut elections"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
