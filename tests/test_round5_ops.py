@@ -257,3 +257,48 @@ def test_diameter_double_sweep_improves_on_first_ecc(spark):
         [("m", "a"), ("m", "b"), ("b", "c")], "src string, dst string")
     r = diameter_double_sweep(e, max_depth=6).collect()[0]
     assert r["diameter_lb"] == 3
+
+
+# ---------------------------------------------------------------------------
+# durability parity for this round's iterative additions
+# ---------------------------------------------------------------------------
+
+def test_round5_loops_checkpoint_dir_durable_form(spark, tmp_path):
+    """ktruss / mutual_reach_pairs / diameter_double_sweep /
+    khop_distances (post per-round-cut fix) return identical results
+    through the localCheckpoint fast path and the durable parquet
+    path, and every on-disk cut is a committed (_SUCCESS) snapshot."""
+    import os
+
+    from fastie_spark.graph import (
+        diameter_double_sweep,
+        khop_distances,
+        ktruss,
+        mutual_reach_pairs,
+    )
+
+    e = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n1"), ("n3", "n4"),
+         ("n4", "n5"), ("n5", "n3"), ("n2", "n5")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("n1",)], "node string")
+
+    cases = {
+        "truss": lambda d: ktruss(e, k=3, n_rounds=2, checkpoint_dir=d),
+        "mrp": lambda d: mutual_reach_pairs(e, max_depth=3,
+                                            checkpoint_dir=d),
+        "diam": lambda d: diameter_double_sweep(e, max_depth=4,
+                                                checkpoint_dir=d),
+        "khop": lambda d: khop_distances(e, seeds, k=3,
+                                         checkpoint_dir=d),
+    }
+    for name, run in cases.items():
+        fast = sorted(tuple(r) for r in run(None).collect())
+        root = str(tmp_path / name)
+        durable = sorted(tuple(r) for r in run(root).collect())
+        assert durable == fast, name
+        snaps = [n for n in os.listdir(root)
+                 if os.path.isdir(os.path.join(root, n))]
+        assert snaps, name
+        assert all(os.path.isfile(os.path.join(root, n, "_SUCCESS"))
+                   for n in snaps), name
