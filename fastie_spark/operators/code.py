@@ -673,6 +673,20 @@ def type2_clone_groups(src: DataFrame, keywords: list[str],
     Output: (clone_key, repo, path, group_size, n_repos) — one row
     per member of each group with ≥ ``min_size`` files.
     """
+    keyed = clone_keys(src, keywords, content_col)
+    return clone_groups_from_index(keyed, min_size=min_size)
+
+
+def clone_keys(src: DataFrame, keywords: list[str],
+               content_col: str = "content") -> DataFrame:
+    """The row-local half of type-2 clone detection: (repo, path,
+    clone_key) with clone_key = 16-hex-char sha256 of the
+    identifier-normalized content (non-keyword tokens → ``ID``, digit
+    runs → ``N``).  A pure function of (content, keyword vocabulary),
+    so an incrementally-maintained key index equals a full rebuild BY
+    CONSTRUCTION — the streaming ingest twin
+    (:mod:`fastie_spark.streaming.clones`) folds batches through this
+    exact path against the FROZEN keyword vocabulary."""
     kw = F.array(*[F.lit(k) for k in keywords])
     norm = F.array_join(
         F.transform(
@@ -680,9 +694,18 @@ def type2_clone_groups(src: DataFrame, keywords: list[str],
             lambda t: F.when(F.array_contains(kw, t), t)
             .when(t.rlike("^[0-9]+$"), F.lit("N"))
             .otherwise(F.lit("ID"))), " ")
-    keyed = src.select(
+    return src.select(
         "repo", "path",
         F.substring(F.sha2(norm, 256), 1, 16).alias("clone_key"))
+
+
+def clone_groups_from_index(keyed: DataFrame,
+                            min_size: int = 2) -> DataFrame:
+    """Group election over a standing (repo, path, clone_key) index —
+    one partial agg on the key, singletons dropped, members joined
+    back.  Separated from :func:`clone_keys` so the election can run
+    over a MERGED incremental index (clone pairs split across
+    ingestion batches are found only after the fold)."""
     groups = (keyed.groupBy("clone_key")
               .agg(F.count("*").cast("bigint").alias("group_size"),
                    F.countDistinct("repo").cast("bigint")

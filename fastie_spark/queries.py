@@ -9175,3 +9175,110 @@ def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.greatest("src", "dst").alias("dst"))
            .where(F.col("src") != F.col("dst")).distinct())
     return diameter_double_sweep(und, max_depth=DIAM_DEPTH)
+
+
+@query("clone_index_delta", oracle=f"""
+WITH {_SRC_SQL},
+planted AS (
+  SELECT repo, path, content FROM src
+  UNION ALL
+  SELECT 'clone/' || repo, path, replace(content, 'fast', 'speedy')
+  FROM src WHERE doc_id % 13 = 0),
+keyed AS (
+  SELECT repo, path,
+         substr(sha256(array_to_string(list_transform(
+             string_split(content, ' '),
+             t -> CASE WHEN t IN ({', '.join(
+                 "'" + k + "'" for k in CLONE_KEYWORDS)}) THEN t
+                       WHEN regexp_matches(t, '^[0-9]+$') THEN 'N'
+                       ELSE 'ID' END), ' ')), 1, 16) AS clone_key
+  FROM planted),
+grp AS (SELECT clone_key, count(*)::BIGINT AS group_size,
+               count(DISTINCT repo)::BIGINT AS n_repos
+        FROM keyed GROUP BY clone_key HAVING count(*) >= 2)
+SELECT k.clone_key, k.repo, k.path, g.group_size, g.n_repos
+FROM keyed k JOIN grp g ON g.clone_key = k.clone_key
+""")
+def q_clone_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming clone-index maintenance, batch twin
+    (streaming/clones.py): the ORIGINALS form the standing index and
+    the renamed 'clone/' copies arrive as two micro-batches, each
+    keyed through the SAME row-local clone_keys path against the
+    frozen keyword vocabulary, then the group election runs over the
+    MERGED index — every planted clone pair is split across the
+    standing/delta boundary, so any per-batch election or fold error
+    loses the groups entirely.  The oracle rebuilds from the whole
+    planted corpus at once: merged-incremental ≡ rebuild,
+    hash-pinned.  Drain/replay through the real foreachBatch
+    machinery is pinned by test_streaming_clone_ingest_equals_rebuild."""
+    from fastie_spark.operators.code import (
+        clone_groups_from_index,
+        clone_keys,
+    )
+    src = _source_view(spark, sf_dir)
+    standing = clone_keys(src.select("repo", "path", "content"),
+                          CLONE_KEYWORDS)
+    deltas = src.where(F.col("doc_id") % 13 == 0).select(
+        F.concat(F.lit("clone/"), "repo").alias("repo"), "path",
+        F.regexp_replace("content", "fast", "speedy").alias("content"),
+        "doc_id")
+    merged = standing
+    for i in (0, 1):  # two micro-batches by id parity
+        b = deltas.where(
+            F.pmod(F.expr("doc_id div 13"), F.lit(2)) == i)
+        merged = merged.unionByName(
+            clone_keys(b.select("repo", "path", "content"),
+                       CLONE_KEYWORDS))
+    return clone_groups_from_index(merged)
+
+
+SUMMARY_K = 2
+
+
+@query("kg_summary", oracle=f"""
+WITH base AS ({TRIPLES_ORACLE}),
+ed AS (SELECT DISTINCT subj_text AS src, obj_text AS dst FROM base),
+{_pagerank_cte_chain(PR_ITERS, PR_SCALE)},
+ranked AS (
+  SELECT ed.src AS entity, ed.dst AS obj_text, r.r AS obj_rank,
+         row_number() OVER (PARTITION BY ed.src
+                            ORDER BY r.r DESC, ed.dst ASC) AS rn
+  FROM ed JOIN r{PR_ITERS} r ON r.n = ed.dst)
+SELECT entity, obj_text, obj_rank::BIGINT AS obj_rank, rn::BIGINT AS rn
+FROM ranked WHERE rn <= {SUMMARY_K}
+""")
+def q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization — the KG-panel view: for each subject
+    entity the top-{SUMMARY_K} neighbors by GLOBAL salience
+    (integer PageRank over the flagship triple graph), deterministic
+    tie-break (rank desc, neighbor asc).  The per-entity election is
+    TWO-LEVEL (partial top-k inside hash-salted shards, final over
+    ≤ shards·k survivors), so a hub subject never serializes into one
+    window task.  The oracle unrolls the rank rounds and replays the
+    election with a plain window."""
+    from fastie_spark.graph import pagerank_integer
+    t = _triples(spark, sf_dir)
+    ed = (t.select(F.col("subj_text").alias("entity"),
+                   F.col("obj_text").alias("obj_text"))
+          .distinct())
+    pr = pagerank_integer(
+        t.select(F.col("subj_text").alias("src"),
+                 F.col("obj_text").alias("dst")),
+        n_iters=PR_ITERS, scale=PR_SCALE)
+    scored = ed.join(pr.select(F.col("node").alias("obj_text"),
+                               F.col("rank").alias("obj_rank")),
+                     "obj_text")
+    n_salts = spark.sparkContext.defaultParallelism
+    order = [F.col("obj_rank").desc(), F.col("obj_text").asc()]
+    w1 = Window.partitionBy("entity", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("entity").orderBy(*order)
+    return (scored
+            .withColumn("_salt", F.pmod(F.xxhash64("obj_text"),
+                                        F.lit(n_salts)))
+            .withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= SUMMARY_K)
+            .withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= SUMMARY_K)
+            .select("entity", "obj_text",
+                    F.col("obj_rank").cast("bigint").alias("obj_rank"),
+                    F.col("rn").cast("bigint").alias("rn")))

@@ -1,0 +1,113 @@
+"""Streaming type-2 clone-index maintenance — continuous ingestion
+for the clone-detection layer (the ``ann_index_delta`` discipline
+applied to code dedup).
+
+A production code corpus is fed by a stream of fresh files.  The
+type-2 clone key (``operators/code.clone_keys``: identifier-normalized
+sha) is a pure row-local function of (content, keyword vocabulary);
+the vocabulary is fixed up front and FROZEN — the analog of the ANN
+path's frozen codebooks — so the incrementally-maintained key index
+equals a full rebuild BY CONSTRUCTION.  The part that genuinely needs
+the fold is the GROUP ELECTION: a clone pair whose original landed in
+batch 3 and whose rename lands in batch 7 is invisible inside either
+batch and appears only in the merged index — which is why the
+election (``clone_groups_from_index``) runs over the standing state,
+never per batch.  The ``clone_index_delta`` contract query pins
+merged-incremental ≡ rebuild against the DuckDB oracle with exactly
+that split (originals standing, renamed copies arriving as deltas);
+the drain/replay pytest pins it through the actual foreachBatch
+machinery.
+
+State lives as versioned parquet snapshots ``ckeys_<b>`` under
+``out_root`` (the same ``_Snapshots`` helper as the streaming-KG /
+ANN paths) plus an append-only manifest.  ``foreachBatch`` delivery
+is at-least-once; the fold stays exactly-once because batch b unions
+onto the latest committed version STRICTLY BELOW b
+(``latest_round(below=b)``) and overwrites its own ``_<b>`` snapshot
+— same inputs, same output, idempotent.
+
+At cluster scale the snapshots are Iceberg/Delta table versions and
+the source is Kafka; the per-batch plan — one in-row normalization
+scan, an 8-byte-prefix key, a key-grain append — never shuffles
+content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastie_spark.graph import _Snapshots
+from fastie_spark.operators.code import clone_groups_from_index, clone_keys
+
+MANIFEST_SCHEMA = ("batch_id bigint, version bigint, n_files bigint, "
+                   "n_index_rows bigint")
+
+#: source-file stream schema (the input_hint table's clone-relevant slice)
+SRC_SCHEMA = "repo string, path string, content string"
+
+
+def latest_clone_index(spark: SparkSession, out_root: str
+                       ) -> DataFrame | None:
+    """The standing (repo, path, clone_key) index, or None before the
+    first committed batch."""
+    snaps = _Snapshots(spark, out_root)
+    v = snaps.latest_round("ckeys")
+    if v is None:
+        return None
+    return snaps.load(f"ckeys_{v:04d}")
+
+
+def ingest_clone_batch(spark: SparkSession, batch_df: DataFrame,
+                       batch_id: int, out_root: str,
+                       keywords: list[str]) -> None:
+    """One foreachBatch fold: clone_keys(batch) ∪
+    latest-committed-below-b → versioned snapshot _<b>.  Idempotent
+    under replay — a retried batch re-reads the pre-b state and
+    overwrites its own version."""
+    snaps = _Snapshots(spark, out_root)
+    keyed = clone_keys(batch_df, keywords)
+    prev = snaps.latest_round("ckeys", below=batch_id)
+    if prev is not None:
+        keyed = snaps.load(f"ckeys_{prev:04d}").unionByName(keyed)
+    keyed = snaps.save(keyed, f"ckeys_{batch_id:04d}")
+    spark.createDataFrame(
+        [(batch_id, batch_id, batch_df.count(), keyed.count())],
+        MANIFEST_SCHEMA,
+    ).write.mode("append").parquet(f"{out_root}/manifest")
+
+
+def streaming_clone_ingest(spark: SparkSession, src_path: str,
+                           checkpoint_dir: str, out_root: str,
+                           keywords: list[str],
+                           max_files_per_trigger: int = 1) -> None:
+    """Drain all available source files into the standing clone index
+    (availableNow; a long-running job drops the trigger), one
+    key-and-union fold per micro-batch."""
+    stream = (
+        spark.readStream.schema(SRC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_clone_batch(spark, batch_df, batch_id, out_root,
+                           keywords)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def standing_clone_groups(spark: SparkSession, out_root: str,
+                          min_size: int = 2) -> DataFrame:
+    """Group election over the standing index — the query a clone
+    report runs against the latest committed version."""
+    keyed = latest_clone_index(spark, out_root)
+    if keyed is None:
+        raise ValueError("no committed clone-index snapshot under "
+                         f"{out_root}")
+    return clone_groups_from_index(keyed, min_size=min_size)

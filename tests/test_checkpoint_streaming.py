@@ -619,3 +619,65 @@ def test_streaming_asof_enrich_equals_batch(spark, tmp_path):
     streaming_asof_enrich(spark, src, schema, ckpt, root, dim,
                           on="user", left_time="et", right_time="vt")
     assert drained() == batch_ref(0, 30)
+
+
+def test_streaming_clone_ingest_equals_rebuild(spark, tmp_path):
+    """Streaming type-2 clone-index maintenance (foreachBatch key
+    assignment against the FROZEN keyword vocabulary): after draining
+    N micro-batches the standing index equals keying ALL streamed
+    files at once; a clone pair SPLIT ACROSS BATCHES is found only by
+    the merged election; a replayed batch changes nothing; a later
+    drain folds new files in."""
+    from fastie_spark.operators.code import clone_groups_from_index, clone_keys
+    from fastie_spark.streaming.clones import (
+        ingest_clone_batch,
+        latest_clone_index,
+        standing_clone_groups,
+        streaming_clone_ingest,
+    )
+
+    kw = ["def"]
+    schema = "repo string, path string, content string"
+    b1 = [("r1", "f1", "def alpha 1"), ("r1", "f2", "def alpha def")]
+    b2 = [("r2", "f3", "def beta 22")]        # type-2 clone of f1
+    src = str(tmp_path / "files")
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    root = str(tmp_path / "clone_state")
+    ckpt = str(tmp_path / "clone_ckpt")
+    streaming_clone_ingest(spark, src, ckpt, root, kw)
+
+    def index_tuples():
+        return sorted(map(tuple, latest_clone_index(spark, root)
+                          .collect()))
+
+    rebuild = sorted(map(tuple, clone_keys(
+        spark.createDataFrame(b1 + b2, schema), kw).collect()))
+    assert index_tuples() == rebuild
+
+    # the cross-batch pair (f1, f3) appears only in the MERGED election
+    groups = {r["path"]: r["group_size"]
+              for r in standing_clone_groups(spark, root).collect()}
+    assert groups == {"f1": 2, "f3": 2}
+
+    # at-least-once replay of the last committed batch: no change
+    man = spark.read.parquet(f"{root}/manifest")
+    last = man.orderBy(F.col("batch_id").desc()).first()
+    rows = b1 if last["n_files"] == 2 else b2
+    ingest_clone_batch(spark, spark.createDataFrame(rows, schema),
+                       int(last["batch_id"]), root, kw)
+    assert index_tuples() == rebuild
+
+    # a later drain folds NEW files in — f4 joins f2's group
+    b3 = [("r3", "f4", "def gamma def")]
+    spark.createDataFrame(b3, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    streaming_clone_ingest(spark, src, ckpt, root, kw)
+    assert index_tuples() == sorted(map(tuple, clone_keys(
+        spark.createDataFrame(b1 + b2 + b3, schema), kw).collect()))
+    groups = {r["path"]: r["group_size"]
+              for r in standing_clone_groups(spark, root).collect()}
+    assert groups == {"f1": 2, "f3": 2, "f2": 2, "f4": 2}

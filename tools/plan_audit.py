@@ -162,6 +162,8 @@ AUDIT = [
     ("kg_pagerank_delta", "warm-restart PR: standing-vector fill + refresh"),
     ("kg_expand", "PPR subgraph retrieval: two-level top-N + induced join"),
     ("graph_diameter", "double-sweep BFS bound: frontier joins, cut elections"),
+    ("clone_index_delta", "streaming clone twin: row-local keys, merged election"),
+    ("kg_summary", "entity summary: salience join + two-level per-entity top-k"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
