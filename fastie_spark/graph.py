@@ -3063,3 +3063,260 @@ def diameter_double_sweep(edges: DataFrame, max_depth: int,
                                    F.col("hop").alias("ecc_start")))
             .crossJoin(far2.select(F.col("node").alias("far2_node"),
                                    F.col("hop").alias("diameter_lb"))))
+
+
+def coreness(edges: DataFrame, n_rounds: int,
+             src: str = "src", dst: str = "dst",
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """Full core decomposition — (node, coreness) for every node of the
+    undirected simple graph — via the h-index fixpoint iteration
+    (Lü et al. 2016, "The H-index of a network node and its relation
+    to degree and coreness", PAPERS.md): start from degree and repeat
+
+        c_{t+1}(v) = H({c_t(u) : u ∈ N(v)})
+
+    where H is the h-index (largest h such that ≥ h neighbors carry
+    value ≥ h).  The sequence is monotone non-increasing per node and
+    converges exactly to the coreness — :func:`kcore` answers "is v in
+    the k-core?" for ONE k; this yields the whole core hierarchy in one
+    pass (shell layering of the near-dup graph: coreness separates
+    clique cores from the chains that surround them).
+
+    Scale shape per round: one equi-join (edge × current values keyed
+    on the value side) and one per-node h-index — a window PARTITIONED
+    BY node (degree-bounded, never global) + partial max.  Fixed
+    ``n_rounds`` keeps the recurrence oracle-replayable
+    (:func:`pagerank_integer`'s argument); h-index iteration converges
+    in a handful of rounds on shallow-shell similarity graphs (bounded
+    by peel depth).  The value frame is re-joined every round, so each
+    round cuts lineage: ``localCheckpoint`` by default, reliable
+    parquet snapshots (``coreness_NNNN``) under ``checkpoint_dir`` —
+    the cluster-durable form, same contract as
+    :func:`connected_components`.  Mega-hub caveat: a hub's window
+    frame is its degree; the fixed-k :func:`kcore` path (census +
+    semi-joins only) is the fallback when single nodes exceed a task.
+    """
+    from pyspark.sql import Window
+
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    und = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"),
+                            F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v")).distinct(),
+        "coreness_und")
+    vals = snaps.save(
+        und.groupBy("u").agg(F.count("*").cast("bigint").alias("c")),
+        "coreness_0000")
+    w = Window.partitionBy("u").orderBy(F.col("c").desc())
+    for rnd in range(n_rounds):
+        nb = (und.join(vals.withColumnRenamed("u", "v"), "v")
+              .select("u", "c"))
+        vals = snaps.save(
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(F.coalesce(
+                F.max(F.when(F.col("c") >= F.col("rn"), F.col("rn"))),
+                F.lit(0)).cast("bigint").alias("c")),
+            f"coreness_{rnd + 1:04d}")
+    return vals.select(F.col("u").alias("node"),
+                       F.col("c").alias("coreness"))
+
+
+def triad_census(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 checkpoint_dir: str | None = None) -> DataFrame:
+    """Directed triangle motif census over the simple directed graph:
+    every connected unordered triple whose three pairs are all linked
+    is classified as
+
+      * ``recip`` — at least one pair is reciprocal (both directions),
+      * ``cycle`` — the three single directions form a directed 3-cycle,
+      * ``ffl``   — otherwise (the transitive / feed-forward triangle).
+
+    The cycle-vs-feedforward ratio is the classic higher-order
+    structure gauge (Milo et al. network motifs): call graphs and
+    dependency DAGs are FFL-dominated, genuine cycles flag mutual
+    recursion / circular dependencies that layering must break.
+
+    Shape: the pair direction mask folds in one partial agg
+    (id-canonical pair, mask = fwd + 2·bwd); triangles are enumerated
+    ONCE each by the same degree-ordered wedge join as
+    :func:`triangle_counts` (out-adjacency bounded O(√m) per node),
+    then the three pair masks attach by equi-join and classification
+    is a pure in-row CASE.  Output: (motif, n_triangles), one row per
+    motif present.
+    """
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    d = (edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+         .where(F.col("s") != F.col("t")).distinct())
+    und = snaps.save(
+        d.select(F.least("s", "t").alias("a"),
+                 F.greatest("s", "t").alias("b"),
+                 F.when(F.col("s") < F.col("t"), F.lit(1))
+                 .otherwise(F.lit(0)).alias("f"),
+                 F.when(F.col("s") > F.col("t"), F.lit(1))
+                 .otherwise(F.lit(0)).alias("g"))
+        .groupBy("a", "b")
+        .agg((F.max("f") + 2 * F.max("g")).alias("mask")),
+        "triad_und")
+    deg = (und.select(F.col("a").alias("n")).union(und.select("b"))
+           .groupBy("n").agg(F.count("*").alias("dg")))
+    o = (und.select("a", "b")
+         .join(deg.select(F.col("n").alias("a"),
+                          F.col("dg").alias("da")), "a")
+         .join(deg.select(F.col("n").alias("b"),
+                          F.col("dg").alias("db")), "b")
+         .select(
+             F.when((F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db"))
+                       & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("u"),
+                             F.col("b").alias("v")))
+             .otherwise(F.struct(F.col("b").alias("u"),
+                                 F.col("a").alias("v"))).alias("e"))
+         .select("e.u", "e.v"))
+    wedges = (o.alias("x").join(
+        o.alias("y"), (F.col("x.u") == F.col("y.u"))
+        & (F.col("x.v") < F.col("y.v")))
+        .select(F.col("x.u").alias("u"), F.col("x.v").alias("v"),
+                F.col("y.v").alias("w")))
+    tri = wedges.join(
+        und.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"], "left_semi")
+    # id-canonical corners (x<y<z) so each pair mask attaches by its
+    # canonical (least, greatest) key
+    xyz = tri.select(
+        F.array_sort(F.array("u", "v", "w")).alias("s")
+    ).select(F.col("s")[0].alias("x"), F.col("s")[1].alias("y"),
+             F.col("s")[2].alias("z"))
+    m = und.select("a", "b", "mask")
+    lab = (xyz
+           .join(m.select(F.col("a").alias("x"), F.col("b").alias("y"),
+                          F.col("mask").alias("m1")), ["x", "y"])
+           .join(m.select(F.col("a").alias("y"), F.col("b").alias("z"),
+                          F.col("mask").alias("m2")), ["y", "z"])
+           .join(m.select(F.col("a").alias("x"), F.col("b").alias("z"),
+                          F.col("mask").alias("m3")), ["x", "z"])
+           .select(
+               F.when((F.col("m1") == 3) | (F.col("m2") == 3)
+                      | (F.col("m3") == 3), F.lit("recip"))
+               .when(((F.col("m1") == 1) & (F.col("m2") == 1)
+                      & (F.col("m3") == 2))
+                     | ((F.col("m1") == 2) & (F.col("m2") == 2)
+                        & (F.col("m3") == 1)), F.lit("cycle"))
+               .otherwise(F.lit("ffl")).alias("motif")))
+    return (lab.groupBy("motif")
+            .agg(F.count("*").cast("bigint").alias("n_triangles")))
+
+
+def class_subsumption(facts: DataFrame, min_support: int = 2,
+                      min_conf_ppm: int = 900_000,
+                      max_classes_per_subject: int = 64,
+                      s: str = "subj", p: str = "pred", o: str = "obj"
+                      ) -> DataFrame:
+    """Ontology induction: candidate subClassOf axioms between
+    attribute-defined classes.  A class is a (predicate, object) pair —
+    "everything with ``p = o``" (e.g. ``from_nation=N:3``); its
+    instances are the subjects asserting it.  ``A ⊑ B`` is emitted when
+
+        |inst(A) ∩ inst(B)| ≥ min_support   and
+        |inst(A) ∩ inst(B)| / |inst(A)| ≥ min_conf_ppm / 1e6,  A ≠ B.
+
+    This is the instance-containment half of schema learning (the
+    standard association-rule formulation of subsumption mining —
+    confidence of A ⇒ B over the subject universe); on the flagship KG
+    it recovers, e.g., ``by_customer=C:c ⊑ from_nation=N:nation(c)`` at
+    confidence 1.0 — exactly the axioms a validation pass can then
+    enforce.  Both directions passing flags class equivalence
+    (``equiv``).
+
+    Scale shape: memberships dedup to (class, subject) rows; the only
+    quadratic step is the per-subject class-pair self-join, bounded by
+    ``max_classes_per_subject`` — subjects asserting more classes than
+    the cap are dropped from pair generation (and counted via a
+    warning), the same ``max_df`` discipline as the co-occurrence and
+    shingle operators.  Class sizes join back at class grain
+    (dimension-sized), confidence is integer ppm (oracle-exact).
+    Output: (class_a, class_b, support, size_a, conf_ppm, equiv).
+    """
+    mem = (facts.select(
+        F.concat(F.col(p), F.lit("="), F.col(o)).alias("cls"),
+        F.col(s).alias("x")).distinct())
+    per_subj = mem.groupBy("x").agg(F.count("*").alias("nc"))
+    hot = per_subj.where(F.col("nc") > max_classes_per_subject)
+    n_hot = hot.count()
+    if n_hot:
+        import logging
+        logging.getLogger(__name__).warning(
+            "class_subsumption: %d subjects exceed %d class "
+            "memberships and are excluded from pair generation",
+            n_hot, max_classes_per_subject)
+    kept = mem.join(hot.select("x"), "x", "left_anti")
+    sizes = mem.groupBy("cls").agg(F.count("*").alias("sz"))
+    pairs = (kept.alias("l").join(
+        kept.alias("r"), (F.col("l.x") == F.col("r.x"))
+        & (F.col("l.cls") != F.col("r.cls")))
+        .groupBy(F.col("l.cls").alias("class_a"),
+                 F.col("r.cls").alias("class_b"))
+        .agg(F.count("*").cast("bigint").alias("support")))
+    scored = (pairs
+              .join(sizes.select(F.col("cls").alias("class_a"),
+                                 F.col("sz").alias("size_a")), "class_a")
+              .withColumn("conf_ppm",
+                          F.expr("CAST((1000000 * support) DIV size_a "
+                                 "AS BIGINT)"))
+              .where((F.col("support") >= min_support)
+                     & (F.col("conf_ppm") >= min_conf_ppm)))
+    rev = scored.select(F.col("class_b").alias("class_a"),
+                        F.col("class_a").alias("class_b"))
+    equiv = (scored.join(rev, ["class_a", "class_b"], "left_semi")
+             .select("class_a", "class_b", F.lit(True).alias("equiv")))
+    return (scored.join(equiv, ["class_a", "class_b"], "left")
+            .select("class_a", "class_b",
+                    F.col("support").cast("bigint").alias("support"),
+                    F.col("size_a").cast("bigint").alias("size_a"),
+                    F.col("conf_ppm").cast("bigint").alias("conf_ppm"),
+                    F.coalesce("equiv", F.lit(False)).alias("equiv")))
+
+
+def inverse_predicates(facts: DataFrame, min_support: int = 2,
+                       min_conf_ppm: int = 900_000,
+                       s: str = "subj", p: str = "pred", o: str = "obj"
+                       ) -> DataFrame:
+    """Inverse-relation detection: (p, q) such that facts ``(s, p, o)``
+    are mirrored by ``(o, q, s)``.  For every ordered predicate pair,
+
+        n_both  = |{(s,o) : (s,p,o) ∧ (o,q,s)}|,
+        conf_ppm = n_both · 1e6 / |facts(p)|,
+
+    emitted when ``n_both ≥ min_support`` and confidence clears the
+    threshold.  The ontology-alignment primitive: merged KGs routinely
+    carry the same relation in both directions under different names
+    (``by_customer`` / ``placed``), and the detector's output feeds
+    canonicalization (rewrite q(o,s) → p(s,o)) exactly as
+    :func:`align_predicates` feeds duplicate-predicate merge — that
+    operator matches predicates with the SAME direction; this one
+    closes the reversed case.
+
+    Shape: one self-equi-join of the deduped fact table against its
+    swap on the full (s, o) pair key — no hub blow-up (the key is the
+    pair, not an endpoint), then predicate-grain aggregation
+    (dimension-sized).  Output: (p, q, n_both, n_p, conf_ppm).
+    """
+    f = facts.select(F.col(s).alias("s"), F.col(p).alias("p"),
+                     F.col(o).alias("o")).distinct()
+    np_ = f.groupBy("p").agg(F.count("*").alias("n_p"))
+    swapped = f.select(F.col("o").alias("s"), F.col("p").alias("q"),
+                       F.col("s").alias("o"))
+    both = (f.join(swapped, ["s", "o"])
+            .groupBy("p", "q")
+            .agg(F.count("*").cast("bigint").alias("n_both")))
+    return (both.join(np_, "p")
+            .withColumn("conf_ppm",
+                        F.expr("CAST((1000000 * n_both) DIV n_p "
+                               "AS BIGINT)"))
+            .where((F.col("n_both") >= min_support)
+                   & (F.col("conf_ppm") >= min_conf_ppm))
+            .select("p", "q", "n_both",
+                    F.col("n_p").cast("bigint").alias("n_p"),
+                    "conf_ppm"))

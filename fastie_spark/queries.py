@@ -9282,3 +9282,242 @@ def q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("entity", "obj_text",
                     F.col("obj_rank").cast("bigint").alias("obj_rank"),
                     F.col("rn").cast("bigint").alias("rn")))
+
+
+# ---------------------------------------------------------------------------
+# round-5 tail: core decomposition, motif census, ontology induction
+# ---------------------------------------------------------------------------
+
+CORENESS_ITERS = 4
+
+
+def _coreness_cte_chain(rounds: int) -> str:
+    """Unrolled h-index iterations (graph.coreness) over ``und``
+    (a, b): s0 symmetrizes, c0 = degree, each c_i recomputes the
+    per-node h-index of neighbor values exactly as the Spark loop's
+    degree-bounded window does."""
+    parts = ["""
+s0 AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+c0 AS (SELECT u, count(*)::BIGINT AS c FROM s0 GROUP BY u)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+c{i} AS (
+  SELECT u, coalesce(max(CASE WHEN c >= rn THEN rn END), 0)::BIGINT AS c
+  FROM (SELECT e.u, cp.c,
+               row_number() OVER (PARTITION BY e.u
+                                  ORDER BY cp.c DESC) AS rn
+        FROM s0 e JOIN c{i - 1} cp ON cp.u = e.v)
+  GROUP BY u)""")
+    return ",".join(parts)
+
+
+@query("graph_coreness", oracle=f"""
+WITH {_bucket_cte(CC_LSH_PLANES)},
+und AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {KCORE_THRESH}),
+{_coreness_cte_chain(CORENESS_ITERS)}
+SELECT u::BIGINT AS vec_id, c AS coreness FROM c{CORENESS_ITERS}
+""")
+def q_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the LSH near-dup graph
+    (graph.coreness, {CORENESS_ITERS} h-index iterations): where
+    graph_kcore answers "inside the 2-core?" for ONE k, this yields
+    the whole shell hierarchy per node — the density score that ranks
+    duplicate clusters by how clique-like they are.  Fixed rounds are
+    the engine's anytime form (monotone non-increasing per node,
+    converging to exact coreness; same argument as the integer
+    PageRank's fixed iterations), and the oracle replays each round's
+    degree-bounded h-index window verbatim."""
+    from fastie_spark.graph import coreness
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=KCORE_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    return coreness(edges, n_rounds=CORENESS_ITERS).select(
+        F.col("node").cast("bigint").alias("vec_id"), "coreness")
+
+
+@query("graph_triads", oracle=f"""
+WITH {_CALL_EDGE_SQL},
+und AS (
+  SELECT least(s, d) AS a, greatest(s, d) AS b,
+         max(CASE WHEN s < d THEN 1 ELSE 0 END)
+           + 2 * max(CASE WHEN s > d THEN 1 ELSE 0 END) AS mask
+  FROM e0 WHERE s <> d GROUP BY 1, 2),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+         e1.mask AS m1, e2.mask AS m2, e3.mask AS m3
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT motif, count(*)::BIGINT AS n_triangles FROM (
+  SELECT CASE
+    WHEN m1 = 3 OR m2 = 3 OR m3 = 3 THEN 'recip'
+    WHEN (m1 = 1 AND m2 = 1 AND m3 = 2)
+      OR (m1 = 2 AND m2 = 2 AND m3 = 1) THEN 'cycle'
+    ELSE 'ffl' END AS motif
+  FROM tri)
+GROUP BY motif
+""")
+def q_graph_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad motif census (graph.triad_census) over the call
+    graph: reciprocal-pair triangles vs directed 3-cycles vs
+    feed-forward triangles — the higher-order structure gauge that
+    tells a dependency-layering pass how much genuinely cyclic
+    structure it must break (kg_scc finds WHICH nodes are entangled;
+    this measures HOW the entanglement is shaped).  Spark enumerates
+    each triangle once via the degree-ordered wedge join and
+    classifies by the three pair direction-masks in-row; the oracle
+    enumerates id-ordered triangles directly — orientation must not
+    change the census."""
+    from fastie_spark.graph import triad_census
+    return triad_census(_call_edges(spark, sf_dir))
+
+
+SUBSUME_MIN_SUPPORT = 2
+SUBSUME_MIN_CONF_PPM = 900_000
+SUBSUME_CLASS_CAP = 64
+
+
+@query("kg_subsumption", oracle=f"""
+WITH f AS ({KG_FACTS_SQL}),
+mem AS (SELECT DISTINCT p || '=' || z AS cls, x FROM f),
+nc AS (SELECT x, count(*) AS n FROM mem GROUP BY x),
+kept AS (SELECT mem.cls, mem.x FROM mem JOIN nc ON nc.x = mem.x
+         WHERE nc.n <= {SUBSUME_CLASS_CAP}),
+sz AS (SELECT cls, count(*) AS sz FROM mem GROUP BY cls),
+pr AS (SELECT l.cls AS class_a, r.cls AS class_b,
+              count(*)::BIGINT AS support
+       FROM kept l JOIN kept r ON l.x = r.x AND l.cls <> r.cls
+       GROUP BY 1, 2),
+sc AS (SELECT pr.class_a, pr.class_b, pr.support,
+              sz.sz::BIGINT AS size_a,
+              (1000000 * pr.support // sz.sz)::BIGINT AS conf_ppm
+       FROM pr JOIN sz ON sz.cls = pr.class_a
+       WHERE pr.support >= {SUBSUME_MIN_SUPPORT}
+         AND 1000000 * pr.support // sz.sz >= {SUBSUME_MIN_CONF_PPM})
+SELECT s1.class_a, s1.class_b, s1.support, s1.size_a, s1.conf_ppm,
+       (CASE WHEN s2.class_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS equiv
+FROM sc s1 LEFT JOIN sc s2 ON s2.class_a = s1.class_b
+                          AND s2.class_b = s1.class_a
+""")
+def q_kg_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology induction over the relational KG
+    (graph.class_subsumption): candidate subClassOf axioms between
+    attribute-defined classes — "everything with p=o" — by instance
+    containment at ≥{SUBSUME_MIN_SUPPORT} support and
+    ≥0.9 confidence.  Recovers ``by_customer=C:c ⊑
+    from_nation=N:nation(c)`` at confidence 1.0 (each customer's
+    orders all come from their nation) — the axioms kg_validate can
+    then enforce on the next extraction pass.  The per-subject
+    class-pair self-join is bounded by the {SUBSUME_CLASS_CAP}-class
+    cap (max_df discipline); the oracle replays cap, support and
+    integer-ppm confidence exactly."""
+    from fastie_spark.graph import class_subsumption
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(supplier, ("S", "s_suppkey"), "in_nation",
+                          ("N", "s_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
+                          ("P", "l_partkey")))
+        .unionByName(fact(lineitem, ("P", "l_partkey"), "supplied_by",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(
+            orders.join(customer,
+                        orders["o_custkey"] == customer["c_custkey"]),
+            ("O", "o_orderkey"), "from_nation", ("N", "c_nationkey"))))
+    out = class_subsumption(
+        facts, min_support=SUBSUME_MIN_SUPPORT,
+        min_conf_ppm=SUBSUME_MIN_CONF_PPM,
+        max_classes_per_subject=SUBSUME_CLASS_CAP)
+    return out.select("class_a", "class_b", "support", "size_a",
+                      "conf_ppm",
+                      F.col("equiv").cast("bigint").alias("equiv"))
+
+
+INVERSE_MIN_SUPPORT = 2
+INVERSE_MIN_CONF_PPM = 900_000
+
+
+@query("kg_inverse", oracle=f"""
+WITH fplus AS (
+  SELECT * FROM ({KG_FACTS_SQL})
+  UNION
+  SELECT DISTINCT 'C:'||o_custkey AS x, 'placed' AS p,
+         'O:'||o_orderkey AS z FROM orders),
+ff AS (SELECT DISTINCT x AS s, p, z AS o FROM fplus),
+np AS (SELECT p, count(*)::BIGINT AS n_p FROM ff GROUP BY p),
+bt AS (SELECT a.p, b.p AS q, count(*)::BIGINT AS n_both
+       FROM ff a JOIN ff b ON b.s = a.o AND b.o = a.s
+       GROUP BY 1, 2)
+SELECT bt.p, bt.q, bt.n_both, np.n_p,
+       (1000000 * bt.n_both // np.n_p)::BIGINT AS conf_ppm
+FROM bt JOIN np ON np.p = bt.p
+WHERE bt.n_both >= {INVERSE_MIN_SUPPORT}
+  AND 1000000 * bt.n_both // np.n_p >= {INVERSE_MIN_CONF_PPM}
+""")
+def q_kg_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-relation detection (graph.inverse_predicates) over the
+    relational KG carrying BOTH directions of the order–customer
+    relationship under different names (``by_customer`` / ``placed``
+    — the merged-KG situation): the detector recovers the pair at
+    confidence 1.0 in both directions, feeding canonicalization's
+    rewrite q(o,s) → p(s,o) — kg_pred_align matches same-direction
+    duplicate predicates, this closes the reversed case.  One
+    self-equi-join on the full (s, o) pair key (no endpoint hub
+    blow-up), predicate-grain aggregation, integer-ppm confidence —
+    the oracle replays all three."""
+    from fastie_spark.graph import inverse_predicates
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def fact(df, x, p, z):
+        return df.select(
+            F.expr(f"'{x[0]}:' || CAST({x[1]} AS STRING)").alias("subj"),
+            F.lit(p).alias("pred"),
+            F.expr(f"'{z[0]}:' || CAST({z[1]} AS STRING)").alias("obj"))
+
+    facts = (
+        fact(orders, ("O", "o_orderkey"), "by_customer",
+             ("C", "o_custkey"))
+        .unionByName(fact(orders, ("C", "o_custkey"), "placed",
+                          ("O", "o_orderkey")))
+        .unionByName(fact(customer, ("C", "c_custkey"), "in_nation",
+                          ("N", "c_nationkey")))
+        .unionByName(fact(supplier, ("S", "s_suppkey"), "in_nation",
+                          ("N", "s_nationkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "contains_part",
+                          ("P", "l_partkey")))
+        .unionByName(fact(lineitem, ("P", "l_partkey"), "supplied_by",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(lineitem, ("O", "l_orderkey"), "sourced_from",
+                          ("S", "l_suppkey")))
+        .unionByName(fact(
+            orders.join(customer,
+                        orders["o_custkey"] == customer["c_custkey"]),
+            ("O", "o_orderkey"), "from_nation", ("N", "c_nationkey"))))
+    return inverse_predicates(facts,
+                              min_support=INVERSE_MIN_SUPPORT,
+                              min_conf_ppm=INVERSE_MIN_CONF_PPM)

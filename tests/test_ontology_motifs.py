@@ -1,0 +1,162 @@
+"""Round-5 tail: core decomposition (h-index iteration), directed triad
+census, class-subsumption induction, inverse-predicate detection."""
+
+import os
+
+
+# ---------------------------------------------------------------------------
+# coreness
+# ---------------------------------------------------------------------------
+
+def _clique_plus_chain(spark):
+    # 4-clique k1..k4 (coreness 3) with a chain k4-c1-c2 (coreness 1)
+    clique = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+              ("k2", "k4"), ("k3", "k4")]
+    chain = [("k4", "c1"), ("c1", "c2")]
+    return spark.createDataFrame(clique + chain, "src string, dst string")
+
+
+def test_coreness_clique_vs_chain(spark):
+    from fastie_spark.graph import coreness
+    e = _clique_plus_chain(spark)
+    out = {r["node"]: r["coreness"]
+           for r in coreness(e, n_rounds=4).collect()}
+    assert out == {"k1": 3, "k2": 3, "k3": 3, "k4": 3, "c1": 1, "c2": 1}
+
+
+def test_coreness_monotone_nonincreasing(spark):
+    from fastie_spark.graph import coreness
+    e = _clique_plus_chain(spark)
+    prev = None
+    for r in (1, 2, 3):
+        cur = {x["node"]: x["coreness"]
+               for x in coreness(e, n_rounds=r).collect()}
+        if prev is not None:
+            assert all(cur[n] <= prev[n] for n in cur)
+        prev = cur
+
+
+def test_coreness_checkpoint_dir_durable_form(spark, tmp_path):
+    from fastie_spark.graph import coreness
+    e = _clique_plus_chain(spark)
+    fast = sorted(tuple(r) for r in coreness(e, n_rounds=3).collect())
+    root = str(tmp_path / "core")
+    durable = sorted(tuple(r) for r in
+                     coreness(e, n_rounds=3,
+                              checkpoint_dir=root).collect())
+    assert durable == fast
+    snaps = [n for n in os.listdir(root)
+             if os.path.exists(os.path.join(root, n, "_SUCCESS"))]
+    assert any(n.startswith("coreness_000") for n in snaps)
+
+
+# ---------------------------------------------------------------------------
+# triad_census
+# ---------------------------------------------------------------------------
+
+def _census(spark, edges):
+    from fastie_spark.graph import triad_census
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {r["motif"]: r["n_triangles"]
+            for r in triad_census(e).collect()}
+
+
+def test_triad_census_all_three_motifs(spark):
+    out = _census(spark, [
+        ("a", "b"), ("b", "c"), ("c", "a"),              # directed 3-cycle
+        ("d", "e"), ("d", "f"), ("e", "f"),              # feed-forward
+        ("g", "h"), ("h", "g"), ("g", "i"), ("h", "i"),  # reciprocal pair
+    ])
+    assert out == {"cycle": 1, "ffl": 1, "recip": 1}
+
+
+def test_triad_census_ignores_open_wedges_and_self_loops(spark):
+    out = _census(spark, [("a", "b"), ("b", "c"),        # open wedge
+                          ("x", "x"),                    # self loop
+                          ("p", "q"), ("q", "p")])       # 2-cycle, no 3rd
+    assert out == {}
+
+
+def test_triad_census_label_invariant(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("d", "e"), ("d", "f"), ("e", "f")]
+    flipped = [(("z" + s), ("z" + t)) for s, t in edges]
+    assert _census(spark, edges) == _census(spark, flipped)
+
+
+# ---------------------------------------------------------------------------
+# class_subsumption
+# ---------------------------------------------------------------------------
+
+def _subsume(spark, facts, **kw):
+    from fastie_spark.graph import class_subsumption
+    f = spark.createDataFrame(facts, "subj string, pred string, obj string")
+    return {(r["class_a"], r["class_b"]):
+            (r["support"], r["size_a"], r["conf_ppm"], r["equiv"])
+            for r in class_subsumption(f, **kw).collect()}
+
+
+def test_subsumption_direction_and_threshold(spark):
+    facts = ([(f"s{i}", "p1", "a") for i in range(4)]
+             + [(f"s{i}", "p2", "b") for i in range(5)])
+    out = _subsume(spark, facts, min_support=2, min_conf_ppm=900_000)
+    # A = p1=a (4 subjects, all inside B = p2=b of size 5): A ⊑ B only
+    assert out == {("p1=a", "p2=b"): (4, 4, 1_000_000, False)}
+
+
+def test_subsumption_equivalence_flag(spark):
+    facts = ([(f"s{i}", "p1", "a") for i in range(3)]
+             + [(f"s{i}", "p2", "b") for i in range(3)])
+    out = _subsume(spark, facts, min_support=2, min_conf_ppm=900_000)
+    assert out[("p1=a", "p2=b")][3] is True
+    assert out[("p2=b", "p1=a")][3] is True
+
+
+def test_subsumption_hub_subject_cap_binds(spark):
+    # s0/s1 support the axiom; the hub subject sits in 3 classes and
+    # is dropped from pair generation at cap 2
+    facts = ([(f"s{i}", "p1", "a") for i in range(2)]
+             + [(f"s{i}", "p2", "b") for i in range(2)]
+             + [("hub", "p1", "a"), ("hub", "p2", "b"), ("hub", "p3", "c")])
+    capped = _subsume(spark, facts, min_support=2, min_conf_ppm=600_000,
+                      max_classes_per_subject=2)
+    # hub contributes nothing: support 2 of size 3 → conf 666666
+    assert capped[("p1=a", "p2=b")] == (2, 3, 666_666, True)
+    full = _subsume(spark, facts, min_support=2, min_conf_ppm=600_000,
+                    max_classes_per_subject=64)
+    assert full[("p1=a", "p2=b")] == (3, 3, 1_000_000, True)
+
+
+# ---------------------------------------------------------------------------
+# inverse_predicates
+# ---------------------------------------------------------------------------
+
+def _inverse(spark, facts, **kw):
+    from fastie_spark.graph import inverse_predicates
+    f = spark.createDataFrame(facts, "subj string, pred string, obj string")
+    return {(r["p"], r["q"]): (r["n_both"], r["n_p"], r["conf_ppm"])
+            for r in inverse_predicates(f, **kw).collect()}
+
+
+def test_inverse_exact_pair_both_directions(spark):
+    facts = [("s1", "p", "o1"), ("s2", "p", "o2"),
+             ("o1", "q", "s1"), ("o2", "q", "s2"),
+             ("s1", "r", "o2")]                     # unmirrored noise
+    out = _inverse(spark, facts, min_support=2, min_conf_ppm=900_000)
+    assert out == {("p", "q"): (2, 2, 1_000_000),
+                   ("q", "p"): (2, 2, 1_000_000)}
+
+
+def test_inverse_partial_overlap_filtered_by_conf(spark):
+    facts = [("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3"),
+             ("o1", "q", "s1"), ("o2", "q", "s2")]
+    # overlap 2/3 = 666k ppm < 900k for p→q; q→p is 2/2 = 1.0
+    out = _inverse(spark, facts, min_support=2, min_conf_ppm=900_000)
+    assert out == {("q", "p"): (2, 2, 1_000_000)}
+
+
+def test_inverse_symmetric_predicate_self_pairs(spark):
+    facts = [("a", "sym", "b"), ("b", "sym", "a"),
+             ("c", "sym", "d"), ("d", "sym", "c")]
+    out = _inverse(spark, facts, min_support=2, min_conf_ppm=900_000)
+    assert out == {("sym", "sym"): (4, 4, 1_000_000)}

@@ -164,6 +164,10 @@ AUDIT = [
     ("graph_diameter", "double-sweep BFS bound: frontier joins, cut elections"),
     ("clone_index_delta", "streaming clone twin: row-local keys, merged election"),
     ("kg_summary", "entity summary: salience join + two-level per-entity top-k"),
+    ("graph_coreness", "h-index rounds: degree-bounded per-node window"),
+    ("graph_triads", "triad census: masked wedge join, in-row classify"),
+    ("kg_subsumption", "subClassOf mining: capped per-subject pair join"),
+    ("kg_inverse", "inverse predicates: (s,o) pair-key self-join"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
