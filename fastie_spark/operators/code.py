@@ -713,3 +713,41 @@ def clone_groups_from_index(keyed: DataFrame,
               .where(F.col("group_size") >= min_size))
     return keyed.join(groups, "clone_key").select(
         "clone_key", "repo", "path", "group_size", "n_repos")
+
+
+def api_diff(prev_units: DataFrame, cur_units: DataFrame,
+             keys: tuple[str, ...] = ("repo", "path"),
+             sym: str = "func", sha: str = "unit_sha") -> DataFrame:
+    """Symbol-surface diff between two function-unit snapshots (the
+    outputs of :func:`extract_function_units` at two commits): per
+    (file, symbol), ``added`` / ``removed`` / ``changed`` — the
+    breaking-change gate a code-KG refresh runs before re-extracting,
+    and the symbol-grain complement to :func:`line_churn` (line grain)
+    and ``snapshot_diff`` (mention grain).
+
+    Duplicate symbol names inside one file fold FIRST into a
+    deterministic symbol signature (sha256 over the sorted unit
+    hashes), so the cross-snapshot join stays exactly (file, symbol)
+    grain — no duplicate-key fan-out.  Both sides carry only keys +
+    digests (content never shuffles; manifest-sized frames), the join
+    is a co-partitioned full outer on the natural key, and unchanged
+    symbols drop in-row.  Output: (*keys, sym, status, prev_sha,
+    cur_sha) with the absent side null.
+    """
+    kcols = [*keys, sym]
+
+    def _sig(df: DataFrame, out: str) -> DataFrame:
+        return (df.groupBy(*kcols)
+                .agg(F.sha2(F.concat_ws(
+                    "|", F.sort_array(F.collect_list(sha))), 256)
+                    .alias(out)))
+
+    j = _sig(prev_units, "prev_sha").join(
+        _sig(cur_units, "cur_sha"), kcols, "full_outer")
+    return (j.withColumn(
+        "status",
+        F.when(F.col("prev_sha").isNull(), F.lit("added"))
+        .when(F.col("cur_sha").isNull(), F.lit("removed"))
+        .when(F.col("prev_sha") != F.col("cur_sha"), F.lit("changed")))
+        .where(F.col("status").isNotNull())
+        .select(*kcols, "status", "prev_sha", "cur_sha"))

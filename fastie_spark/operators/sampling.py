@@ -428,3 +428,37 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
                 F.col("priority").cast("bigint").alias("priority"),
                 F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def temperature_weights(counts: dict[str, int]) -> dict[str, int]:
+    """Integer mixture weights ``w_s = isqrt(n_s)`` — temperature-
+    scaled sampling shares ``w_s ∝ n_s^α`` at α = 1/2, the standard
+    rare-domain upweighting move of multilingual/multi-domain LM
+    training (XLM / mT5 sample languages at p^α, α ∈ [0.3, 0.7]; 1/2
+    is the integer-exact point: ``math.isqrt`` — no float pow, so the
+    SQL oracle replays it with a corrected floor(sqrt)).  Downstream,
+    :func:`mix_rates` turns the shares into per-stratum acceptance
+    rates exactly as explicit-weight mixing does."""
+    import math
+
+    return {s: math.isqrt(n) for s, n in counts.items()}
+
+
+def temperature_mix(docs: DataFrame, stratum_col: str = "lang",
+                    key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Temperature-scaled domain mixing: like :func:`mix_corpus` but
+    the target shares are DERIVED from the corpus itself —
+    ``w_s ∝ sqrt(n_s)`` — instead of hand-picked, flattening the
+    domain distribution toward rare strata (the α = 1/2 sampling
+    temperature).  One #strata-row census collect, integer share /
+    rate arithmetic, then the row-local deterministic hash draw —
+    membership is a pure function of (data, salt), no global sort or
+    per-stratum ranking at any scale."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in docs.groupBy(stratum_col)
+        .agg(F.count("*").alias("n")).collect()
+    }
+    rates = mix_rates(counts, temperature_weights(counts))
+    return sample_deterministic(docs, rates, key_col=key_col,
+                                stratum_col=stratum_col, salt=salt)

@@ -9521,3 +9521,145 @@ def q_kg_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverse_predicates(facts,
                               min_support=INVERSE_MIN_SUPPORT,
                               min_conf_ppm=INVERSE_MIN_CONF_PPM)
+
+
+TMP_SALT = "tmp1"
+
+
+@query("sample_temperature", oracle=f"""
+WITH cnt AS (SELECT lang, count(*)::BIGINT AS n
+             FROM documents GROUP BY lang),
+wq AS (SELECT lang, n,
+              (CASE WHEN (c0 + 1) * (c0 + 1) <= n THEN c0 + 1
+                    WHEN c0 * c0 > n THEN c0 - 1
+                    ELSE c0 END) AS wt
+       FROM (SELECT lang, n,
+                    floor(sqrt(n::DOUBLE))::BIGINT AS c0 FROM cnt)),
+act AS (SELECT lang, n, wt FROM wq WHERE wt > 0 AND n > 0),
+tot AS (SELECT sum(wt)::BIGINT AS bw FROM act),
+tmin AS (SELECT min(a.n * t.bw // a.wt)::BIGINT AS t FROM act a, tot t),
+rates AS (SELECT a.lang,
+                 ((m.t * a.wt // t.bw) * 1000000 // a.n)::BIGINT AS ppm
+          FROM act a, tot t, tmin m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {duck_hash64_sql("d.doc_id::VARCHAR || '#" + TMP_SALT + "'")}
+      % 1000000 < r.ppm
+""")
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (sampling.temperature_mix):
+    target shares DERIVED from the corpus as w_s ∝ sqrt(n_s) — the
+    α = 1/2 sampling temperature that flattens the language
+    distribution toward rare strata (the XLM/mT5 move), then the same
+    bottleneck-feasible integer rates + row-local hash draw as
+    sample_mix.  isqrt is exact on both sides (the oracle corrects
+    floor(sqrt) by one where the double rounds wrong), so the whole
+    chain — census, shares, rates, membership — is bit-replayable."""
+    from fastie_spark.operators.sampling import temperature_mix
+    d = _documents(spark, sf_dir)
+    return temperature_mix(d, stratum_col="lang", key_col="doc_id",
+                           salt=TMP_SALT).select("doc_id", "lang")
+
+
+def _apidiff_units_sql(planted: str, pfx: str) -> str:
+    """Unrolled function-unit extraction + symbol-signature fold
+    (operators.code.extract_function_units → api_diff's _sig) over a
+    planted-content CTE — shared by the prev/cur sides of the
+    code_api_diff oracle."""
+    return f"""
+{pfx}lines AS (
+  SELECT repo, path,
+         unnest(range(0, len(string_split(content, chr(10))))) AS pos,
+         unnest(string_split(content, chr(10))) AS line
+  FROM {planted}),
+{pfx}units AS (
+  SELECT repo, path,
+         max(CASE WHEN is_hdr = 1 THEN
+               regexp_extract(line, '^def ([a-z_][a-z0-9_]*)', 1) END)
+           AS func,
+         sha256(string_agg(line, chr(10) ORDER BY pos)) AS unit_sha
+  FROM (SELECT *, sum(is_hdr) OVER (PARTITION BY repo, path
+                                    ORDER BY pos) AS unit
+        FROM (SELECT *, CASE WHEN regexp_matches(line, '^def [a-z_]')
+                             THEN 1 ELSE 0 END AS is_hdr
+              FROM {pfx}lines))
+  WHERE unit > 0 GROUP BY repo, path, unit),
+{pfx}sym AS (
+  SELECT repo, path, func,
+         sha256(string_agg(unit_sha, '|' ORDER BY unit_sha)) AS sig
+  FROM {pfx}units GROUP BY repo, path, func)"""
+
+
+@query("code_api_diff", oracle=f"""
+WITH {_SRC_SQL},
+cp AS (
+  SELECT repo, path,
+         'import x' || chr(10) ||
+         'def f' || (doc_id % 7)::VARCHAR || '():' || chr(10) ||
+         replace(content, 'e ', 'e' || chr(10)) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'def g():' || chr(10) || 'return'
+              ELSE '' END AS content
+  FROM src),
+pp AS (
+  SELECT repo, path,
+         'import x' || chr(10) ||
+         'def f' || (doc_id % 7)::VARCHAR || '():' || chr(10) ||
+         replace(CASE WHEN doc_id % 5 = 0 THEN content || ' spark'
+                      ELSE content END, 'e ', 'e' || chr(10)) ||
+         CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+              THEN chr(10) || 'def h():' || chr(10) || 'return'
+              WHEN doc_id % 3 = 0
+              THEN chr(10) || 'def g():' || chr(10) || 'return'
+              ELSE '' END AS content
+  FROM src),
+{_apidiff_units_sql("pp", "p")},
+{_apidiff_units_sql("cp", "c")}
+SELECT repo, path, func,
+       CASE WHEN p.sig IS NULL THEN 'added'
+            WHEN c.sig IS NULL THEN 'removed'
+            WHEN p.sig <> c.sig THEN 'changed' END AS status,
+       p.sig AS prev_sha, c.sig AS cur_sha
+FROM psym p FULL OUTER JOIN csym c USING (repo, path, func)
+WHERE (CASE WHEN p.sig IS NULL THEN 'added'
+            WHEN c.sig IS NULL THEN 'removed'
+            WHEN p.sig <> c.sig THEN 'changed' END) IS NOT NULL
+""")
+def q_code_api_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface diff between two snapshots of the source table
+    (operators.code.api_diff): function units extract at both commits
+    (the code_functions planting; the prev snapshot carries an extra
+    trailing token on every %5 file — body change — and swaps the
+    second function g→h on %15 files — add + remove), then the
+    symbol-grain digest join reports added/removed/changed.  All
+    three statuses bind; unchanged files emit nothing.  Content never
+    shuffles — both sides reduce to (repo, path, func, digest) before
+    the full outer join — and the oracle replays the unit islands and
+    the sorted-digest signature fold on both sides."""
+    from fastie_spark.operators.code import (api_diff,
+                                             extract_function_units)
+    src = _source_view(spark, sf_dir)
+    cur = src.withColumn(
+        "content",
+        F.concat(F.lit("import x\ndef f"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("():\n"),
+                 F.regexp_replace("content", "e ", "e\n"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("\ndef g():\nreturn"))
+                 .otherwise(F.lit(""))))
+    prev = src.withColumn(
+        "content",
+        F.concat(F.lit("import x\ndef f"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("():\n"),
+                 F.regexp_replace(
+                     F.when(F.col("doc_id") % 5 == 0,
+                            F.concat("content", F.lit(" spark")))
+                     .otherwise(F.col("content")), "e ", "e\n"),
+                 F.when((F.col("doc_id") % 3 == 0)
+                        & (F.col("doc_id") % 5 == 0),
+                        F.lit("\ndef h():\nreturn"))
+                 .when(F.col("doc_id") % 3 == 0,
+                       F.lit("\ndef g():\nreturn"))
+                 .otherwise(F.lit(""))))
+    return api_diff(extract_function_units(prev),
+                    extract_function_units(cur))

@@ -1,0 +1,74 @@
+"""Round-5 tail: symbol-surface API diff and temperature-scaled
+domain mixing."""
+
+
+# ---------------------------------------------------------------------------
+# api_diff
+# ---------------------------------------------------------------------------
+
+def _units(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, func string, unit_sha string")
+
+
+def _diff(spark, prev, cur):
+    from fastie_spark.operators.code import api_diff
+    return {(r["repo"], r["path"], r["func"]):
+            (r["status"], r["prev_sha"] is None, r["cur_sha"] is None)
+            for r in api_diff(_units(spark, prev),
+                              _units(spark, cur)).collect()}
+
+
+def test_api_diff_added_removed_changed_unchanged(spark):
+    prev = [("r", "a.py", "f", "s1"), ("r", "a.py", "g", "s2"),
+            ("r", "b.py", "h", "s3")]
+    cur = [("r", "a.py", "f", "s1"),          # unchanged → no row
+           ("r", "a.py", "g", "s2x"),         # changed
+           ("r", "b.py", "k", "s4")]          # h removed, k added
+    out = _diff(spark, prev, cur)
+    assert out == {("r", "a.py", "g"): ("changed", False, False),
+                   ("r", "b.py", "h"): ("removed", False, True),
+                   ("r", "b.py", "k"): ("added", True, False)}
+
+
+def test_api_diff_duplicate_symbol_folds_to_multiset_signature(spark):
+    # two same-named units: permuting their hashes is NOT a change,
+    # altering one of them IS — and no duplicate-key fan-out rows
+    prev = [("r", "a.py", "f", "u1"), ("r", "a.py", "f", "u2")]
+    same = _diff(spark, prev, [("r", "a.py", "f", "u2"),
+                               ("r", "a.py", "f", "u1")])
+    assert same == {}
+    changed = _diff(spark, prev, [("r", "a.py", "f", "u1"),
+                                  ("r", "a.py", "f", "u3")])
+    assert changed == {("r", "a.py", "f"): ("changed", False, False)}
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing
+# ---------------------------------------------------------------------------
+
+def test_temperature_weights_isqrt():
+    from fastie_spark.operators.sampling import temperature_weights
+    assert temperature_weights({"a": 100, "b": 10, "c": 1, "d": 0}) \
+        == {"a": 10, "b": 3, "c": 1, "d": 0}
+
+
+def test_temperature_mix_flattens_toward_rare(spark):
+    from fastie_spark.operators.sampling import temperature_mix
+    rows = ([(i, "big") for i in range(900)]
+            + [(i + 900, "small") for i in range(100)])
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_mix(d, salt="t").groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    # shares 30:10 → sampled ratio ~3:1, far below the 9:1 input ratio
+    assert got["small"] > 0
+    assert got["big"] / got["small"] < 5
+
+
+def test_temperature_mix_deterministic_and_subset(spark):
+    from fastie_spark.operators.sampling import temperature_mix
+    rows = [(i, "x" if i % 3 else "y") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    a = sorted(r["doc_id"] for r in temperature_mix(d, salt="s").collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(d, salt="s").collect())
+    assert a == b and set(a) <= set(range(300))

@@ -168,6 +168,8 @@ AUDIT = [
     ("graph_triads", "triad census: masked wedge join, in-row classify"),
     ("kg_subsumption", "subClassOf mining: capped per-subject pair join"),
     ("kg_inverse", "inverse predicates: (s,o) pair-key self-join"),
+    ("sample_temperature", "sqrt-share mixing: census + row-local draw"),
+    ("code_api_diff", "symbol diff: digest-grain full outer join"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
