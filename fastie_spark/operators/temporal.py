@@ -108,3 +108,49 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     return (j.where((F.col(from_col) <= F.col(time_col))
                     & (F.col(time_col) < F.col("_to_eff")))
             .drop("_cell", "_to_eff"))
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 horizon_hours: int | None = None,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: per user, how deep into the ``steps``
+    sequence did they get — each step's FIRST occurrence must be
+    strictly after the previous step's, and (optionally) within
+    ``horizon_hours`` of the funnel's step-1 anchor.  The classic
+    product-analytics conversion query (signup → click → purchase),
+    and on a KG-construction pipeline the same shape audits staged
+    event extraction (mention → link → canonical).
+
+    Shape per step: one filtered min-aggregation keyed by user plus
+    one equi-join back to the previous frontier — k steps = k bounded
+    rounds, every frame (user, ts), never an ordered event list per
+    user in one task (the collect_list trap).  Users are only
+    retained while they keep converting, so frontiers shrink
+    monotonically.  Output: (user, steps_reached, t_first, t_last)
+    for every user who completed step 1.
+    """
+    f = (events.where(F.col(type_col) == steps[0])
+         .groupBy(F.col(user_col).alias("u"))
+         .agg(F.min(ts_col).alias("t1"))
+         .withColumn("t_last", F.col("t1"))
+         .withColumn("depth", F.lit(1)))
+    out = f
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.where(F.col(type_col) == step)
+               .select(F.col(user_col).alias("u"),
+                       F.col(ts_col).alias("_ts"))
+               .join(f.select("u", "t1", "t_last"), "u")
+               .where(F.col("_ts") > F.col("t_last")))
+        if horizon_hours is not None:
+            nxt = nxt.where(
+                F.col("_ts") <= F.col("t1")
+                + F.expr(f"INTERVAL {int(horizon_hours)} HOURS"))
+        f = (nxt.groupBy("u", "t1")
+             .agg(F.min("_ts").alias("t_last"))
+             .withColumn("depth", F.lit(i)))
+        out = out.join(f.select("u"), "u", "left_anti").unionByName(f)
+    return out.select(F.col("u").alias(user_col),
+                      F.col("depth").cast("bigint")
+                      .alias("steps_reached"),
+                      F.col("t1").alias("t_first"), "t_last")

@@ -9663,3 +9663,85 @@ def q_code_api_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.lit(""))))
     return api_diff(extract_function_units(prev),
                     extract_function_units(cur))
+
+
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+FUNNEL_HOURS = 72
+
+
+@query("events_funnel", oracle=f"""
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, s1.t1, min(e.ts) AS t2
+       FROM events e JOIN s1 ON s1.u = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL {FUNNEL_HOURS} HOURS
+       GROUP BY 1, 2),
+s3 AS (SELECT e.user_id AS u, s2.t1, min(e.ts) AS t3
+       FROM events e JOIN s2 ON s2.u = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+         AND e.ts <= s2.t1 + INTERVAL {FUNNEL_HOURS} HOURS
+       GROUP BY 1, 2)
+SELECT s1.u AS user_id,
+       (CASE WHEN s3.u IS NOT NULL THEN 3
+             WHEN s2.u IS NOT NULL THEN 2
+             ELSE 1 END)::BIGINT AS steps_reached,
+       epoch_us(s1.t1) AS t_first_us,
+       epoch_us(coalesce(s3.t3, s2.t2, s1.t1)) AS t_last_us
+FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u
+""")
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/temporal.funnel_steps):
+    per user, the deepest prefix of signup → click → purchase where
+    each step's FIRST occurrence strictly follows the previous one
+    and lands within {FUNNEL_HOURS} h of the signup anchor — the
+    staged-pipeline audit shape (mention → link → canonical) phrased
+    on the events table.  k steps = k filtered min-aggs + keyed
+    joins, frontiers shrink monotonically, no per-user ordered event
+    list ever sits in one task.  The oracle replays each step's
+    anchor chain."""
+    from fastie_spark.operators.temporal import funnel_steps
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_steps(events, FUNNEL_STEPS,
+                       horizon_hours=FUNNEL_HOURS)
+    return out.select(
+        "user_id", "steps_reached",
+        F.unix_micros(F.col("t_first").cast("timestamp"))
+        .alias("t_first_us"),
+        F.unix_micros(F.col("t_last").cast("timestamp"))
+        .alias("t_last_us"))
+
+
+# kg_linkpred's oracle minus its final per-triple SELECT: the shared
+# rank chain (train unroll → sampled filtered candidates → energies →
+# rank) that the MRR rollup re-aggregates
+_LP_RK_SQL = ORACLES["kg_linkpred"][:ORACLES["kg_linkpred"]
+                                    .rindex("\nSELECT")]
+
+
+@query("kg_linkpred_mrr", oracle=f"""
+{_LP_RK_SQL}
+SELECT r, count(*)::BIGINT AS n_test,
+       (sum(1000000 // rank) // count(*))::BIGINT AS mrr_ppm,
+       sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END)::BIGINT AS hits_1,
+       sum(CASE WHEN rank <= {LP_K} THEN 1 ELSE 0 END)::BIGINT
+         AS hits_k
+FROM rk GROUP BY r
+""")
+def q_kg_linkpred_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction LEADERBOARD rollup: per-relation MRR (integer
+    ppm) and hits@1 / hits@{LP_K} over the filtered tail-ranking eval
+    — the headline numbers a KG-completion run reports, aggregated
+    from the same per-triple ranks kg_linkpred verifies (its oracle's
+    rank chain is reused verbatim here; only the final SELECT
+    changes to the relation-grain rollup).  The agg is
+    relation-grain — dimension-sized, map-side combinable."""
+    lp = q_kg_linkpred(spark, sf_dir)
+    return (lp.groupBy("r")
+            .agg(F.count("*").cast("bigint").alias("n_test"),
+                 F.expr("CAST(sum(rr_ppm) DIV count(*) AS BIGINT)")
+                 .alias("mrr_ppm"),
+                 F.sum(F.when(F.col("rank") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("hits_1"),
+                 F.sum(F.col("hit").cast("int")).cast("bigint")
+                 .alias("hits_k")))

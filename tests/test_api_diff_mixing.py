@@ -72,3 +72,52 @@ def test_temperature_mix_deterministic_and_subset(spark):
     a = sorted(r["doc_id"] for r in temperature_mix(d, salt="s").collect())
     b = sorted(r["doc_id"] for r in temperature_mix(d, salt="s").collect())
     assert a == b and set(a) <= set(range(300))
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps
+# ---------------------------------------------------------------------------
+
+def _funnel(spark, rows, **kw):
+    from fastie_spark.operators.temporal import funnel_steps
+    d = spark.createDataFrame(rows, "user_id bigint, ts timestamp, "
+                                    "event_type string")
+    out = funnel_steps(d, ["a", "b", "c"], **kw)
+    return {r["user_id"]: r["steps_reached"] for r in out.collect()}
+
+
+def test_funnel_depth_and_strict_order(spark):
+    from datetime import datetime as dt
+    t = lambda h: dt(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        (1, t(1), "a"), (1, t(2), "b"), (1, t(3), "c"),   # full funnel
+        (2, t(1), "a"), (2, t(2), "b"),                   # stops at 2
+        (3, t(1), "a"),                                   # stops at 1
+        (4, t(2), "b"), (4, t(3), "c"),                   # never entered
+        (5, t(5), "a"), (5, t(4), "b"), (5, t(6), "c"),   # b BEFORE a:
+    ]                                                     # a→c skips b
+    out = _funnel(spark, rows)
+    assert out == {1: 3, 2: 2, 3: 1, 5: 1}
+
+
+def test_funnel_horizon_binds_and_anchor_is_first_step(spark):
+    from datetime import datetime as dt
+    rows = [
+        # converts at hour 80 > 72h horizon from the hour-1 anchor
+        (1, dt(2024, 1, 1, 1), "a"), (1, dt(2024, 1, 4, 9), "b"),
+        # converts inside the horizon
+        (2, dt(2024, 1, 1, 1), "a"), (2, dt(2024, 1, 3, 1), "b"),
+    ]
+    out = _funnel(spark, rows, horizon_hours=72)
+    assert out == {1: 1, 2: 2}
+    assert _funnel(spark, rows)[1] == 2   # no horizon → converts
+
+
+def test_funnel_uses_first_occurrence_per_step(spark):
+    from datetime import datetime as dt
+    t = lambda h: dt(2024, 1, 1, h)  # noqa: E731
+    # second "a" at hour 4 must NOT re-anchor; first "b" after the
+    # FIRST a (hour 2) is the step-2 time, so c at hour 3 > b works
+    rows = [(1, t(1), "a"), (1, t(2), "b"), (1, t(4), "a"),
+            (1, t(3), "c")]
+    assert _funnel(spark, rows) == {1: 3}

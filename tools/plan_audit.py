@@ -170,6 +170,8 @@ AUDIT = [
     ("kg_inverse", "inverse predicates: (s,o) pair-key self-join"),
     ("sample_temperature", "sqrt-share mixing: census + row-local draw"),
     ("code_api_diff", "symbol diff: digest-grain full outer join"),
+    ("events_funnel", "funnel: per-step filtered min-agg + keyed join"),
+    ("kg_linkpred_mrr", "completion leaderboard: relation-grain rollup"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
