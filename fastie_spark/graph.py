@@ -3320,3 +3320,67 @@ def inverse_predicates(facts: DataFrame, min_support: int = 2,
             .select("p", "q", "n_both",
                     F.col("n_p").cast("bigint").alias("n_p"),
                     "conf_ppm"))
+
+
+def hash_coloring(edges: DataFrame, max_iter: int = 40,
+                  src: str = "src", dst: str = "dst",
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Deterministic distributed graph coloring — (node, color) with
+    adjacent nodes always differing — by hash-priority layering: each
+    round, every uncolored node whose portable-hash priority is
+    strictly smallest among its UNCOLORED neighbors takes
+    ``color = round``.  Two adjacent nodes can never win the same
+    round (one outranks the other), so the layers are independent
+    sets and the coloring is proper; expected rounds are O(log n)
+    under the hash's random-like order (the Jones–Plassmann
+    observation).  The conflict-free scheduling primitive: a KG
+    update wave can apply each color class fully in parallel with no
+    two adjacent entities touched together.
+
+    Same per-round shape as :func:`maximal_independent_set` (two
+    semi-joins + one bool partial agg + one anti-join, all keyed;
+    durable cuts under ``checkpoint_dir``) with ONE difference: only
+    the winners leave the undecided set — their neighbors stay for a
+    later color.  ``max_iter`` exhaustion RAISES (a truncated run
+    would leave nodes uncolored — the MIS loud-failure contract).
+    """
+    from fastie_spark.functions.hashing import spark_hash64_sql
+
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    und_e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = snaps.save(
+        und_e.union(und_e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v")).distinct(), "gc_edges")
+    undecided = snaps.save(
+        sym.select(F.col("u").alias("node")).distinct(), "gc_und_0000")
+    h_u = F.expr(spark_hash64_sql("cast(u as string)"))
+    h_v = F.expr(spark_hash64_sql("cast(v as string)"))
+    out = undecided.select(
+        "node", F.lit(0).cast("bigint").alias("color")).limit(0)
+    for rnd in range(1, max_iter + 1):
+        if undecided.isEmpty():
+            return out
+        live = (sym.join(undecided.select(F.col("node").alias("u")),
+                         "u", "left_semi")
+                .join(undecided.select(F.col("node").alias("v")),
+                      "v", "left_semi"))
+        loses = (live.select(
+            "u", ((h_u < h_v) | ((h_u == h_v) & (F.col("u") < F.col("v"))))
+            .alias("ok"))
+            .groupBy("u").agg(F.min(F.col("ok").cast("int")).alias("w")))
+        winners = (undecided.join(
+            loses, undecided["node"] == loses["u"], "left")
+            .where(F.col("w").isNull() | (F.col("w") == 1))
+            .select("node", F.lit(rnd).cast("bigint").alias("color")))
+        winners = snaps.save(winners, f"gc_win_{rnd:04d}")
+        out = out.unionByName(winners)
+        undecided = snaps.save(
+            undecided.join(winners.select("node"), "node", "left_anti"),
+            f"gc_und_{rnd:04d}")
+    if not undecided.isEmpty():
+        raise RuntimeError(
+            f"hash_coloring: {undecided.count()} nodes still uncolored "
+            f"after max_iter={max_iter} rounds — raise max_iter (a "
+            "truncated run would leave the coloring partial)")
+    return out

@@ -751,3 +751,44 @@ def api_diff(prev_units: DataFrame, cur_units: DataFrame,
         .when(F.col("prev_sha") != F.col("cur_sha"), F.lit("changed")))
         .where(F.col("status").isNotNull())
         .select(*kcols, "status", "prev_sha", "cur_sha"))
+
+
+def unit_complexity(src: DataFrame, decision_tokens: list[str],
+                    header_pattern: str = r"^def ([a-z_][a-z0-9_]*)"
+                    ) -> DataFrame:
+    """Per-function complexity gauge — the cyclomatic proxy
+    ``1 + #decision tokens`` over each function unit's lines, using
+    the same gaps-and-islands split as :func:`extract_function_units`
+    (header opens a unit, preamble drops).  ``decision_tokens`` is
+    the branch lexicon (if/for/while/case for real code; callers pass
+    whatever their language maps to a decision point).  The
+    curation signal: complexity-extreme units are boilerplate
+    generators or minified blobs, both quality-gate material.
+
+    Everything is in-row (token filter per line) + one per-file
+    bounded window + a unit-grain partial agg — no corpus-wide
+    anything.  Output: (repo, path, func, n_lines, n_decisions,
+    complexity).
+    """
+    from pyspark.sql import Window as W
+    toks = ",".join(f"'{t}'" for t in decision_tokens)
+    lines = src.select(
+        "repo", "path",
+        F.posexplode(F.split("content", "\n")).alias("pos", "line"))
+    w = W.partitionBy("repo", "path").orderBy("pos")
+    marked = (lines
+              .withColumn("is_hdr",
+                          F.col("line").rlike(header_pattern).cast("int"))
+              .withColumn("unit", F.sum("is_hdr").over(w))
+              .withColumn("nd", F.expr(
+                  f"size(filter(split(line, ' '), t -> t IN ({toks})))")))
+    return (marked.where(F.col("unit") > 0)
+            .groupBy("repo", "path", "unit")
+            .agg(F.max(F.when(F.col("is_hdr") == 1,
+                              F.regexp_extract("line", header_pattern, 1)))
+                 .alias("func"),
+                 F.count("*").cast("bigint").alias("n_lines"),
+                 F.sum("nd").cast("bigint").alias("n_decisions"))
+            .withColumn("complexity",
+                        (F.lit(1) + F.col("n_decisions")).cast("bigint"))
+            .drop("unit"))

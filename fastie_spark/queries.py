@@ -9745,3 +9745,138 @@ def q_kg_linkpred_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("hits_1"),
                  F.sum(F.col("hit").cast("int")).cast("bigint")
                  .alias("hits_k")))
+
+
+GC_ROUNDS_ORACLE = 6   # fixpoint at 3 on both sf dirs; extra rounds
+                       # are exact no-ops (und empty)
+
+
+def _coloring_round_sql(i: int) -> str:
+    """One hash-priority coloring layer (graph.hash_coloring): the
+    MIS winner rule over the uncolored residual, but only WINNERS
+    leave the undecided set — neighbors stay for a later color."""
+    return f"""
+g{i} AS MATERIALIZED (
+  SELECT d.node, {i} AS color
+  FROM gund{i - 1} d
+  LEFT JOIN (
+    SELECT s.u AS node,
+           bool_and((hu.h < hv.h) OR (hu.h = hv.h AND s.u < s.v)) AS w
+    FROM se s
+    JOIN gund{i - 1} a ON a.node = s.u
+    JOIN gund{i - 1} b ON b.node = s.v
+    JOIN hn hu ON hu.node = s.u
+    JOIN hn hv ON hv.node = s.v
+    GROUP BY s.u) q ON q.node = d.node
+  WHERE q.w IS NULL OR q.w),
+gund{i} AS MATERIALIZED (
+  SELECT node FROM gund{i - 1}
+  EXCEPT SELECT node FROM g{i})"""
+
+
+def _coloring_oracle() -> str:
+    from fastie_spark.functions.hashing import duck_hash64_sql
+    rounds = ",".join(_coloring_round_sql(i)
+                      for i in range(1, GC_ROUNDS_ORACLE + 1))
+    final = " UNION ALL ".join(
+        f"SELECT node, color FROM g{i}"
+        for i in range(1, GC_ROUNDS_ORACLE + 1))
+    return f"""
+WITH {_bucket_cte(CC_LSH_PLANES)},
+pe AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+se AS MATERIALIZED (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+hn AS MATERIALIZED (SELECT DISTINCT u AS node,
+              {duck_hash64_sql("u::VARCHAR")} AS h FROM se),
+gund0 AS (SELECT node FROM hn),
+{rounds}
+SELECT node::BIGINT AS vec_id, color::BIGINT AS color FROM ({final})
+"""
+
+
+@query("graph_coloring", oracle=_coloring_oracle())
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed graph coloring (graph.hash_coloring) over the LSH
+    near-dup graph — hash-priority layering (Jones–Plassmann): every
+    round's winners form an independent set and take the round number
+    as color, so adjacent docs NEVER share one — the conflict-free
+    schedule for applying canonicalization updates wave by wave
+    (graph_mis extracts ONE such layer; this exhausts the graph).
+    max_iter exhaustion raises rather than emitting a partial
+    coloring; the oracle unrolls the same rounds (rounds past the
+    fixpoint are no-ops)."""
+    from fastie_spark.graph import hash_coloring
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    col = hash_coloring(edges, max_iter=GC_ROUNDS_ORACLE)
+    return col.select(F.col("node").cast("bigint").alias("vec_id"),
+                      F.col("color").cast("bigint").alias("color"))
+
+
+CPLX_TOKENS = ["filter", "join", "map"]  # the synthetic corpus's
+                                         # decision lexicon (vocab has
+                                         # no if/for/while)
+
+
+@query("code_complexity", oracle=f"""
+WITH {_SRC_SQL},
+planted AS (
+  SELECT repo, path,
+         'import x' || chr(10) ||
+         'def f' || (doc_id % 7)::VARCHAR || '():' || chr(10) ||
+         replace(content, 'e ', 'e' || chr(10)) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'def g():' || chr(10) || 'return'
+              ELSE '' END AS content
+  FROM src),
+lines AS (
+  SELECT repo, path,
+         unnest(range(0, len(string_split(content, chr(10))))) AS pos,
+         unnest(string_split(content, chr(10))) AS line
+  FROM planted),
+marked AS (
+  SELECT *, CASE WHEN regexp_matches(line, '^def [a-z_]')
+                 THEN 1 ELSE 0 END AS is_hdr,
+         len(list_filter(string_split(line, ' '),
+                         t -> t IN ({", ".join(f"'{t}'" for t in CPLX_TOKENS)})))::BIGINT AS nd
+  FROM lines),
+units AS (
+  SELECT *, sum(is_hdr) OVER (PARTITION BY repo, path
+                              ORDER BY pos) AS unit
+  FROM marked)
+SELECT repo, path,
+       max(CASE WHEN is_hdr = 1 THEN
+             regexp_extract(line, '^def ([a-z_][a-z0-9_]*)', 1) END)
+         AS func,
+       count(*)::BIGINT AS n_lines,
+       sum(nd)::BIGINT AS n_decisions,
+       (1 + sum(nd))::BIGINT AS complexity
+FROM units WHERE unit > 0
+GROUP BY repo, path, unit
+""")
+def q_code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-function complexity gauge (operators/code.unit_complexity):
+    the cyclomatic proxy 1 + #decision tokens per function unit, over
+    the same planted units as code_functions (decision lexicon =
+    the synthetic vocab's branch stand-ins).  The curation signal
+    that flags complexity-extreme units for the quality gate.  In-row
+    token filters + the per-file islands window + a unit-grain
+    partial agg — nothing corpus-wide; the oracle replays islands and
+    token census."""
+    from fastie_spark.operators.code import unit_complexity
+    src = _source_view(spark, sf_dir)
+    planted = src.withColumn(
+        "content",
+        F.concat(F.lit("import x\ndef f"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit("():\n"),
+                 F.regexp_replace("content", "e ", "e\n"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("\ndef g():\nreturn"))
+                 .otherwise(F.lit(""))))
+    return unit_complexity(planted, CPLX_TOKENS)

@@ -160,3 +160,62 @@ def test_inverse_symmetric_predicate_self_pairs(spark):
              ("c", "sym", "d"), ("d", "sym", "c")]
     out = _inverse(spark, facts, min_support=2, min_conf_ppm=900_000)
     assert out == {("sym", "sym"): (4, 4, 1_000_000)}
+
+
+# ---------------------------------------------------------------------------
+# hash_coloring
+# ---------------------------------------------------------------------------
+
+def _coloring(spark, edges, **kw):
+    from fastie_spark.graph import hash_coloring
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["color"]
+            for r in hash_coloring(e, **kw).collect()}
+
+
+def test_coloring_proper_on_clique_and_path(spark):
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d")]
+    path = [("p1", "p2"), ("p2", "p3"), ("p3", "p4")]
+    cm = _coloring(spark, clique + path)
+    for s, t in clique + path:
+        assert cm[s] != cm[t]
+    # a 4-clique needs all 4 colors; the path needs 2
+    assert sorted(cm[n] for n in "abcd") == [1, 2, 3, 4]
+    assert max(cm[f"p{i}"] for i in (1, 2, 3, 4)) <= 3
+
+
+def test_coloring_raises_on_exhaustion(spark):
+    import pytest
+    clique = [("a", "b"), ("a", "c"), ("b", "c")]
+    with pytest.raises(RuntimeError, match="uncolored"):
+        _coloring(spark, clique, max_iter=2)
+
+
+def test_coloring_checkpoint_dir_durable_form(spark, tmp_path):
+    import os
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    fast = _coloring(spark, edges)
+    root = str(tmp_path / "gc")
+    durable = _coloring(spark, edges, checkpoint_dir=root)
+    assert durable == fast
+    snaps = [n for n in os.listdir(root)
+             if os.path.exists(os.path.join(root, n, "_SUCCESS"))]
+    assert any(n.startswith("gc_win_") for n in snaps)
+
+
+# ---------------------------------------------------------------------------
+# unit_complexity
+# ---------------------------------------------------------------------------
+
+def test_unit_complexity_counts_decisions_per_unit(spark):
+    from fastie_spark.operators.code import unit_complexity
+    src = spark.createDataFrame(
+        [("r", "a.py", "preamble if\n"
+                       "def f():\nx = 1 if y else 2\nif z\n"
+                       "def g():\nreturn 0")],
+        "repo string, path string, content string")
+    out = {r["func"]: (r["n_lines"], r["n_decisions"], r["complexity"])
+           for r in unit_complexity(src, ["if", "else"]).collect()}
+    # preamble's "if" is dropped with the preamble
+    assert out == {"f": (3, 3, 4), "g": (2, 0, 1)}

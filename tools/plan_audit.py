@@ -172,6 +172,8 @@ AUDIT = [
     ("code_api_diff", "symbol diff: digest-grain full outer join"),
     ("events_funnel", "funnel: per-step filtered min-agg + keyed join"),
     ("kg_linkpred_mrr", "completion leaderboard: relation-grain rollup"),
+    ("graph_coloring", "hash-priority layers: keyed semi-join rounds"),
+    ("code_complexity", "cyclomatic proxy: in-row census, islands window"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
