@@ -3212,8 +3212,8 @@ def triad_census(edges: DataFrame, src: str = "src", dst: str = "dst",
 def class_subsumption(facts: DataFrame, min_support: int = 2,
                       min_conf_ppm: int = 900_000,
                       max_classes_per_subject: int = 64,
-                      s: str = "subj", p: str = "pred", o: str = "obj"
-                      ) -> DataFrame:
+                      s: str = "subj", p: str = "pred", o: str = "obj",
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Ontology induction: candidate subClassOf axioms between
     attribute-defined classes.  A class is a (predicate, object) pair —
     "everything with ``p = o``" (e.g. ``from_nation=N:3``); its
@@ -3239,9 +3239,16 @@ def class_subsumption(facts: DataFrame, min_support: int = 2,
     (dimension-sized), confidence is integer ppm (oracle-exact).
     Output: (class_a, class_b, support, size_a, conf_ppm, equiv).
     """
-    mem = (facts.select(
-        F.concat(F.col(p), F.lit("="), F.col(o)).alias("cls"),
-        F.col(s).alias("x")).distinct())
+    # the membership frame feeds FOUR consumers (hub census, pair
+    # join both sides, class sizes) — cut it once so the possibly
+    # expensive upstream fact derivation runs a single time
+    # (checkpoint_dir = reliable parquet, the cluster-durable form)
+    snaps = _Snapshots(facts.sparkSession, checkpoint_dir)
+    mem = snaps.save(
+        facts.select(
+            F.concat(F.col(p), F.lit("="), F.col(o)).alias("cls"),
+            F.col(s).alias("x")).distinct(),
+        "subsume_mem")
     per_subj = mem.groupBy("x").agg(F.count("*").alias("nc"))
     hot = per_subj.where(F.col("nc") > max_classes_per_subject)
     n_hot = hot.count()
@@ -3281,8 +3288,8 @@ def class_subsumption(facts: DataFrame, min_support: int = 2,
 
 def inverse_predicates(facts: DataFrame, min_support: int = 2,
                        min_conf_ppm: int = 900_000,
-                       s: str = "subj", p: str = "pred", o: str = "obj"
-                       ) -> DataFrame:
+                       s: str = "subj", p: str = "pred", o: str = "obj",
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """Inverse-relation detection: (p, q) such that facts ``(s, p, o)``
     are mirrored by ``(o, q, s)``.  For every ordered predicate pair,
 
@@ -3303,8 +3310,13 @@ def inverse_predicates(facts: DataFrame, min_support: int = 2,
     pair, not an endpoint), then predicate-grain aggregation
     (dimension-sized).  Output: (p, q, n_both, n_p, conf_ppm).
     """
-    f = facts.select(F.col(s).alias("s"), F.col(p).alias("p"),
-                     F.col(o).alias("o")).distinct()
+    # the deduped fact frame is read three times (per-predicate
+    # census + both sides of the mirror join) — cut it once
+    snaps = _Snapshots(facts.sparkSession, checkpoint_dir)
+    f = snaps.save(
+        facts.select(F.col(s).alias("s"), F.col(p).alias("p"),
+                     F.col(o).alias("o")).distinct(),
+        "inverse_facts")
     np_ = f.groupBy("p").agg(F.count("*").alias("n_p"))
     swapped = f.select(F.col("o").alias("s"), F.col("p").alias("q"),
                        F.col("s").alias("o"))

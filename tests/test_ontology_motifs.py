@@ -219,3 +219,29 @@ def test_unit_complexity_counts_decisions_per_unit(spark):
            for r in unit_complexity(src, ["if", "else"]).collect()}
     # preamble's "if" is dropped with the preamble
     assert out == {"f": (3, 3, 4), "g": (2, 0, 1)}
+
+
+def test_subsumption_inverse_checkpoint_dir_durable_form(spark, tmp_path):
+    import os
+
+    from fastie_spark.graph import class_subsumption, inverse_predicates
+    facts = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2"),
+         ("o1", "q", "s1"), ("o2", "q", "s2"),
+         ("s1", "p2", "b"), ("s2", "p2", "b")],
+        "subj string, pred string, obj string")
+    for name, run in {
+        "sub": lambda d: class_subsumption(facts, min_support=2,
+                                           min_conf_ppm=600_000,
+                                           checkpoint_dir=d),
+        "inv": lambda d: inverse_predicates(facts, min_support=2,
+                                            min_conf_ppm=900_000,
+                                            checkpoint_dir=d),
+    }.items():
+        fast = sorted(tuple(r) for r in run(None).collect())
+        root = str(tmp_path / name)
+        durable = sorted(tuple(r) for r in run(root).collect())
+        assert durable == fast, name
+        snaps = [n for n in os.listdir(root)
+                 if os.path.exists(os.path.join(root, n, "_SUCCESS"))]
+        assert snaps, name
