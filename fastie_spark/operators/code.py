@@ -792,3 +792,47 @@ def unit_complexity(src: DataFrame, decision_tokens: list[str],
             .withColumn("complexity",
                         (F.lit(1) + F.col("n_decisions")).cast("bigint"))
             .drop("unit"))
+
+
+def license_conflicts(dep_edges: DataFrame, file_licenses: DataFrame
+                      ) -> DataFrame:
+    """License governance over the repo dependency graph: each repo
+    gets its DOMINANT license family (most files; tie → family name
+    ascending — deterministic), dependency edges roll up to repo
+    pairs, and an edge is flagged when a permissive-family repo
+    depends on a copyleft one (``copyleft_dep`` — the viral-license
+    exposure every corpus-governance pass hunts) or on a repo with no
+    asserted license (``unknown_dep``).  Compatible edges emit
+    nothing.
+
+    Inputs are the outputs of :func:`resolve_symbols` (src_repo,
+    dst_repo, n_uses) and :func:`license_scan` (repo, family).  The
+    dominant-family frame is repo-grain — dimension-sized, broadcast
+    into both sides of the edge join; the per-repo election window is
+    bounded by the family count (3).  Output: (src_repo, dst_repo,
+    src_family, dst_family, n_uses, conflict).
+    """
+    from pyspark.sql import Window as W
+    cnt = (file_licenses.groupBy("repo", "family")
+           .agg(F.count("*").alias("n")))
+    w = W.partitionBy("repo").orderBy(F.col("n").desc(),
+                                      F.col("family").asc())
+    dom = (cnt.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1).select("repo", "family"))
+    e = (dep_edges.groupBy("src_repo", "dst_repo")
+         .agg(F.sum("n_uses").cast("bigint").alias("n_uses")))
+    j = (e.join(F.broadcast(dom.select(
+            F.col("repo").alias("src_repo"),
+            F.col("family").alias("src_family"))), "src_repo")
+         .join(F.broadcast(dom.select(
+            F.col("repo").alias("dst_repo"),
+            F.col("family").alias("dst_family"))), "dst_repo"))
+    conflict = (F.when((F.col("src_family") == "permissive")
+                       & (F.col("dst_family") == "copyleft"),
+                       F.lit("copyleft_dep"))
+                .when(F.col("dst_family") == "unknown",
+                      F.lit("unknown_dep")))
+    return (j.withColumn("conflict", conflict)
+            .where(F.col("conflict").isNotNull())
+            .select("src_repo", "dst_repo", "src_family", "dst_family",
+                    "n_uses", "conflict"))

@@ -154,3 +154,36 @@ def funnel_steps(events: DataFrame, steps: list[str],
                       F.col("depth").cast("bigint")
                       .alias("steps_reached"),
                       F.col("t1").alias("t_first"), "t_last")
+
+
+def retention_cohorts(events: DataFrame, anchor_type: str,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """Cohort retention matrix: users cohort by the DAY of their first
+    ``anchor_type`` event; every later activity day contributes one
+    distinct (user, day-offset) cell; output counts users per
+    (cohort_day, day_offset) — the product-analytics retention table,
+    and on a continuous-extraction pipeline the freshness gauge
+    (which ingestion cohorts keep yielding new mentions?).
+
+    One min-agg keyed by user, one keyed join back to events, an
+    in-row day diff, then a distinct + partial-agg count at
+    (cohort, offset) grain — the matrix is days × days regardless of
+    corpus size.  Output: (cohort_day, day_offset, n_users).
+    """
+    anchors = (events.where(F.col(type_col) == anchor_type)
+               .groupBy(F.col(user_col).alias("u"))
+               .agg(F.date_trunc("day", F.min(ts_col)).alias("cd")))
+    acts = (events.select(F.col(user_col).alias("u"),
+                          F.col(ts_col).alias("_ts"))
+            .join(anchors, "u")
+            .where(F.col("_ts") >= F.col("cd"))
+            .select("u", "cd",
+                    F.datediff(F.date_trunc("day", F.col("_ts")),
+                               F.col("cd")).cast("bigint")
+                    .alias("day_offset"))
+            .distinct())
+    return (acts.groupBy("cd", "day_offset")
+            .agg(F.count("*").cast("bigint").alias("n_users"))
+            .select(F.col("cd").alias("cohort_day"), "day_offset",
+                    "n_users"))

@@ -9920,3 +9920,173 @@ _rest2_o = dict(ORACLES)
 ORACLES.clear()
 ORACLES.update(_promoted2_o)
 ORACLES.update(_rest2_o)
+
+
+_LIC_PLANT_SQL = """
+ls AS (
+  SELECT repo, path, doc_id,
+         CASE WHEN doc_id % 10 < 3
+           THEN 'SPDX-License-Identifier: GPL-3.0-only'
+                || chr(10) || content
+         ELSE CASE doc_id % 7
+           WHEN 1 THEN 'SPDX-License-Identifier: MIT' || chr(10)
+                       || content
+           WHEN 2 THEN 'SPDX-License-Identifier: GPL-3.0-only'
+                       || chr(10) || content
+           WHEN 3 THEN 'Licensed under the Apache License, Version 2.0.'
+                       || chr(10) || content
+           WHEN 4 THEN 'Released under the MIT License.' || chr(10)
+                       || content
+           ELSE content END END AS content
+  FROM src),
+lid AS (
+  SELECT repo, path,
+         CASE WHEN regexp_extract(content,
+                'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) <> ''
+              THEN regexp_extract(content,
+                'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+              WHEN contains(content, 'Apache License')
+                THEN 'Apache-2.0'
+              WHEN contains(content, 'MIT License') THEN 'MIT'
+              WHEN contains(content, 'GNU General Public License')
+                THEN 'GPL-3.0-only'
+              ELSE 'NOASSERTION' END AS license
+  FROM ls),
+lfam AS (
+  SELECT repo, path,
+         CASE WHEN lower(license) IN ('mit', 'apache-2.0',
+                'bsd-2-clause', 'bsd-3-clause', 'isc', 'unlicense')
+                THEN 'permissive'
+              WHEN lower(license) LIKE 'gpl%'
+                OR lower(license) LIKE 'agpl%'
+                OR lower(license) LIKE 'lgpl%' THEN 'copyleft'
+              ELSE 'unknown' END AS family
+  FROM lid)
+"""
+
+
+@query("code_license_conflict", oracle=f"""
+WITH {_SRC_SQL},
+{_LIC_PLANT_SQL},
+cnt AS (SELECT repo, family, count(*) AS n FROM lfam GROUP BY 1, 2),
+dom AS (SELECT repo, family FROM (
+          SELECT *, row_number() OVER (PARTITION BY repo
+                    ORDER BY n DESC, family) AS rn FROM cnt)
+        WHERE rn = 1),
+dm AS (SELECT repo, path,
+              unnest(regexp_extract_all(content, 'merge [a-z]+')) AS m
+       FROM src),
+defs AS (SELECT split_part(m, ' ', 2) AS symbol, repo AS def_repo,
+                count(DISTINCT path) AS nf
+         FROM dm GROUP BY 1, 2),
+cat AS (SELECT symbol, def_repo FROM (
+          SELECT *, row_number() OVER (PARTITION BY symbol
+                    ORDER BY nf DESC, def_repo) AS rn FROM defs)
+        WHERE rn = 1),
+um AS (SELECT repo,
+              unnest(regexp_extract_all(content,
+                                        '(?:scan|join) [a-z]+')) AS m
+       FROM src),
+uses AS (SELECT repo AS src_repo, split_part(m, ' ', 2) AS symbol,
+                count(*) AS n_uses
+         FROM um GROUP BY 1, 2),
+eg AS (SELECT u.src_repo, c.def_repo AS dst_repo,
+              sum(u.n_uses)::BIGINT AS n_uses
+       FROM uses u JOIN cat c ON c.symbol = u.symbol
+       WHERE u.src_repo <> c.def_repo GROUP BY 1, 2)
+SELECT e.src_repo, e.dst_repo, ds.family AS src_family,
+       dd.family AS dst_family, e.n_uses,
+       CASE WHEN ds.family = 'permissive' AND dd.family = 'copyleft'
+              THEN 'copyleft_dep'
+            WHEN dd.family = 'unknown' THEN 'unknown_dep' END
+         AS conflict
+FROM eg e JOIN dom ds ON ds.repo = e.src_repo
+JOIN dom dd ON dd.repo = e.dst_repo
+WHERE (CASE WHEN ds.family = 'permissive' AND dd.family = 'copyleft'
+              THEN 'copyleft_dep'
+            WHEN dd.family = 'unknown' THEN 'unknown_dep' END)
+      IS NOT NULL
+""")
+def q_code_license_conflict(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """License governance over the dependency graph
+    (code.license_conflicts ∘ resolve_symbols ∘ license_scan): each
+    repo's dominant license family meets the resolved repo dependency
+    edges, flagging permissive→copyleft exposure and unasserted-
+    license deps — the corpus-wide compliance pass The Stack's
+    pipeline runs before training.  The planting makes the HOT repo
+    copyleft-dominant (it wins every symbol election at any scale,
+    being 30% of the corpus) while org-index repos stay permissive /
+    unknown — so the copyleft_dep path binds at every sf; the
+    unknown_dep rule binds in the operator's unit test.  Dominant families are a
+    repo-grain broadcast; the oracle replays planting, detection,
+    election, resolution and classification."""
+    from fastie_spark.operators.code import (license_conflicts,
+                                             license_scan,
+                                             resolve_symbols)
+    src = _source_view(spark, sf_dir)
+    hdr = (F.when(F.col("doc_id") % 10 < 3,
+                  F.lit("SPDX-License-Identifier: GPL-3.0-only\n"))
+           .when(F.col("doc_id") % 7 == 1,
+                 F.lit("SPDX-License-Identifier: MIT\n"))
+           .when(F.col("doc_id") % 7 == 2,
+                 F.lit("SPDX-License-Identifier: GPL-3.0-only\n"))
+           .when(F.col("doc_id") % 7 == 3,
+                 F.lit("Licensed under the Apache License, "
+                       "Version 2.0.\n"))
+           .when(F.col("doc_id") % 7 == 4,
+                 F.lit("Released under the MIT License.\n"))
+           .otherwise(F.lit("")))
+    planted = src.withColumn("content",
+                             F.concat(hdr, F.col("content")))
+    deps = resolve_symbols(src, ["merge"], ["scan", "join"])
+    lic = license_scan(planted)
+    return license_conflicts(deps, lic)
+
+
+@query("events_retention", oracle="""
+WITH s AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cd
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, s.cd,
+         date_diff('day', s.cd, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.ts >= s.cd)
+SELECT epoch_us(cd) AS cohort_us, day_offset::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM a GROUP BY cd, day_offset
+""")
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/temporal.retention_cohorts):
+    users cohort by first-signup day, every later active day fills
+    one distinct (cohort, day-offset) cell, counts per cell — the
+    freshness gauge of a continuous-ingestion pipeline (which
+    cohorts keep producing?).  One keyed min-agg + one keyed join +
+    a (cohort, offset)-grain count: the output is days × days no
+    matter the corpus size."""
+    from fastie_spark.operators.temporal import retention_cohorts
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = retention_cohorts(events, "signup")
+    return out.select(
+        F.unix_micros(F.col("cohort_day").cast("timestamp"))
+        .alias("cohort_us"), "day_offset", "n_users")
+
+
+# code_license_conflict / events_retention registered after the tail
+# promotion above — same final-round argument, so they join the window
+# front too; the two entries this pushes out (bpe_train, bpe_segment)
+# have driver evidence from r4 AND their operator family keeps
+# bpe_encode's r1-r3 history plus the CI gate.
+_WINDOW_PROMOTE_R5_TAIL2 = ["code_license_conflict", "events_retention"]
+_promoted3 = {_n: QUERIES.pop(_n) for _n in _WINDOW_PROMOTE_R5_TAIL2}
+_rest3 = dict(QUERIES)
+QUERIES.clear()
+QUERIES.update(_promoted3)
+QUERIES.update(_rest3)
+_promoted3_o = {_n: ORACLES.pop(_n) for _n in _WINDOW_PROMOTE_R5_TAIL2
+                if _n in ORACLES}
+_rest3_o = dict(ORACLES)
+ORACLES.clear()
+ORACLES.update(_promoted3_o)
+ORACLES.update(_rest3_o)

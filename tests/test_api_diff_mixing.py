@@ -121,3 +121,67 @@ def test_funnel_uses_first_occurrence_per_step(spark):
     rows = [(1, t(1), "a"), (1, t(2), "b"), (1, t(4), "a"),
             (1, t(3), "c")]
     assert _funnel(spark, rows) == {1: 3}
+
+
+# ---------------------------------------------------------------------------
+# license_conflicts
+# ---------------------------------------------------------------------------
+
+def test_license_conflicts_rules_and_dominant_election(spark):
+    from fastie_spark.operators.code import license_conflicts
+    deps = spark.createDataFrame(
+        [("perm", "copy", "s1", 3), ("perm", "copy", "s2", 2),
+         ("perm", "nolic", "s3", 1), ("perm", "perm2", "s4", 9),
+         ("copy", "perm", "s5", 1)],   # copyleft → permissive: fine
+        "src_repo string, dst_repo string, symbol string, n_uses bigint")
+    lic = spark.createDataFrame(
+        # "mixed" repo: 2 permissive + 1 copyleft files → permissive wins
+        [("perm", "a", "permissive"), ("perm", "b", "permissive"),
+         ("perm", "c", "copyleft"),
+         ("copy", "d", "copyleft"),
+         ("nolic", "e", "unknown"),
+         ("perm2", "f", "permissive")],
+        "repo string, path string, family string")
+    out = {(r["src_repo"], r["dst_repo"]): (r["conflict"], r["n_uses"])
+           for r in license_conflicts(deps, lic).collect()}
+    assert out == {("perm", "copy"): ("copyleft_dep", 5),
+                   ("perm", "nolic"): ("unknown_dep", 1)}
+
+
+def test_license_conflicts_tie_breaks_by_family_name(spark):
+    from fastie_spark.operators.code import license_conflicts
+    deps = spark.createDataFrame(
+        [("a", "t", "s", 1)],
+        "src_repo string, dst_repo string, symbol string, n_uses bigint")
+    lic = spark.createDataFrame(
+        # 1-1 tie in repo t: 'copyleft' < 'unknown' wins the election
+        [("a", "x", "permissive"),
+         ("t", "y", "unknown"), ("t", "z", "copyleft")],
+        "repo string, path string, family string")
+    out = license_conflicts(deps, lic).collect()
+    assert [(r["dst_family"], r["conflict"]) for r in out] \
+        == [("copyleft", "copyleft_dep")]
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+# ---------------------------------------------------------------------------
+
+def test_retention_cohorts_matrix(spark):
+    from datetime import datetime as dt
+    from fastie_spark.operators.temporal import retention_cohorts
+    rows = [
+        (1, dt(2024, 1, 1, 9), "signup"),
+        (1, dt(2024, 1, 1, 21), "click"),   # same day → offset 0 (dedup)
+        (1, dt(2024, 1, 3, 5), "view"),     # offset 2
+        (2, dt(2024, 1, 1, 8), "signup"),   # same cohort day
+        (2, dt(2024, 1, 3, 1), "click"),    # offset 2
+        (3, dt(2024, 1, 2, 1), "signup"),   # other cohort
+        (3, dt(2024, 1, 1, 1), "view"),     # BEFORE cohort day: dropped
+        (4, dt(2024, 1, 5, 1), "click"),    # never signed up: dropped
+    ]
+    d = spark.createDataFrame(rows, "user_id bigint, ts timestamp, "
+                                    "event_type string")
+    out = {(r["cohort_day"].day, r["day_offset"]): r["n_users"]
+           for r in retention_cohorts(d, "signup").collect()}
+    assert out == {(1, 0): 2, (1, 2): 2, (2, 0): 1}

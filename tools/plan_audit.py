@@ -174,6 +174,8 @@ AUDIT = [
     ("kg_linkpred_mrr", "completion leaderboard: relation-grain rollup"),
     ("graph_coloring", "hash-priority layers: keyed semi-join rounds"),
     ("code_complexity", "cyclomatic proxy: in-row census, islands window"),
+    ("code_license_conflict", "license governance: bcast dominant families"),
+    ("events_retention", "cohort matrix: keyed min-agg + day-grain count"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
