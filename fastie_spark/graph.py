@@ -3067,7 +3067,8 @@ def diameter_double_sweep(edges: DataFrame, max_depth: int,
 
 def coreness(edges: DataFrame, n_rounds: int,
              src: str = "src", dst: str = "dst",
-             checkpoint_dir: str | None = None) -> DataFrame:
+             checkpoint_dir: str | None = None,
+             resume: bool = False) -> DataFrame:
     """Full core decomposition — (node, coreness) for every node of the
     undirected simple graph — via the h-index fixpoint iteration
     (Lü et al. 2016, "The H-index of a network node and its relation
@@ -3092,24 +3093,36 @@ def coreness(edges: DataFrame, n_rounds: int,
     round cuts lineage: ``localCheckpoint`` by default, reliable
     parquet snapshots (``coreness_NNNN``) under ``checkpoint_dir`` —
     the cluster-durable form, same contract as
-    :func:`connected_components`.  Mega-hub caveat: a hub's window
+    :func:`connected_components`; ``resume=True`` restarts from the
+    latest committed round's value frame (plus the materialized
+    symmetric edge list) WITHOUT recomputing the possibly-expensive
+    upstream ``edges``.  Mega-hub caveat: a hub's window
     frame is its degree; the fixed-k :func:`kcore` path (census +
     semi-joins only) is the fallback when single nodes exceed a task.
     """
     from pyspark.sql import Window
 
     snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
-    und = snaps.save(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"),
-                            F.col(src).alias("v")))
-        .where(F.col("u") != F.col("v")).distinct(),
-        "coreness_und")
-    vals = snaps.save(
-        und.groupBy("u").agg(F.count("*").cast("bigint").alias("c")),
-        "coreness_0000")
+    start, und, vals = 0, None, None
+    if resume:
+        done = snaps.latest_round("coreness")
+        if done is not None:
+            vals = snaps.load(f"coreness_{done:04d}")
+            und = snaps.load("coreness_und")
+            start = done
+    if und is None:
+        und = snaps.save(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"),
+                                F.col(src).alias("v")))
+            .where(F.col("u") != F.col("v")).distinct(),
+            "coreness_und")
+    if vals is None:
+        vals = snaps.save(
+            und.groupBy("u").agg(F.count("*").cast("bigint").alias("c")),
+            "coreness_0000")
     w = Window.partitionBy("u").orderBy(F.col("c").desc())
-    for rnd in range(n_rounds):
+    for rnd in range(start, n_rounds):
         nb = (und.join(vals.withColumnRenamed("u", "v"), "v")
               .select("u", "c"))
         vals = snaps.save(
@@ -3336,7 +3349,8 @@ def inverse_predicates(facts: DataFrame, min_support: int = 2,
 
 def hash_coloring(edges: DataFrame, max_iter: int = 40,
                   src: str = "src", dst: str = "dst",
-                  checkpoint_dir: str | None = None) -> DataFrame:
+                  checkpoint_dir: str | None = None,
+                  resume: bool = False) -> DataFrame:
     """Deterministic distributed graph coloring — (node, color) with
     adjacent nodes always differing — by hash-priority layering: each
     round, every uncolored node whose portable-hash priority is
@@ -3355,22 +3369,40 @@ def hash_coloring(edges: DataFrame, max_iter: int = 40,
     the winners leave the undecided set — their neighbors stay for a
     later color.  ``max_iter`` exhaustion RAISES (a truncated run
     would leave nodes uncolored — the MIS loud-failure contract).
+    ``resume=True`` reloads the latest committed undecided frame, the
+    accumulated per-round winner snapshots and the materialized edge
+    list, and continues — the upstream ``edges`` is never recomputed.
     """
     from fastie_spark.functions.hashing import spark_hash64_sql
 
     snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
-    und_e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = snaps.save(
-        und_e.union(und_e.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v")))
-        .where(F.col("u") != F.col("v")).distinct(), "gc_edges")
-    undecided = snaps.save(
-        sym.select(F.col("u").alias("node")).distinct(), "gc_und_0000")
+    start, sym, undecided, wins = 0, None, None, []
+    if resume:
+        done = snaps.latest_round("gc_und")
+        if done is not None:
+            sym = snaps.load("gc_edges")
+            undecided = snaps.load(f"gc_und_{done:04d}")
+            wins = [w for i in range(1, done + 1)
+                    if (w := snaps.load(f"gc_win_{i:04d}")) is not None]
+            start = done
+    if sym is None:
+        und_e = edges.select(F.col(src).alias("u"),
+                             F.col(dst).alias("v"))
+        sym = snaps.save(
+            und_e.union(und_e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v")).distinct(), "gc_edges")
+    if undecided is None:
+        undecided = snaps.save(
+            sym.select(F.col("u").alias("node")).distinct(),
+            "gc_und_0000")
     h_u = F.expr(spark_hash64_sql("cast(u as string)"))
     h_v = F.expr(spark_hash64_sql("cast(v as string)"))
     out = undecided.select(
         "node", F.lit(0).cast("bigint").alias("color")).limit(0)
-    for rnd in range(1, max_iter + 1):
+    for w in wins:
+        out = out.unionByName(w)
+    for rnd in range(start + 1, max_iter + 1):
         if undecided.isEmpty():
             return out
         live = (sym.join(undecided.select(F.col("node").alias("u")),

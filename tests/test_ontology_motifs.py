@@ -245,3 +245,46 @@ def test_subsumption_inverse_checkpoint_dir_durable_form(spark, tmp_path):
         snaps = [n for n in os.listdir(root)
                  if os.path.exists(os.path.join(root, n, "_SUCCESS"))]
         assert snaps, name
+
+
+def test_coreness_mid_loop_kill_resume(spark, tmp_path):
+    """Run 1 of 4 h-index rounds to a durable snapshot, then resume
+    with a BOGUS empty edge frame — the resumed run must continue
+    from the committed round (never recomputing upstream edges) and
+    match the uninterrupted result."""
+    import os
+
+    from fastie_spark.graph import coreness
+    # long chain off the 4-clique: interior chain degrees (2) decay
+    # one h-index round per hop, so one round is far from fixpoint
+    chain = [(f"c{i}", f"c{i+1}") for i in range(1, 8)]
+    e = spark.createDataFrame(
+        [("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+         ("k2", "k4"), ("k3", "k4"), ("k4", "c1")] + chain,
+        "src string, dst string")
+    want = sorted(tuple(r) for r in coreness(e, n_rounds=4).collect())
+    root = str(tmp_path / "core_rounds")
+    partial = coreness(e, n_rounds=1, checkpoint_dir=root)
+    assert sorted(tuple(r) for r in partial.collect()) != want
+    bogus = spark.createDataFrame([], "src string, dst string")
+    got = coreness(bogus, n_rounds=4, checkpoint_dir=root, resume=True)
+    assert sorted(tuple(r) for r in got.collect()) == want
+    assert "coreness_0004" in os.listdir(root)
+
+
+def test_coloring_mid_loop_kill_resume(spark, tmp_path):
+    """Color one layer of the 4-clique to durable snapshots, then
+    resume from a bogus edge frame: accumulated winner snapshots plus
+    the continued rounds must equal the uninterrupted coloring."""
+    from fastie_spark.graph import hash_coloring
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("d", "e")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    want = sorted(tuple(r) for r in hash_coloring(e).collect())
+    root = str(tmp_path / "gc_rounds")
+    import pytest
+    with pytest.raises(RuntimeError):
+        hash_coloring(e, max_iter=1, checkpoint_dir=root)
+    bogus = spark.createDataFrame([], "src string, dst string")
+    got = hash_coloring(bogus, checkpoint_dir=root, resume=True)
+    assert sorted(tuple(r) for r in got.collect()) == want
