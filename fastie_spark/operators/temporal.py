@@ -187,3 +187,58 @@ def retention_cohorts(events: DataFrame, anchor_type: str,
             .agg(F.count("*").cast("bigint").alias("n_users"))
             .select(F.col("cd").alias("cohort_day"), "day_offset",
                     "n_users"))
+
+
+def retention_state(events: DataFrame, anchor_type: str,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Mergeable retention state for ONE batch of events — the
+    incremental-maintenance form of :func:`retention_cohorts`:
+    ``anchors`` = per-user earliest anchor DAY (day-trunc commutes
+    with min, so batch-wise mins fold exactly), ``activity`` =
+    distinct (user, activity day) pairs.  Both grains are bounded by
+    users × days regardless of event volume, both fold with
+    idempotent min/union — the exactly-once-under-replay property
+    every foreachBatch twin in ``streaming/`` relies on.  Late data
+    is handled structurally: an anchor arriving AFTER its user's
+    activity still joins correctly at finalize, because activity
+    days are kept unanchored in the state.
+    """
+    anchors = (events.where(F.col(type_col) == anchor_type)
+               .groupBy(F.col(user_col).alias("u"))
+               .agg(F.date_trunc("day", F.min(ts_col)).alias("cd")))
+    activity = (events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).alias("day")).distinct())
+    return anchors, activity
+
+
+def merge_retention_state(a: tuple[DataFrame, DataFrame],
+                          b: tuple[DataFrame, DataFrame]
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Fold two retention states: per-user min anchor day + distinct
+    activity-day union — both idempotent, so batch redelivery cannot
+    corrupt the state."""
+    anchors = (a[0].unionByName(b[0])
+               .groupBy("u").agg(F.min("cd").alias("cd")))
+    activity = a[1].unionByName(b[1]).distinct()
+    return anchors, activity
+
+
+def retention_from_state(state: tuple[DataFrame, DataFrame]
+                         ) -> DataFrame:
+    """Finalize the folded state into the (cohort_day, day_offset,
+    n_users) matrix — identical output contract to
+    :func:`retention_cohorts` run over the full input."""
+    anchors, activity = state
+    acts = (activity.join(anchors, "u")
+            .where(F.col("day") >= F.col("cd"))
+            .select("u", "cd",
+                    F.datediff(F.col("day"), F.col("cd"))
+                    .cast("bigint").alias("day_offset"))
+            .distinct())
+    return (acts.groupBy("cd", "day_offset")
+            .agg(F.count("*").cast("bigint").alias("n_users"))
+            .select(F.col("cd").alias("cohort_day"), "day_offset",
+                    "n_users"))

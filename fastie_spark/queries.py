@@ -10090,3 +10090,40 @@ _rest3_o = dict(ORACLES)
 ORACLES.clear()
 ORACLES.update(_promoted3_o)
 ORACLES.update(_rest3_o)
+
+
+@query("retention_delta", oracle="""
+WITH s AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cd
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, s.cd,
+         date_diff('day', s.cd, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.ts >= s.cd)
+SELECT epoch_us(cd) AS cohort_us, day_offset::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM a GROUP BY cd, day_offset
+""")
+def q_retention_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL retention maintenance: events arrive as two
+    id-disjoint batches (odd/even event_id — so some users' signup
+    anchor lands in the OTHER batch than their activity, the
+    late-anchor case), each reduced to its mergeable state (per-user
+    min anchor day + distinct activity days), folded idempotently and
+    finalized.  The oracle is the FULL one-shot rebuild (identical
+    SQL to events_retention): merged-incremental must be bit-equal —
+    a stale anchor, a double-counted replay row or a dropped
+    unanchored activity day all break the hash."""
+    from fastie_spark.operators.temporal import (merge_retention_state,
+                                                 retention_from_state,
+                                                 retention_state)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = retention_state(events.where(F.col("event_id") % 2 == 0),
+                        "signup")
+    b = retention_state(events.where(F.col("event_id") % 2 == 1),
+                        "signup")
+    out = retention_from_state(merge_retention_state(a, b))
+    return out.select(
+        F.unix_micros(F.col("cohort_day").cast("timestamp"))
+        .alias("cohort_us"), "day_offset", "n_users")

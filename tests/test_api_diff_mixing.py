@@ -185,3 +185,36 @@ def test_retention_cohorts_matrix(spark):
     out = {(r["cohort_day"].day, r["day_offset"]): r["n_users"]
            for r in retention_cohorts(d, "signup").collect()}
     assert out == {(1, 0): 2, (1, 2): 2, (2, 0): 1}
+
+
+def test_retention_state_fold_replay_idempotent_and_late_anchor(spark):
+    from datetime import datetime as dt
+    from fastie_spark.operators.temporal import (merge_retention_state,
+                                                 retention_cohorts,
+                                                 retention_from_state,
+                                                 retention_state)
+    rows = [
+        (1, dt(2024, 1, 2, 9), "signup"),
+        (1, dt(2024, 1, 4, 1), "click"),
+        (2, dt(2024, 1, 1, 8), "signup"),
+        (2, dt(2024, 1, 1, 9), "view"),
+    ]
+    d = spark.createDataFrame(rows, "user_id bigint, ts timestamp, "
+                                    "event_type string")
+    # batch 1 carries user 1's ACTIVITY but user 1's anchor arrives in
+    # batch 2 (the late-anchor case)
+    b1 = d.where("event_type <> 'signup' OR user_id = 2")
+    b2 = d.where("event_type = 'signup' AND user_id = 1")
+    want = sorted(tuple(r) for r in retention_cohorts(d, "signup")
+                  .collect())
+    merged = merge_retention_state(retention_state(b1, "signup"),
+                                   retention_state(b2, "signup"))
+    got = sorted(tuple(r)
+                 for r in retention_from_state(merged).collect())
+    assert got == want
+    # replaying batch 2 into the folded state changes nothing
+    replay = merge_retention_state(merged,
+                                   retention_state(b2, "signup"))
+    assert sorted(tuple(r)
+                  for r in retention_from_state(replay).collect()) \
+        == want

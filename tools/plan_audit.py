@@ -176,6 +176,7 @@ AUDIT = [
     ("code_complexity", "cyclomatic proxy: in-row census, islands window"),
     ("code_license_conflict", "license governance: bcast dominant families"),
     ("events_retention", "cohort matrix: keyed min-agg + day-grain count"),
+    ("retention_delta", "incremental retention: idempotent state fold"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
