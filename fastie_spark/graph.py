@@ -3428,3 +3428,74 @@ def hash_coloring(edges: DataFrame, max_iter: int = 40,
             f"after max_iter={max_iter} rounds — raise max_iter (a "
             "truncated run would leave the coloring partial)")
     return out
+
+
+def maximal_matching(edges: DataFrame, max_iter: int = 40,
+                     src: str = "src", dst: str = "dst",
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """Deterministic greedy MAXIMAL MATCHING over the undirected
+    simple graph — a set of edges no two of which share a node, such
+    that every unmatched edge touches a matched node.  The pairing
+    primitive: over the near-dup graph it schedules PAIRWISE merges
+    (each doc in at most one merge per wave), the edge-grain sibling
+    of :func:`maximal_independent_set`'s node-grain pick.
+
+    Luby-on-edges with the engine's portable-hash determinism: an
+    edge's priority is (md5-hash("u:v"), u, v) on the id-canonical
+    pair; each round every live edge that carries the strictly
+    smallest priority AT BOTH its endpoints joins the matching, then
+    every edge touching a matched node dies.  Two winners can never
+    conflict (they'd share an endpoint whose minimum is unique), and
+    when the loop empties the edge set the matching is maximal —
+    ``max_iter`` exhaustion RAISES (the MIS loud-failure contract).
+
+    Per round: one explode to (endpoint, priority), one min partial
+    agg at node grain, two equi-joins, two anti-joins — all keyed;
+    per-round lineage cuts via ``_Snapshots`` (``checkpoint_dir`` =
+    cluster-durable parquet).  Output: (a, b, round), a < b.
+    """
+    from fastie_spark.functions.hashing import spark_hash64_sql
+
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    h = F.expr(spark_hash64_sql("concat_ws(':', a, b)"))
+    live = snaps.save(
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+        .withColumn("h", h),
+        "mm_live_0000")
+    out = live.select("a", "b",
+                      F.lit(0).cast("bigint").alias("round")).limit(0)
+    for rnd in range(1, max_iter + 1):
+        if live.isEmpty():
+            return out
+        pri = F.struct("h", "a", "b")
+        ends = (live.select(F.col("a").alias("n"), pri.alias("p"))
+                .union(live.select(F.col("b").alias("n"),
+                                   pri.alias("p"))))
+        mn = ends.groupBy("n").agg(F.min("p").alias("mp"))
+        winners = (live
+                   .join(mn.select(F.col("n").alias("a"),
+                                   F.col("mp").alias("ma")), "a")
+                   .join(mn.select(F.col("n").alias("b"),
+                                   F.col("mp").alias("mb")), "b")
+                   .where((pri == F.col("ma")) & (pri == F.col("mb")))
+                   .select("a", "b",
+                           F.lit(rnd).cast("bigint").alias("round")))
+        winners = snaps.save(winners, f"mm_win_{rnd:04d}")
+        out = out.unionByName(winners)
+        matched = (winners.select(F.col("a").alias("n"))
+                   .union(winners.select("b")).distinct())
+        live = snaps.save(
+            live.join(matched.withColumnRenamed("n", "a"), "a",
+                      "left_anti")
+            .join(matched.withColumnRenamed("n", "b"), "b",
+                  "left_anti")
+            .select("a", "b", "h"),
+            f"mm_live_{rnd:04d}")
+    if not live.isEmpty():
+        raise RuntimeError(
+            f"maximal_matching: live edges remain after "
+            f"max_iter={max_iter} rounds — raise max_iter (a "
+            "truncated run would be non-maximal)")
+    return out

@@ -10127,3 +10127,71 @@ def q_retention_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_micros(F.col("cohort_day").cast("timestamp"))
         .alias("cohort_us"), "day_offset", "n_users")
+
+
+MM_ROUNDS_ORACLE = 8   # fixpoint well before 8 on both sf dirs;
+                       # post-fixpoint rounds are exact no-ops
+
+
+def _matching_round_sql(i: int) -> str:
+    """One Luby-on-edges matching round (graph.maximal_matching):
+    min-priority election at BOTH endpoints, then matched nodes'
+    edges die."""
+    return f"""
+mn{i} AS MATERIALIZED (
+  SELECT n, min(p) AS mp FROM (
+    SELECT a AS n, (h, a, b) AS p FROM ml{i - 1}
+    UNION ALL SELECT b, (h, a, b) FROM ml{i - 1})
+  GROUP BY n),
+mw{i} AS MATERIALIZED (
+  SELECT e.a, e.b, {i} AS round
+  FROM ml{i - 1} e
+  JOIN mn{i} x ON x.n = e.a JOIN mn{i} y ON y.n = e.b
+  WHERE (e.h, e.a, e.b) = x.mp AND (e.h, e.a, e.b) = y.mp),
+ml{i} AS MATERIALIZED (
+  SELECT e.a, e.b, e.h FROM ml{i - 1} e
+  WHERE e.a NOT IN (SELECT a FROM mw{i} UNION SELECT b FROM mw{i})
+    AND e.b NOT IN (SELECT a FROM mw{i} UNION SELECT b FROM mw{i}))"""
+
+
+def _matching_oracle() -> str:
+    from fastie_spark.functions.hashing import duck_hash64_sql
+    rounds = ",".join(_matching_round_sql(i)
+                      for i in range(1, MM_ROUNDS_ORACLE + 1))
+    final = " UNION ALL ".join(
+        f"SELECT a, b, round FROM mw{i}"
+        for i in range(1, MM_ROUNDS_ORACLE + 1))
+    eh = duck_hash64_sql("a::VARCHAR || ':' || b::VARCHAR")
+    return f"""
+WITH {_bucket_cte(CC_LSH_PLANES)},
+pe AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM bk ba JOIN e a ON ba.vec_id = a.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN e b ON bb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {CC_THRESH}),
+ml0 AS MATERIALIZED (
+  SELECT a, b, {eh} AS h FROM pe),
+{rounds}
+SELECT a::BIGINT AS a, b::BIGINT AS b, round::BIGINT AS round
+FROM ({final})
+"""
+
+
+@query("graph_matching", oracle=_matching_oracle())
+def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching (graph.maximal_matching) over the LSH
+    near-dup graph: a pairing of documents such that no doc is in two
+    pairs and every unpaired similarity edge touches a paired doc —
+    the pairwise-merge schedule for a dedup wave (graph_mis keeps one
+    doc per neighborhood; this PAIRS them).  Luby-on-edges with
+    portable-hash priorities; the oracle unrolls the same rounds
+    (rounds past the fixpoint are no-ops)."""
+    from fastie_spark.graph import maximal_matching
+    from fastie_spark.operators.similarity import cosine_pairs_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = cosine_pairs_lsh(vecs, threshold=CC_THRESH,
+                             n_planes=CC_LSH_PLANES, dims=64)
+    mm = maximal_matching(edges, max_iter=MM_ROUNDS_ORACLE)
+    return mm.select(F.col("a").cast("bigint").alias("a"),
+                     F.col("b").cast("bigint").alias("b"), "round")

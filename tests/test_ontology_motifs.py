@@ -288,3 +288,59 @@ def test_coloring_mid_loop_kill_resume(spark, tmp_path):
     bogus = spark.createDataFrame([], "src string, dst string")
     got = hash_coloring(bogus, checkpoint_dir=root, resume=True)
     assert sorted(tuple(r) for r in got.collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# maximal_matching
+# ---------------------------------------------------------------------------
+
+def _matching(spark, edges, **kw):
+    from fastie_spark.graph import maximal_matching
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return [(r["a"], r["b"]) for r in maximal_matching(e, **kw).collect()]
+
+
+def test_matching_is_valid_and_maximal(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("e", "f"), ("a", "f"), ("x", "y")]
+    got = _matching(spark, edges)
+    # no node appears twice
+    flat = [n for pair in got for n in pair]
+    assert len(flat) == len(set(flat))
+    # maximality: every edge touches a matched node
+    matched = set(flat)
+    for s, t in edges:
+        assert s in matched or t in matched, (s, t)
+    # isolated pair always matches itself
+    assert ("x", "y") in got
+
+
+def test_matching_star_picks_exactly_one_edge(spark):
+    got = _matching(spark, [("hub", "l1"), ("hub", "l2"),
+                            ("hub", "l3")])
+    assert len(got) == 1 and "hub" in got[0][0] + got[0][1]
+
+
+def test_matching_raises_on_exhaustion(spark):
+    import pytest
+    # a path needs ≥2 rounds under any priority when the middle edge
+    # wins first... force exhaustion with max_iter=0-equivalent: a
+    # triangle cannot finish in 1 round only if the winner leaves a
+    # live edge — use a 5-path and max_iter=1 with a seed that leaves
+    # leftovers; robust form: assert the contract via an empty-budget
+    # run on a graph that certainly needs ≥2 rounds
+    edges = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    with pytest.raises(RuntimeError, match="non-maximal"):
+        _matching(spark, edges, max_iter=1)
+
+
+def test_matching_checkpoint_dir_durable_form(spark, tmp_path):
+    import os
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("p", "q")]
+    fast = sorted(_matching(spark, edges))
+    root = str(tmp_path / "mm")
+    durable = sorted(_matching(spark, edges, checkpoint_dir=root))
+    assert durable == fast
+    snaps = [n for n in os.listdir(root)
+             if os.path.exists(os.path.join(root, n, "_SUCCESS"))]
+    assert any(n.startswith("mm_win_") for n in snaps)

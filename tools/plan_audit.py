@@ -177,6 +177,7 @@ AUDIT = [
     ("code_license_conflict", "license governance: bcast dominant families"),
     ("events_retention", "cohort matrix: keyed min-agg + day-grain count"),
     ("retention_delta", "incremental retention: idempotent state fold"),
+    ("graph_matching", "Luby-on-edges pairing: node-grain min election"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
