@@ -3499,3 +3499,36 @@ def maximal_matching(edges: DataFrame, max_iter: int = 40,
             f"max_iter={max_iter} rounds — raise max_iter (a "
             "truncated run would be non-maximal)")
     return out
+
+
+def predicate_completeness(triples: DataFrame, subj: str = "h",
+                           pred: str = "r", obj: str = "t") -> DataFrame:
+    """Per-predicate KG completeness profile (the coverage gauge of the
+    KG-refinement literature, Paulheim 2017): for every predicate, how
+    many of the graph's subjects carry at least one fact with it.
+
+    Output per predicate: ``(r, n_triples, n_subj, n_obj,
+    subj_cov_ppm)`` where ``subj_cov_ppm = 10^6 * n_subj div
+    total_subjects`` (integer ppm — exact rational, no floats).  A
+    predicate with low coverage on a class whose schema expects it
+    (e.g. every repo should have >= 1 `calls` fact) is the standard
+    signal for targeted re-extraction.
+
+    Scale shape: two partial-agg groupBys at (pred, subj) / (pred,
+    obj) grain plus a ONE-ROW total-subjects frame crossed back on
+    broadcast — no corpus-sized shuffle beyond the distinct, and the
+    distinct itself is map-side combined.  Nothing iterative, nothing
+    collected.
+    """
+    per = (triples.groupBy(pred)
+           .agg(F.count("*").cast("bigint").alias("n_triples"),
+                F.countDistinct(subj).cast("bigint").alias("n_subj"),
+                F.countDistinct(obj).cast("bigint").alias("n_obj")))
+    total = (triples.select(F.col(subj).alias("s")).distinct()
+             .agg(F.count("*").cast("bigint").alias("total_subj")))
+    return (per.crossJoin(F.broadcast(total))
+            .withColumn("subj_cov_ppm",
+                        F.expr("1000000 * n_subj div total_subj")
+                        .cast("bigint"))
+            .select(pred, "n_triples", "n_subj", "n_obj",
+                    "subj_cov_ppm"))

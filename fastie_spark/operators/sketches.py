@@ -327,3 +327,239 @@ SELECT p.{key} AS {key},
         = {k_hashes}) AS maybe_present
 FROM bl_pc p LEFT JOIN bl_bits b ON b.bit = p.bit
 GROUP BY p.{key}"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — register-max cardinality sketch (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: m = 2^P buckets, suffix width W = 60 - P bits (the
+#: portable hash is 60-bit).  alpha_256 = 0.7213/(1 + 1.079/256)
+#: ~ 0.71826, carried as the rational 7183/10000 so the estimate stays
+#: integer.  m = 256 gives the classic 1.04/sqrt(m) ~ 6.5% std error
+#: from a 256-row register table — still constant-size at ANY
+#: cardinality.
+HLL_P = 8
+HLL_M = 1 << HLL_P          # 256 buckets
+HLL_W = 60 - HLL_P          # 52-bit suffix
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 7183, 10000
+#: cap on the power-of-two shift in the integer harmonic sum; keeps
+#: m^2 * 2^S  <=  2^12 * 2^40 = 2^52 safely inside a signed bigint.
+HLL_SHIFT_CAP = 40
+
+
+def _floor_log2_sql(expr: str) -> str:
+    """floor(log2(x)) for x >= 1 via the binary-string length — exact
+    integer in BOTH engines (``bin`` emits no leading zeros in either;
+    float ``log2`` would misround near power-of-two boundaries)."""
+    return f"(length(bin({expr})) - 1)"
+
+
+def hll_registers(df: DataFrame, grp_col: str, val_col: str) -> DataFrame:
+    """HyperLogLog registers per group: bucket = hash % m, rank = the
+    1-based position of the leftmost 1-bit in the fixed-width hash
+    suffix, register = max rank per bucket.
+
+    Output: ``(grp_col, bucket, r)`` — at most ``HLL_M`` rows per
+    group, the mergeable grain (sketches of two corpus halves merge by
+    per-bucket MAX, property-tested).  This is the other classic
+    cardinality sketch next to :func:`kmv_distinct`: KMV keeps k
+    hashes (exact below k), HLL keeps m 6-bit ranks (constant 64-row
+    summary at ANY cardinality) — at 100 TB the per-partition partial
+    is m rows regardless of value cardinality and the full distinct
+    set is never materialized.
+    """
+    h = portable_hash64(val_col)
+    # integer div, NOT float `/`: the hash is 60-bit and a double
+    # round-trip would corrupt bits above 2^53
+    suffix = F.expr(f"h div {HLL_M}")
+    rank = (F.when(F.col("sfx") == 0, F.lit(HLL_W + 1))
+            .otherwise(F.lit(HLL_W) - F.expr(_floor_log2_sql("sfx"))))
+    return (df.select(F.col(grp_col), h.alias("h"))
+            .withColumn("bucket", F.pmod(F.col("h"), F.lit(HLL_M))
+                        .cast("bigint"))
+            .withColumn("sfx", suffix)
+            .withColumn("rank", rank.cast("bigint"))
+            .groupBy(grp_col, "bucket")
+            .agg(F.max("rank").cast("bigint").alias("r")))
+
+
+def hll_estimate(registers: DataFrame, grp_col: str) -> DataFrame:
+    """Integer raw-HLL estimate from a :func:`hll_registers` table.
+
+    The harmonic mean ``alpha * m^2 / sum_j 2^-M_j`` is carried in
+    fixed point: with S = min(max_j M_j, 40), the denominator becomes
+    the integer ``sum_j 2^(S - min(M_j, S))`` (empty buckets, M_j = 0,
+    contribute ``2^S`` each), and
+
+        est = (m^2 * 2^S div denom) * 709 div 1000
+
+    — exact integer arithmetic end to end, bit-replayable in DuckDB.
+    Raw HLL (no small/large-range correction — the documented regime
+    is n >> 5m/2, and the exact-below-k KMV sketch covers small n).
+
+    Output: ``(grp_col, n_buckets, r_max, hll_est)``.
+    """
+    pow2 = lambda e: F.expr(f"shiftleft(1L, cast({e} as int))")  # noqa: E731
+    # r_max must be visible inside the sum -> two-pass: join the max
+    # back onto the registers, then fold.  The register table is
+    # <= m rows per group, so this is a bounded self-join.
+    rmax = registers.groupBy(grp_col).agg(
+        F.max("r").cast("bigint").alias("r_max"))
+    s_col = F.least(F.col("r_max"), F.lit(HLL_SHIFT_CAP))
+    folded = (registers.join(rmax, grp_col)
+              .withColumn("s", s_col)
+              .withColumn("term", pow2("s - least(r, s)"))
+              .groupBy(grp_col)
+              .agg(F.count("*").cast("bigint").alias("n_buckets"),
+                   F.first("r_max").alias("r_max"),
+                   F.first("s").alias("s"),
+                   F.sum("term").cast("bigint").alias("p_sum")))
+    denom = (F.col("p_sum")
+             + (F.lit(HLL_M) - F.col("n_buckets")) * pow2("s"))
+    # integer div end to end (float `/` would round differently from
+    # the oracle's `//`)
+    est = F.expr(f"(({HLL_M * HLL_M} * shiftleft(1L, cast(s as int)))"
+                 f" div denom) * {HLL_ALPHA_NUM} div {HLL_ALPHA_DEN}")
+    return (folded.withColumn("denom", denom.cast("bigint"))
+            .withColumn("hll_est", est.cast("bigint"))
+            .select(grp_col, "n_buckets", "r_max", "hll_est"))
+
+
+def hll_duck_sql(source_sql: str, grp: str, val: str) -> str:
+    """DuckDB replay of :func:`hll_registers` + :func:`hll_estimate`
+    over ``source_sql`` (a relation providing ``grp`` and ``val``)."""
+    h = f"(('0x' || substr(md5({val}), 1, 15))::BIGINT)"
+    return f"""
+WITH hll_h AS (SELECT {grp} AS g, {h} AS h FROM {source_sql}),
+hll_r AS (
+  SELECT g, (h % {HLL_M})::BIGINT AS bucket,
+         max(CASE WHEN (h // {HLL_M}) = 0 THEN {HLL_W + 1}
+             ELSE {HLL_W} - (length(bin(h // {HLL_M})) - 1)
+             END)::BIGINT AS r
+  FROM hll_h GROUP BY g, bucket),
+hll_m AS (SELECT g, max(r) AS r_max FROM hll_r GROUP BY g),
+hll_f AS (
+  SELECT r.g, count(*)::BIGINT AS n_buckets, any_value(m.r_max) AS r_max,
+         any_value(least(m.r_max, {HLL_SHIFT_CAP})) AS s,
+         sum((1::BIGINT << (least(m.r_max, {HLL_SHIFT_CAP})
+              - least(r.r, least(m.r_max, {HLL_SHIFT_CAP})))::INT))::BIGINT
+           AS p_sum
+  FROM hll_r r JOIN hll_m m ON m.g = r.g GROUP BY r.g)
+SELECT g AS {grp}, n_buckets, r_max::BIGINT AS r_max,
+       ((({HLL_M * HLL_M} * (1::BIGINT << s::INT))
+         // (p_sum + ({HLL_M} - n_buckets) * (1::BIGINT << s::INT)))
+        * {HLL_ALPHA_NUM} // {HLL_ALPHA_DEN})::BIGINT AS hll_est
+FROM hll_f"""
+
+
+# ---------------------------------------------------------------------------
+# log-bucketed value histogram — mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+#: sub-bucket resolution: each power-of-two range splits into 2^SUB
+#: linear sub-buckets, bounding the relative width of every bucket at
+#: 2^-SUB (HdrHistogram's exponent+mantissa mapping — integer-exact,
+#: unlike DDSketch's log-gamma bucketing which needs float logs).
+HIST_SUB = 4
+
+
+def _hist_bucket_sql(v: str, sub: int = HIST_SUB) -> str:
+    """Bucket index of non-negative integer ``v`` — identical SQL text
+    works in both engines (bin/length/shiftleft-free form: the divisor
+    ``2^(e-sub)`` is reconstructed from the binary length)."""
+    e = _floor_log2_sql(v)
+    return (f"(CASE WHEN {v} < {1 << sub} THEN {v} "
+            f"ELSE ({e} - {sub}) * {1 << sub} "
+            f"+ ({v} // (1::BIGINT << (({e} - {sub})::INT))) END)")
+
+
+def _hist_bucket_spark(v: str, sub: int = HIST_SUB) -> str:
+    e = _floor_log2_sql(v)
+    return (f"(CASE WHEN {v} < {1 << sub} THEN {v} "
+            f"ELSE ({e} - {sub}) * {1 << sub} "
+            f"+ ({v} div shiftleft(1L, cast({e} - {sub} as int))) END)")
+
+
+def value_histogram(df: DataFrame, grp_col: str, val_col: str,
+                    sub: int = HIST_SUB) -> DataFrame:
+    """Log-bucketed histogram of a non-negative integer column — the
+    mergeable quantile sketch (HdrHistogram mapping: values below
+    ``2^sub`` are exact; above, each power-of-two decade splits into
+    ``2^sub`` linear sub-buckets, so every bucket's relative width is
+    at most ``2^-sub``).
+
+    Output: ``(grp_col, bucket, cnt, lo, hi)`` — at most
+    ``2^sub * (61 - sub)`` ~ a few hundred rows per group regardless
+    of input size (the mergeable grain: histograms of two corpus
+    halves merge by summing ``cnt`` and folding ``lo``/``hi``,
+    property-tested).  At 100 TB this is THE way to get doc-length /
+    latency / size percentiles: one partial-agg groupBy whose output
+    is constant-bounded, instead of a global sort (exact percentile)
+    that shuffles the corpus.
+    """
+    bucket = F.expr(_hist_bucket_spark("v", sub))
+    return (df.select(F.col(grp_col),
+                      F.col(val_col).cast("bigint").alias("v"))
+            .withColumn("bucket", bucket.cast("bigint"))
+            .groupBy(grp_col, "bucket")
+            .agg(F.count("*").cast("bigint").alias("cnt"),
+                 F.min("v").cast("bigint").alias("lo"),
+                 F.max("v").cast("bigint").alias("hi")))
+
+
+def histogram_quantiles(hist: DataFrame, grp_col: str,
+                        qs: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """Quantile intervals from a :func:`value_histogram` table: for
+    each q (percent), the smallest bucket whose cumulative count
+    reaches ``ceil(q * n / 100)`` — the true q-th percentile value is
+    inside that bucket's observed ``[q_lo, q_hi]``, whose relative
+    width the sketch bounds at ``2^-sub``.
+
+    The window runs over the BOUNDED bucket table (a few hundred rows
+    per group), never the raw values — the cumulative sum a global
+    percentile would need over the corpus happens on the sketch.
+    Output: ``(grp_col, q, q_lo, q_hi)``.
+    """
+    w = (Window.partitionBy(grp_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy(grp_col)
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(tot)))
+    out = None
+    for q in qs:
+        # ceil(q*n/100) as integer: (q*n + 99) div 100
+        target = F.expr(f"({q} * n + 99) div 100")
+        hit = (cum.where(F.col("cum") >= target)
+               .groupBy(grp_col)
+               .agg(F.min_by("lo", "bucket").cast("bigint").alias("q_lo"),
+                    F.min_by("hi", "bucket").cast("bigint").alias("q_hi"))
+               .withColumn("q", F.lit(q).cast("bigint")))
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(grp_col, "q", "q_lo", "q_hi")
+
+
+def histogram_quantiles_duck_sql(source_sql: str, grp: str, val: str,
+                                 qs: tuple[int, ...] = (50, 90, 99),
+                                 sub: int = HIST_SUB) -> str:
+    """DuckDB replay of histogram build + quantile election."""
+    bucket = _hist_bucket_sql("v", sub)
+    q_rows = ", ".join(str(q) for q in qs)
+    return f"""
+WITH vh_v AS (SELECT {grp} AS g, {val}::BIGINT AS v FROM {source_sql}),
+vh_h AS (
+  SELECT g, {bucket}::BIGINT AS bucket, count(*)::BIGINT AS cnt,
+         min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
+  FROM vh_v GROUP BY g, bucket),
+vh_c AS (
+  SELECT g, bucket, lo, hi,
+         sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY g) AS n
+  FROM vh_h),
+vh_q AS (SELECT unnest([{q_rows}])::BIGINT AS q)
+SELECT c.g AS {grp}, q.q AS q,
+       min_by(c.lo, c.bucket)::BIGINT AS q_lo,
+       min_by(c.hi, c.bucket)::BIGINT AS q_hi
+FROM vh_c c CROSS JOIN vh_q q
+WHERE c.cum >= (q.q * c.n + 99) // 100
+GROUP BY c.g, q.q"""

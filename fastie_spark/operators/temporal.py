@@ -242,3 +242,46 @@ def retention_from_state(state: tuple[DataFrame, DataFrame]
             .agg(F.count("*").cast("bigint").alias("n_users"))
             .select(F.col("cd").alias("cohort_day"), "day_offset",
                     "n_users"))
+
+
+def moment_outliers(events: DataFrame, key_cols: list[str],
+                    val_col: str, z: int = 3) -> DataFrame:
+    """Z-score outlier flagging from mergeable integer moments.
+
+    Per key group the classic streaming moments fold — ``n``, ``s1 =
+    SUM(x)``, ``s2 = SUM(x^2)`` (each a plain partial agg, mergeable by
+    addition across corpus halves / micro-batches) — then every row
+    rejoins its group's moments and is flagged when
+
+        (x - mean)^2  >  z^2 * var
+        <=>  (n*x - s1)^2  >  z^2 * (n*s2 - s1^2)
+
+    the cross-multiplied all-integer form (no float mean/stddev, so
+    the DuckDB oracle replays it bit-exactly; z enters as z^2, an
+    integer).  Degenerate groups are consistent by construction: n = 1
+    or zero variance give lhs = 0 on every member, flagging nothing.
+
+    Scale shape (100 TB): the moments table is ONE partial-agg groupBy
+    whose output is key-cardinality-sized (dimension-grade — AQE
+    broadcasts it back onto the stream); the corpus itself is touched
+    twice (fold + flag), never sorted or windowed.  Overflow bound:
+    all terms stay inside a signed 64-bit int while ``n * max|x| <
+    2^31`` per group — time-bucketed keys (e.g. per day) bound n, the
+    reason the key should include a time bucket at corpus scale.
+
+    Output: the flagged rows ``(*key_cols, id cols..., x, n, dev_sq,
+    bound)`` — callers select what they need.
+    """
+    x = F.col(val_col).cast("bigint")
+    stats = (events.groupBy(*key_cols)
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum(x).cast("bigint").alias("s1"),
+                  F.sum(x * x).cast("bigint").alias("s2")))
+    dev = F.col("n") * x - F.col("s1")
+    bound = (F.lit(z * z)
+             * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+    return (events.join(stats, key_cols)
+            .withColumn("dev_sq", (dev * dev).cast("bigint"))
+            .withColumn("bound", bound.cast("bigint"))
+            .where(F.col("dev_sq") > F.col("bound"))
+            .drop("s1", "s2"))

@@ -373,3 +373,119 @@ def test_resolve_symbols_election_and_self_drop(spark):
         ("repoB", "repoA", "x"): 2,
         ("repoC", "repoB", "y"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# HLL registers + estimate
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sketch of the union == per-bucket max of the halves' sketches
+    (the mergeable-grain property that makes HLL a partial agg)."""
+    from fastie_spark.operators.sketches import hll_registers
+
+    vals = spark.range(2000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    whole = {(r["bucket"]): r["r"]
+             for r in hll_registers(vals, "g", "v").collect()}
+    h1 = hll_registers(vals.where("id < 1000"), "g", "v")
+    h2 = hll_registers(vals.where("id >= 1000"), "g", "v")
+    merged = (h1.unionByName(h2).groupBy("g", "bucket")
+              .agg(F.max("r").alias("r")))
+    got = {(r["bucket"]): r["r"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_hll_estimate_accuracy_regime(spark):
+    """Raw HLL with m=256 has ~1.04/sqrt(256) = 6.5% typical error in
+    the n >> 5m/2 regime; assert a 4-sigma band on three deterministic
+    distinct-cardinality streams (the hash is fixed, so these are
+    golden numbers, not flaky draws)."""
+    from fastie_spark.operators.sketches import (hll_estimate,
+                                                 hll_registers)
+
+    for n in (2000, 5000, 20000):
+        vals = spark.range(n).select(
+            F.lit("g").alias("g"),
+            F.concat(F.lit("val"), F.col("id")).alias("v"))
+        # duplicate the stream: cardinality is counted, not rows
+        vals = vals.unionByName(vals)
+        est = hll_estimate(hll_registers(vals, "g", "v"),
+                           "g").collect()[0]
+        assert abs(est["hll_est"] - n) / n < 0.26, (n, est)
+        assert est["n_buckets"] <= 256
+
+
+def test_hll_estimate_integer_and_duplicates_invariant(spark):
+    """Estimate is a bigint and unaffected by row multiplicity."""
+    from fastie_spark.operators.sketches import (hll_estimate,
+                                                 hll_registers)
+
+    vals = spark.range(500).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    e1 = hll_estimate(hll_registers(vals, "g", "v"), "g").collect()[0]
+    e3 = hll_estimate(hll_registers(
+        vals.unionByName(vals).unionByName(vals), "g", "v"),
+        "g").collect()[0]
+    assert e1["hll_est"] == e3["hll_est"]
+    assert isinstance(e1["hll_est"], int)
+
+
+# ---------------------------------------------------------------------------
+# log-bucketed value histogram + quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_value_histogram_merge_by_sum_min_max(spark):
+    """Histogram of the union == summed counts + folded lo/hi of the
+    halves' histograms (the mergeable grain)."""
+    from fastie_spark.operators.sketches import value_histogram
+
+    vals = spark.range(3000).select(
+        F.lit("g").alias("g"), (F.col("id") * 7 % 4096).alias("v"))
+    whole = {r["bucket"]: (r["cnt"], r["lo"], r["hi"])
+             for r in value_histogram(vals, "g", "v").collect()}
+    h1 = value_histogram(vals.where("id < 1500"), "g", "v")
+    h2 = value_histogram(vals.where("id >= 1500"), "g", "v")
+    merged = (h1.unionByName(h2).groupBy("g", "bucket")
+              .agg(F.sum("cnt").alias("cnt"), F.min("lo").alias("lo"),
+                   F.max("hi").alias("hi")))
+    got = {r["bucket"]: (r["cnt"], r["lo"], r["hi"])
+           for r in merged.collect()}
+    assert got == whole
+
+
+def test_histogram_quantile_interval_contains_exact(spark):
+    """For each q, the exact ceil-rank percentile lies inside the
+    sketch's [q_lo, q_hi], and the interval is 2^-4-relative-narrow."""
+    import math
+
+    from fastie_spark.operators.sketches import (histogram_quantiles,
+                                                 value_histogram)
+
+    raw = [((i * 13) % 977) + 1 for i in range(2000)]
+    vals = spark.createDataFrame([("g", v) for v in raw], "g string, v long")
+    qs = histogram_quantiles(value_histogram(vals, "g", "v"), "g",
+                             qs=(50, 90, 99)).collect()
+    s = sorted(raw)
+    for row in qs:
+        exact = s[math.ceil(row["q"] * len(s) / 100) - 1]
+        assert row["q_lo"] <= exact <= row["q_hi"], (row, exact)
+        assert row["q_hi"] - row["q_lo"] <= max(1, row["q_lo"] // 16 + 1)
+
+
+def test_histogram_buckets_bounded_and_small_values_exact(spark):
+    """Values below 2^sub land in singleton buckets (exact); the
+    bucket-table size stays O(sub * 2^sub), never O(distinct)."""
+    from fastie_spark.operators.sketches import value_histogram
+
+    vals = spark.range(100000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v"))
+    hist = value_histogram(vals, "g", "v").collect()
+    assert len(hist) <= 16 * (61 - 4) + 16
+    small = [r for r in hist if r["lo"] < 16]
+    for r in small:
+        assert r["lo"] == r["hi"] == r["bucket"]

@@ -220,3 +220,21 @@ def test_salient_mentions_election(spark):
     assert [(r["doc_id"], r["surface"], r["rank"]) for r in out] == \
         [(1, "x", 1), (1, "y", 2), (2, "w", 1)]
     assert out[0]["n_mentions"] == 2 and out[0]["first_pos"] == 5
+
+
+def test_predicate_completeness_exact_ppm(spark):
+    """Hand KG: 4 subjects total; p1 on 2 of them (500000 ppm), p2 on
+    all 4 (1000000 ppm) with a repeated fact counted once per triple
+    but not per subject."""
+    from fastie_spark.graph import predicate_completeness
+
+    t = spark.createDataFrame(
+        [("a", "p1", "x"), ("b", "p1", "y"),
+         ("a", "p2", "x"), ("b", "p2", "x"), ("c", "p2", "z"),
+         ("d", "p2", "z"), ("a", "p2", "y")],
+        "h string, r string, t string")
+    got = {r["r"]: (r["n_triples"], r["n_subj"], r["n_obj"],
+                    r["subj_cov_ppm"])
+           for r in predicate_completeness(t).collect()}
+    assert got == {"p1": (2, 2, 2, 500000),
+                   "p2": (5, 4, 3, 1000000)}

@@ -70,3 +70,52 @@ def test_point_in_interval_granularity_invariant(spark):
             points, intervals, "k", "p", "f", "t",
             granularity=g).collect()}
         assert got == base
+
+
+def test_moment_outliers_flags_only_the_planted_spike(spark):
+    """Hand case: one group with a clear 3-sigma spike, one constant
+    group and one singleton — only the spike flags (degenerate groups
+    give lhs = 0 on every member by construction)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fastie_spark.operators.temporal import moment_outliers
+
+    rows = ([("a", "g1", 10)] * 20 + [("spike", "g1", 500)]
+            + [("c", "g2", 7), ("c2", "g2", 7), ("c3", "g2", 7)]
+            + [("solo", "g3", 999)])
+    ev = spark.createDataFrame(
+        [(i, k, g, v) for i, (k, g, v) in enumerate(rows)],
+        "event_id long, tag string, grp string, x long")
+    got = moment_outliers(ev, ["grp"], "x", z=3).select("tag").collect()
+    assert {r["tag"] for r in got} == {"spike"}
+
+
+def test_moment_outliers_moments_merge_across_halves(spark):
+    """The (n, s1, s2) fold is additive: flagging against moments
+    merged from two halves equals flagging against the whole — the
+    property that makes the monitor incrementally maintainable."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fastie_spark.operators.temporal import moment_outliers
+
+    ev = spark.range(200).select(
+        F.col("id").alias("event_id"), F.lit("g").alias("grp"),
+        ((F.col("id") * 37) % 101 + F.when(F.col("id") == 7, 5000)
+         .otherwise(0)).alias("x"))
+    whole = {r["event_id"]
+             for r in moment_outliers(ev, ["grp"], "x").collect()}
+    h1 = ev.where("id < 100")
+    h2 = ev.where("id >= 100")
+    stats = lambda d: d.groupBy("grp").agg(  # noqa: E731
+        F.count("*").alias("n"), F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"))
+    merged = (stats(h1).unionByName(stats(h2)).groupBy("grp")
+              .agg(F.sum("n").alias("n"), F.sum("s1").alias("s1"),
+                   F.sum("s2").alias("s2")))
+    flagged = (ev.join(merged, "grp")
+               .where((F.col("n") * F.col("x") - F.col("s1"))
+                      * (F.col("n") * F.col("x") - F.col("s1"))
+                      > 9 * (F.col("n") * F.col("s2")
+                             - F.col("s1") * F.col("s1"))))
+    assert {r["event_id"] for r in flagged.collect()} == whole
+    assert 7 in whole

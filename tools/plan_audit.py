@@ -178,6 +178,10 @@ AUDIT = [
     ("events_retention", "cohort matrix: keyed min-agg + day-grain count"),
     ("retention_delta", "incremental retention: idempotent state fold"),
     ("graph_matching", "Luby-on-edges pairing: node-grain min election"),
+    ("events_anomaly", "z-score monitor: moments fold + flag join"),
+    ("sketch_distinct_hll", "HLL: 256-register partial agg + fold"),
+    ("sketch_quantiles", "log-histogram fold + bounded quantile window"),
+    ("kg_completeness", "predicate coverage: two aggs + 1-row bcast"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
