@@ -3532,3 +3532,55 @@ def predicate_completeness(triples: DataFrame, subj: str = "h",
                         .cast("bigint"))
             .select(pred, "n_triples", "n_subj", "n_obj",
                     "subj_cov_ppm"))
+
+
+def hyperball(edges: DataFrame, max_t: int, p: int = 4,
+              src: str = "src", dst: str = "dst",
+              checkpoint_dir: str | None = None) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node HyperLogLog registers
+    of the outgoing distance-``max_t`` ball, computed by max-merging
+    neighbor sketches along edges — THE published way to get
+    neighborhood functions / effective diameter on graphs whose
+    per-node reachability sets cannot be materialized (it is how the
+    four-degrees-of-separation measurement was run on the full
+    Facebook graph).
+
+    Invariant: after round t, a node's register table is EXACTLY the
+    HLL sketch of its t-ball {u : dist(v, u) <= t}, because ball_t(v)
+    = {v} ∪ ⋃_{v→w} ball_{t-1}(w) and HLL register tables of sets
+    merge by per-bucket max (the mergeability property-tested in the
+    sketches suite).  So the relational update is one equi-join that
+    gathers each successor's registers plus one (node, bucket) MAX
+    partial agg per round — state is |V|·2^p rows total, never a
+    reachability set; ``p`` is small (default 16 registers/node)
+    precisely because the sketch is per node.
+
+    Per-round lineage cuts via ``_Snapshots`` — ``localCheckpoint``
+    by default, durable parquet under ``checkpoint_dir`` (the
+    cluster contract shared with the other iterative loops).
+
+    Output: the round-``max_t`` register table ``(node, bucket, r)``
+    — feed to :func:`fastie_spark.operators.sketches.hll_estimate`
+    (same ``p``) for per-node ball-size estimates, or aggregate
+    estimates over nodes for the neighborhood function N(t).
+    """
+    from fastie_spark.operators.sketches import hll_registers
+
+    snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e = snaps.save(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v")).distinct(), "hyperball_edges")
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select("v")).distinct())
+    regs = snaps.save(
+        hll_registers(nodes.select("node",
+                                   F.col("node").alias("member")),
+                      "node", "member", p=p), "hyperball_0000")
+    for t in range(1, max_t + 1):
+        gathered = (e.join(regs, e["v"] == regs["node"])
+                    .select(F.col("u").alias("node"), "bucket", "r"))
+        regs = snaps.save(
+            regs.union(gathered).groupBy("node", "bucket")
+            .agg(F.max("r").cast("bigint").alias("r")),
+            f"hyperball_{t:04d}")
+    return regs

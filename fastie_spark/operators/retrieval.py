@@ -223,3 +223,42 @@ def kwic(docs: DataFrame, term: str, window: int = 3,
             F.least(F.lit(window), F.col("pos"))), " ").alias("left_ctx"),
         F.array_join(F.slice("_toks", p1 + 1, F.lit(window)), " ")
         .alias("right_ctx")))
+
+
+def doc_keywords(docs: DataFrame, j: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 index: DataFrame | None = None,
+                 n_docs: int | None = None) -> DataFrame:
+    """Per-document top-``j`` keywords by the same integer TF-IDF as
+    :func:`search_tfidf` — the standard corpus-labeling / tagging op
+    of a curation pipeline (cluster naming, domain routing, dedup
+    explanation).
+
+    weight = ``tf * (N div df)`` with the deterministic integer idf;
+    ties break to the lexicographically smaller term.  The ranking
+    window partitions BY DOCUMENT, so every frame is bounded by one
+    doc's distinct-term count — nothing global is sorted, and the df
+    table is one vocabulary-grain partial agg joined back at term
+    grain (both shuffles are key-partitioned and AQE-splittable).
+    ``index``/``n_docs`` take a stored inverted index at scale, same
+    seams as the searchers.  Output: (doc_id, term, weight, rk).
+    """
+    if index is None:
+        index = build_inverted_index(docs, text_col, id_col)
+        if n_docs is None:
+            n_docs = docs.select(F.col(id_col)).distinct().count()
+    elif n_docs is None:
+        n_docs = index.select("doc_id").distinct().count()
+    dfreq = index.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (index.join(dfreq, "term")
+              .withColumn("weight", F.expr(
+                  f"tf * (cast({n_docs} as bigint) div df)")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= j)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "term",
+                    F.col("weight").cast("bigint").alias("weight"),
+                    F.col("rk").cast("bigint").alias("rk")))

@@ -340,12 +340,23 @@ GROUP BY p.{key}"""
 #: from a 256-row register table — still constant-size at ANY
 #: cardinality.
 HLL_P = 8
-HLL_M = 1 << HLL_P          # 256 buckets
-HLL_W = 60 - HLL_P          # 52-bit suffix
-HLL_ALPHA_NUM, HLL_ALPHA_DEN = 7183, 10000
 #: cap on the power-of-two shift in the integer harmonic sum; keeps
-#: m^2 * 2^S  <=  2^12 * 2^40 = 2^52 safely inside a signed bigint.
+#: m^2 * 2^S  <=  2^16 * 2^40 = 2^56 safely inside a signed bigint.
 HLL_SHIFT_CAP = 40
+
+#: Flajolet's alpha_m = 0.7213/(1 + 1.079/m) as integer rationals per
+#: supported precision (m = 2^p), so every estimate stays integer.
+_HLL_ALPHA = {4: (673, 1000), 5: (697, 1000), 6: (709, 1000),
+              7: (7152, 10000), 8: (7183, 10000), 9: (7199, 10000)}
+
+
+def _hll_geom(p: int) -> tuple[int, int, int, int]:
+    """(m, suffix_width, alpha_num, alpha_den) for precision ``p``."""
+    if p not in _HLL_ALPHA:
+        raise ValueError(f"unsupported HLL precision p={p} "
+                         f"(choose one of {sorted(_HLL_ALPHA)})")
+    num, den = _HLL_ALPHA[p]
+    return 1 << p, 60 - p, num, den
 
 
 def _floor_log2_sql(expr: str) -> str:
@@ -355,28 +366,32 @@ def _floor_log2_sql(expr: str) -> str:
     return f"(length(bin({expr})) - 1)"
 
 
-def hll_registers(df: DataFrame, grp_col: str, val_col: str) -> DataFrame:
+def hll_registers(df: DataFrame, grp_col: str, val_col: str,
+                  p: int = HLL_P) -> DataFrame:
     """HyperLogLog registers per group: bucket = hash % m, rank = the
     1-based position of the leftmost 1-bit in the fixed-width hash
     suffix, register = max rank per bucket.
 
-    Output: ``(grp_col, bucket, r)`` — at most ``HLL_M`` rows per
+    Output: ``(grp_col, bucket, r)`` — at most ``m = 2^p`` rows per
     group, the mergeable grain (sketches of two corpus halves merge by
     per-bucket MAX, property-tested).  This is the other classic
     cardinality sketch next to :func:`kmv_distinct`: KMV keeps k
-    hashes (exact below k), HLL keeps m 6-bit ranks (constant 64-row
+    hashes (exact below k), HLL keeps m 6-bit ranks (a constant m-row
     summary at ANY cardinality) — at 100 TB the per-partition partial
     is m rows regardless of value cardinality and the full distinct
-    set is never materialized.
+    set is never materialized.  ``p`` trades summary size for the
+    1.04/sqrt(2^p) relative error (p=8 default; HyperBall uses a
+    smaller p because it keeps one sketch PER NODE).
     """
+    m, w, _, _ = _hll_geom(p)
     h = portable_hash64(val_col)
     # integer div, NOT float `/`: the hash is 60-bit and a double
     # round-trip would corrupt bits above 2^53
-    suffix = F.expr(f"h div {HLL_M}")
-    rank = (F.when(F.col("sfx") == 0, F.lit(HLL_W + 1))
-            .otherwise(F.lit(HLL_W) - F.expr(_floor_log2_sql("sfx"))))
+    suffix = F.expr(f"h div {m}")
+    rank = (F.when(F.col("sfx") == 0, F.lit(w + 1))
+            .otherwise(F.lit(w) - F.expr(_floor_log2_sql("sfx"))))
     return (df.select(F.col(grp_col), h.alias("h"))
-            .withColumn("bucket", F.pmod(F.col("h"), F.lit(HLL_M))
+            .withColumn("bucket", F.pmod(F.col("h"), F.lit(m))
                         .cast("bigint"))
             .withColumn("sfx", suffix)
             .withColumn("rank", rank.cast("bigint"))
@@ -384,7 +399,8 @@ def hll_registers(df: DataFrame, grp_col: str, val_col: str) -> DataFrame:
             .agg(F.max("rank").cast("bigint").alias("r")))
 
 
-def hll_estimate(registers: DataFrame, grp_col: str) -> DataFrame:
+def hll_estimate(registers: DataFrame, grp_col: str,
+                 p: int = HLL_P) -> DataFrame:
     """Integer raw-HLL estimate from a :func:`hll_registers` table.
 
     The harmonic mean ``alpha * m^2 / sum_j 2^-M_j`` is carried in
@@ -400,6 +416,7 @@ def hll_estimate(registers: DataFrame, grp_col: str) -> DataFrame:
 
     Output: ``(grp_col, n_buckets, r_max, hll_est)``.
     """
+    m, _, a_num, a_den = _hll_geom(p)
     pow2 = lambda e: F.expr(f"shiftleft(1L, cast({e} as int))")  # noqa: E731
     # r_max must be visible inside the sum -> two-pass: join the max
     # back onto the registers, then fold.  The register table is
@@ -416,41 +433,59 @@ def hll_estimate(registers: DataFrame, grp_col: str) -> DataFrame:
                    F.first("s").alias("s"),
                    F.sum("term").cast("bigint").alias("p_sum")))
     denom = (F.col("p_sum")
-             + (F.lit(HLL_M) - F.col("n_buckets")) * pow2("s"))
+             + (F.lit(m) - F.col("n_buckets")) * pow2("s"))
     # integer div end to end (float `/` would round differently from
     # the oracle's `//`)
-    est = F.expr(f"(({HLL_M * HLL_M} * shiftleft(1L, cast(s as int)))"
-                 f" div denom) * {HLL_ALPHA_NUM} div {HLL_ALPHA_DEN}")
+    est = F.expr(f"(({m * m} * shiftleft(1L, cast(s as int)))"
+                 f" div denom) * {a_num} div {a_den}")
     return (folded.withColumn("denom", denom.cast("bigint"))
             .withColumn("hll_est", est.cast("bigint"))
             .select(grp_col, "n_buckets", "r_max", "hll_est"))
 
 
-def hll_duck_sql(source_sql: str, grp: str, val: str) -> str:
-    """DuckDB replay of :func:`hll_registers` + :func:`hll_estimate`
-    over ``source_sql`` (a relation providing ``grp`` and ``val``)."""
-    h = f"(('0x' || substr(md5({val}), 1, 15))::BIGINT)"
+def _hll_register_duck_sql(h_expr: str, p: int) -> tuple[str, str]:
+    """(bucket_sql, rank_sql) of a hash expression for DuckDB."""
+    m, w, _, _ = _hll_geom(p)
+    return (f"({h_expr} % {m})::BIGINT",
+            f"(CASE WHEN ({h_expr} // {m}) = 0 THEN {w + 1} "
+            f"ELSE {w} - (length(bin({h_expr} // {m})) - 1) END)")
+
+
+def hll_estimate_duck_sql(reg_rel: str, p: int = HLL_P) -> str:
+    """DuckDB estimate over a register relation ``reg_rel`` providing
+    columns (g, bucket, r) — shared by the plain-HLL and HyperBall
+    oracles."""
+    m, _, a_num, a_den = _hll_geom(p)
     return f"""
-WITH hll_h AS (SELECT {grp} AS g, {h} AS h FROM {source_sql}),
-hll_r AS (
-  SELECT g, (h % {HLL_M})::BIGINT AS bucket,
-         max(CASE WHEN (h // {HLL_M}) = 0 THEN {HLL_W + 1}
-             ELSE {HLL_W} - (length(bin(h // {HLL_M})) - 1)
-             END)::BIGINT AS r
-  FROM hll_h GROUP BY g, bucket),
-hll_m AS (SELECT g, max(r) AS r_max FROM hll_r GROUP BY g),
+hll_m AS (SELECT g, max(r) AS r_max FROM {reg_rel} GROUP BY g),
 hll_f AS (
   SELECT r.g, count(*)::BIGINT AS n_buckets, any_value(m.r_max) AS r_max,
          any_value(least(m.r_max, {HLL_SHIFT_CAP})) AS s,
          sum((1::BIGINT << (least(m.r_max, {HLL_SHIFT_CAP})
               - least(r.r, least(m.r_max, {HLL_SHIFT_CAP})))::INT))::BIGINT
            AS p_sum
-  FROM hll_r r JOIN hll_m m ON m.g = r.g GROUP BY r.g)
-SELECT g AS {grp}, n_buckets, r_max::BIGINT AS r_max,
-       ((({HLL_M * HLL_M} * (1::BIGINT << s::INT))
-         // (p_sum + ({HLL_M} - n_buckets) * (1::BIGINT << s::INT)))
-        * {HLL_ALPHA_NUM} // {HLL_ALPHA_DEN})::BIGINT AS hll_est
-FROM hll_f"""
+  FROM {reg_rel} r JOIN hll_m m ON m.g = r.g GROUP BY r.g),
+hll_est AS (
+  SELECT g, n_buckets, r_max::BIGINT AS r_max,
+       ((({m * m} * (1::BIGINT << s::INT))
+         // (p_sum + ({m} - n_buckets) * (1::BIGINT << s::INT)))
+        * {a_num} // {a_den})::BIGINT AS hll_est
+  FROM hll_f)"""
+
+
+def hll_duck_sql(source_sql: str, grp: str, val: str,
+                 p: int = HLL_P) -> str:
+    """DuckDB replay of :func:`hll_registers` + :func:`hll_estimate`
+    over ``source_sql`` (a relation providing ``grp`` and ``val``)."""
+    h = f"(('0x' || substr(md5({val}), 1, 15))::BIGINT)"
+    bucket, rank = _hll_register_duck_sql("h", p)
+    return f"""
+WITH hll_h AS (SELECT {grp} AS g, {h} AS h FROM {source_sql}),
+hll_r AS (
+  SELECT g, {bucket} AS bucket, max({rank})::BIGINT AS r
+  FROM hll_h GROUP BY g, bucket),
+{hll_estimate_duck_sql("hll_r", p).lstrip()}
+SELECT g AS {grp}, n_buckets, r_max, hll_est FROM hll_est"""
 
 
 # ---------------------------------------------------------------------------

@@ -8177,6 +8177,46 @@ def q_kg_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_completeness(_kg_triples(spark, sf_dir))
 
 
+def _hyperball_oracle() -> str:
+    from fastie_spark.operators.sketches import (_hll_register_duck_sql,
+                                                 hll_estimate_duck_sql)
+    bucket, rank = _hll_register_duck_sql("h", 4)
+    return f"""
+WITH RECURSIVE {_CALL_EDGE_SQL},
+hb_n AS (SELECT s AS n FROM e0 UNION SELECT d FROM e0),
+hb_reach(v, u, t) AS (
+  SELECT n, n, 0 FROM hb_n
+  UNION
+  SELECT r.v, e.d, r.t + 1
+  FROM hb_reach r JOIN e0 e ON e.s = r.u WHERE r.t < 3),
+hb_ball AS (SELECT DISTINCT v, u FROM hb_reach),
+hb_h AS (SELECT v AS g, {duck_hash64_sql("u")} AS h FROM hb_ball),
+hb_r AS (
+  SELECT g, {bucket} AS bucket, max({rank})::BIGINT AS r
+  FROM hb_h GROUP BY g, bucket),
+{hll_estimate_duck_sql("hb_r", 4).lstrip()}
+SELECT g AS node, n_buckets, r_max, hll_est FROM hll_est"""
+
+
+@query("graph_hyperball", oracle=_hyperball_oracle())
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) 3-ball sizes over the call
+    graph: per-node HLL registers max-merged along edges for 3 rounds
+    (graph.hyperball), then the integer fixed-point estimate — the
+    published algorithm for neighborhood functions on graphs whose
+    per-node reachability sets cannot be materialized (state is
+    |V|·16 register rows, never a reachability set; one gather join +
+    one MAX partial agg per round).  The oracle materializes every
+    exact ≤3-hop reachability set via a recursive CTE and computes
+    the registers directly from the sets — identical by the HLL
+    merge-by-max set-union law, so any propagation error (missed
+    edge, round off-by-one, self-exclusion) breaks the hash."""
+    from fastie_spark.graph import hyperball
+    from fastie_spark.operators.sketches import hll_estimate
+    regs = hyperball(_call_edges(spark, sf_dir), max_t=3, p=4)
+    return hll_estimate(regs, "node", p=4)
+
+
 COOC_MAX_DF_PPM = 800_000  # binds at sf0.001 (query/window/scan/merge/
                            # sort all sit above 80% df) AND sf0.01
                            # (batch does) — the guard is load-bearing,
@@ -10329,3 +10369,34 @@ def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = maximal_matching(edges, max_iter=MM_ROUNDS_ORACLE)
     return mm.select(F.col("a").cast("bigint").alias("a"),
                      F.col("b").cast("bigint").alias("b"), "round")
+
+
+@query("doc_keywords", oracle="""
+WITH dk_i AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY doc_id, t),
+dk_n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+dk_df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM dk_i GROUP BY term),
+dk_s AS (
+  SELECT i.doc_id, i.term, i.tf * (n.n // d.df) AS weight
+  FROM dk_i i JOIN dk_df d USING (term) CROSS JOIN dk_n n),
+dk_r AS (
+  SELECT doc_id, term, weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term ASC) AS rk
+  FROM dk_s)
+SELECT doc_id, term, weight::BIGINT AS weight, rk::BIGINT AS rk
+FROM dk_r WHERE rk <= 3
+""")
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by the integer TF-IDF of the
+    retrieval layer (retrieval.doc_keywords) — the corpus-labeling op
+    (cluster naming, domain routing, dedup explanation).  The ranking
+    window partitions BY DOCUMENT so every frame is doc-sized; df is
+    one vocabulary-grain agg joined back at term grain.  Deterministic
+    integer idf + lexicographic tie-break, replayed exactly."""
+    from fastie_spark.operators.retrieval import doc_keywords
+    return doc_keywords(_documents(spark, sf_dir), j=3)

@@ -238,3 +238,48 @@ def test_predicate_completeness_exact_ppm(spark):
            for r in predicate_completeness(t).collect()}
     assert got == {"p1": (2, 2, 2, 500000),
                    "p2": (5, 4, 3, 1000000)}
+
+
+def test_hyperball_equals_sketch_of_exact_balls(spark):
+    """On a hand digraph, the round-t HyperBall registers must equal
+    hll_registers computed directly on the EXACT t-ball membership —
+    the set-union/merge-by-max law the algorithm rests on."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fastie_spark.graph import hyperball
+    from fastie_spark.operators.sketches import hll_registers
+
+    # chain a->b->c->d plus a 2-cycle x<->y and a shortcut a->c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x"),
+         ("a", "c")], "src string, dst string")
+    got = {(r["node"], r["bucket"]): r["r"]
+           for r in hyperball(edges, max_t=2, p=4).collect()}
+
+    balls = {"a": ["a", "b", "c", "d"], "b": ["b", "c", "d"],
+             "c": ["c", "d"], "d": ["d"],
+             "x": ["x", "y"], "y": ["y", "x"]}
+    members = spark.createDataFrame(
+        [(v, u) for v, us in balls.items() for u in us],
+        "node string, member string")
+    want = {(r["node"], r["bucket"]): r["r"]
+            for r in hll_registers(members, "node", "member",
+                                   p=4).collect()}
+    assert got == want
+
+
+def test_hyperball_durable_checkpoint_parity(tmp_path, spark):
+    """checkpoint_dir produces the identical register table as the
+    localCheckpoint default (the shared durable-loop contract)."""
+    from fastie_spark.graph import hyperball
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string")
+    plain = {(r["node"], r["bucket"]): r["r"]
+             for r in hyperball(edges, max_t=3, p=4).collect()}
+    durable = {(r["node"], r["bucket"]): r["r"]
+               for r in hyperball(edges, max_t=3, p=4,
+                                  checkpoint_dir=str(tmp_path / "hb"))
+               .collect()}
+    assert durable == plain

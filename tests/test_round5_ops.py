@@ -302,3 +302,29 @@ def test_round5_loops_checkpoint_dir_durable_form(spark, tmp_path):
         assert snaps, name
         assert all(os.path.isfile(os.path.join(root, n, "_SUCCESS"))
                    for n in snaps), name
+
+
+def test_doc_keywords_weights_and_ties(spark):
+    """Hand corpus: rare term outranks frequent term; lexicographic
+    tie-break; per-doc frame independent of other docs."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fastie_spark.operators.retrieval import doc_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common other"),
+         (3, "common other other")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["rk"]): (r["term"], r["weight"])
+           for r in doc_keywords(docs, j=2).collect()}
+    # N=3; df: rare=1, common=3, other=2
+    # doc1: rare w=1*(3//1)=3, common w=2*(3//3)=2
+    assert got[(1, 1)] == ("rare", 3)
+    assert got[(1, 2)] == ("common", 2)
+    # doc2: common w=2, other w=1*(3//2)=1
+    assert got[(2, 1)] == ("common", 2)
+    assert got[(2, 2)] == ("other", 1)
+    # doc3: other w=2*1=2, common w=1*1=1 -> other first (weight),
+    # proving ties only break lexicographically at EQUAL weight
+    assert got[(3, 1)] == ("other", 2)
+    assert got[(3, 2)] == ("common", 1)

@@ -182,6 +182,8 @@ AUDIT = [
     ("sketch_distinct_hll", "HLL: 256-register partial agg + fold"),
     ("sketch_quantiles", "log-histogram fold + bounded quantile window"),
     ("kg_completeness", "predicate coverage: two aggs + 1-row bcast"),
+    ("graph_hyperball", "HyperBall: per-node HLL gather + MAX rounds"),
+    ("doc_keywords", "per-doc TF-IDF top-k: doc-partitioned window"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
