@@ -2638,43 +2638,56 @@ def stress_centrality(edges: DataFrame, sources: DataFrame,
     by |sources ∪ targets| × reachable-within-depth, which is the
     landmark contract (sample landmarks to taste at 10^12 scale).
 
+    The two sweeps run as ONE direction-tagged loop: forward roots and
+    backward roots enter the same frontier with a ``dir`` flag, the
+    edge table is the union of tagged forward + reversed copies, and
+    each round is a single (dir, node)-keyed join — half the
+    synchronization barriers (and half the snapshot writes) of two
+    sequential BFS runs, which is exactly what matters when every
+    round is a cluster-wide shuffle barrier.
+
     Per-round lineage cuts are ``localCheckpoint`` by default,
-    reliable parquet snapshots (``stress_edges``, ``stress_fw_NNNN``,
-    ``stress_bw_NNNN``) when ``checkpoint_dir`` is given — the
-    cluster-durable form, same contract as :func:`sssp_integer`.
+    reliable parquet snapshots (``stress_edges``, ``stress_NNNN``)
+    when ``checkpoint_dir`` is given — the cluster-durable form, same
+    contract as :func:`sssp_integer`.
 
     Output: (node, stress, n_pairs) for nodes interior to at least
     one shortest s→t path (endpoints excluded, per the classic
     definition).
     """
     snaps = _Snapshots(edges.sparkSession, checkpoint_dir)
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .where(F.col("u") != F.col("v")).distinct())
     e = snaps.save(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v")).distinct(),
+        e0.withColumn("dir", F.lit("f"))
+        .union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+               .withColumn("dir", F.lit("b"))),
         "stress_edges")
 
-    def _sweep(roots: DataFrame, ed: DataFrame, tag: str) -> DataFrame:
-        vis = (roots.select(F.col(node_col).alias("root")).distinct()
-               .select("root", F.col("root").alias("node"),
-                       F.lit(0).cast("bigint").alias("dist"),
-                       F.lit(1).cast("bigint").alias("sigma")))
-        frontier = vis
-        for rnd in range(max_depth):
-            step = (frontier.join(ed, frontier["node"] == ed["u"])
-                    .groupBy("root", F.col("v").alias("node"))
-                    .agg(F.lit(rnd + 1).cast("bigint").alias("dist"),
-                         F.sum("sigma").cast("bigint").alias("sigma"))
-                    .select("root", "node", "dist", "sigma"))
-            new = step.join(vis.select("root", "node"),
-                            ["root", "node"], "left_anti")
-            vis = snaps.save(vis.union(new), f"{tag}_{rnd + 1:04d}")
-            frontier = new
-        return vis
+    def _roots(df: DataFrame, d: str) -> DataFrame:
+        return (df.select(F.col(node_col).alias("root")).distinct()
+                .select(F.lit(d).alias("dir"), "root",
+                        F.col("root").alias("node"),
+                        F.lit(0).cast("bigint").alias("dist"),
+                        F.lit(1).cast("bigint").alias("sigma")))
 
-    fw = _sweep(sources, e, "stress_fw")
-    bw = _sweep(targets,
-                e.select(F.col("v").alias("u"), F.col("u").alias("v")),
-                "stress_bw")
+    vis = _roots(sources, "f").union(_roots(targets, "b"))
+    frontier = vis
+    for rnd in range(max_depth):
+        step = (frontier.join(e, (frontier["node"] == e["u"])
+                              & (frontier["dir"] == e["dir"]))
+                .groupBy(frontier["dir"], "root",
+                         F.col("v").alias("node"))
+                .agg(F.lit(rnd + 1).cast("bigint").alias("dist"),
+                     F.sum("sigma").cast("bigint").alias("sigma"))
+                .select("dir", "root", "node", "dist", "sigma"))
+        new = step.join(vis.select("dir", "root", "node"),
+                        ["dir", "root", "node"], "left_anti")
+        vis = snaps.save(vis.union(new), f"stress_{rnd + 1:04d}")
+        frontier = new
+
+    fw = vis.where(F.col("dir") == "f").drop("dir")
+    bw = vis.where(F.col("dir") == "b").drop("dir")
     st = (fw.join(bw.select(F.col("root").alias("t")).distinct(),
                   fw["node"] == F.col("t"))
           .select(F.col("root").alias("s"), "t",
