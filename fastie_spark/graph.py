@@ -3549,6 +3549,7 @@ def predicate_completeness(triples: DataFrame, subj: str = "h",
 
 def hyperball(edges: DataFrame, max_t: int, p: int = 4,
               src: str = "src", dst: str = "dst",
+              all_rounds: bool = False,
               checkpoint_dir: str | None = None) -> DataFrame:
     """HyperBall (Boldi & Vigna 2013): per-node HyperLogLog registers
     of the outgoing distance-``max_t`` ball, computed by max-merging
@@ -3574,8 +3575,12 @@ def hyperball(edges: DataFrame, max_t: int, p: int = 4,
 
     Output: the round-``max_t`` register table ``(node, bucket, r)``
     — feed to :func:`fastie_spark.operators.sketches.hll_estimate`
-    (same ``p``) for per-node ball-size estimates, or aggregate
-    estimates over nodes for the neighborhood function N(t).
+    (same ``p``) for per-node ball-size estimates.  With
+    ``all_rounds=True`` every round's registers come back stacked
+    under a ``t`` column — the input for the neighborhood function
+    N(t) = Σ_v |ball_t(v)| and the effective-diameter election (the
+    measurement HyperBall was published for); each round's table is
+    already snapshot, so the stack costs no recomputation.
     """
     from fastie_spark.operators.sketches import hll_registers
 
@@ -3589,6 +3594,7 @@ def hyperball(edges: DataFrame, max_t: int, p: int = 4,
         hll_registers(nodes.select("node",
                                    F.col("node").alias("member")),
                       "node", "member", p=p), "hyperball_0000")
+    rounds = [regs.withColumn("t", F.lit(0).cast("bigint"))]
     for t in range(1, max_t + 1):
         gathered = (e.join(regs, e["v"] == regs["node"])
                     .select(F.col("u").alias("node"), "bucket", "r"))
@@ -3596,4 +3602,10 @@ def hyperball(edges: DataFrame, max_t: int, p: int = 4,
             regs.union(gathered).groupBy("node", "bucket")
             .agg(F.max("r").cast("bigint").alias("r")),
             f"hyperball_{t:04d}")
-    return regs
+        rounds.append(regs.withColumn("t", F.lit(t).cast("bigint")))
+    if not all_rounds:
+        return regs
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select("t", "node", "bucket", "r")

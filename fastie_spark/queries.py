@@ -10400,3 +10400,70 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer idf + lexicographic tie-break, replayed exactly."""
     from fastie_spark.operators.retrieval import doc_keywords
     return doc_keywords(_documents(spark, sf_dir), j=3)
+
+
+def _nfunction_oracle() -> str:
+    from fastie_spark.operators.sketches import (_hll_register_duck_sql,
+                                                 hll_estimate_duck_sql)
+    bucket, rank = _hll_register_duck_sql("h", 4)
+    return f"""
+WITH RECURSIVE {_CALL_EDGE_SQL},
+hb_n AS (SELECT s AS n FROM e0 UNION SELECT d FROM e0),
+hb_reach(v, u, t) AS (
+  SELECT n, n, 0 FROM hb_n
+  UNION
+  SELECT r.v, e.d, r.t + 1
+  FROM hb_reach r JOIN e0 e ON e.s = r.u WHERE r.t < 3),
+hb_min AS (SELECT v, u, min(t) AS d FROM hb_reach GROUP BY v, u),
+hb_ball AS (
+  SELECT ts.t, m.v, m.u
+  FROM hb_min m JOIN (SELECT unnest([0, 1, 2, 3]) AS t) ts
+    ON m.d <= ts.t),
+hb_h AS (SELECT t::VARCHAR || '|' || v AS g,
+                {duck_hash64_sql("u")} AS h
+         FROM hb_ball),
+hb_r AS (
+  SELECT g, {bucket} AS bucket, max({rank})::BIGINT AS r
+  FROM hb_h GROUP BY g, bucket),
+{hll_estimate_duck_sql("hb_r", 4).lstrip()},
+nf AS (
+  SELECT split_part(g, '|', 1)::BIGINT AS t,
+         sum(hll_est)::BIGINT AS n_sum
+  FROM hll_est GROUP BY 1),
+fin AS (SELECT n_sum AS fs FROM nf WHERE t = 3),
+el AS (SELECT min(t) AS ts FROM nf, fin WHERE 100 * n_sum >= 90 * fs)
+SELECT nf.t, nf.n_sum, (nf.t = el.ts) AS eff FROM nf, el"""
+
+
+@query("graph_nfunction", oracle=_nfunction_oracle())
+def q_graph_nfunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood function N(t) = Σ_v |ball_t(v)| and the
+    90%-effective-diameter election from the stacked HyperBall rounds
+    — the measurement HyperBall was published for (Boldi & Vigna
+    2013; the four-degrees-of-separation study is exactly this query
+    on the Facebook graph).  Every round's register table is already
+    snapshot by the loop, so the stack costs no recomputation; the
+    per-(t, node) estimates reduce in one partial agg and the
+    election compares against the final round's total via a one-row
+    broadcast.  The oracle rebuilds every exact ≤t ball via the
+    min-distance closure and replays registers, estimates, and the
+    ceil-free 100·N(t) ≥ 90·N(3) election."""
+    from fastie_spark.graph import hyperball
+    from fastie_spark.operators.sketches import hll_estimate
+    regs = hyperball(_call_edges(spark, sf_dir), max_t=3, p=4,
+                     all_rounds=True)
+    g = regs.select(
+        F.concat(F.col("t").cast("string"), F.lit("|"), "node")
+        .alias("g"), "bucket", "r")
+    est = hll_estimate(g, "g", p=4)
+    nf = (est.select(F.expr("cast(split_part(g, '|', 1) as bigint)")
+                     .alias("t"), "hll_est")
+          .groupBy("t")
+          .agg(F.sum("hll_est").cast("bigint").alias("n_sum")))
+    fin = nf.where(F.col("t") == 3).select(F.col("n_sum").alias("fs"))
+    el = (nf.crossJoin(F.broadcast(fin))
+          .where(F.lit(100) * F.col("n_sum") >= F.lit(90) * F.col("fs"))
+          .agg(F.min("t").alias("ts")))
+    return (nf.crossJoin(F.broadcast(el))
+            .select("t", "n_sum", (F.col("t") == F.col("ts"))
+                    .alias("eff")))

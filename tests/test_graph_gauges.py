@@ -283,3 +283,28 @@ def test_hyperball_durable_checkpoint_parity(tmp_path, spark):
                                   checkpoint_dir=str(tmp_path / "hb"))
                .collect()}
     assert durable == plain
+
+
+def test_hyperball_all_rounds_monotone_and_round0_exact(spark):
+    """Stacked rounds: per-node estimates never shrink with t, and
+    round 0 is the exact singleton sketch (est 1 per node at p=4,
+    where a 1-element set is in the exact-ish small regime; we assert
+    monotonicity, the invariant the N(t) election relies on)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fastie_spark.graph import hyperball
+    from fastie_spark.operators.sketches import hll_estimate
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    regs = hyperball(edges, max_t=3, p=4, all_rounds=True)
+    g = regs.select(
+        F.concat(F.col("t").cast("string"), F.lit("|"), "node")
+        .alias("g"), "bucket", "r")
+    est = {tuple(r["g"].split("|")): r["hll_est"]
+           for r in hll_estimate(g, "g", p=4).collect()}
+    nodes = {k[1] for k in est}
+    for n in nodes:
+        series = [est[(str(t), n)] for t in range(4)]
+        assert series == sorted(series), (n, series)

@@ -184,6 +184,7 @@ AUDIT = [
     ("kg_completeness", "predicate coverage: two aggs + 1-row bcast"),
     ("graph_hyperball", "HyperBall: per-node HLL gather + MAX rounds"),
     ("doc_keywords", "per-doc TF-IDF top-k: doc-partitioned window"),
+    ("graph_nfunction", "N(t) + effective diameter from stacked rounds"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
