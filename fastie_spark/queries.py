@@ -10467,3 +10467,55 @@ def q_graph_nfunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nf.crossJoin(F.broadcast(el))
             .select("t", "n_sum", (F.col("t") == F.col("ts"))
                     .alias("eff")))
+
+
+@query("quality_percentile_gate", oracle="""
+WITH qg_v AS (
+  SELECT doc_id, lang, length(string_split(text, ' '))::BIGINT AS v
+  FROM documents),
+qg_h AS (
+  SELECT lang,
+         (CASE WHEN v < 16 THEN v
+          ELSE ((length(bin(v)) - 1) - 4) * 16
+               + (v // (1::BIGINT << (((length(bin(v)) - 1) - 4))::INT))
+          END)::BIGINT AS bucket,
+         count(*)::BIGINT AS cnt, min(v)::BIGINT AS lo
+  FROM qg_v GROUP BY lang, bucket),
+qg_c AS (
+  SELECT lang, bucket, lo,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM qg_h),
+qg_t AS (
+  SELECT lang, min_by(lo, bucket)::BIGINT AS thr
+  FROM qg_c WHERE cum >= (10 * n + 99) // 100 GROUP BY lang)
+SELECT d.doc_id, d.lang, d.v AS n_toks, t.thr
+FROM qg_v d JOIN qg_t t USING (lang)
+WHERE d.v < t.thr
+""")
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive curation gate: drop documents shorter than their
+    language's p10 token count, with the threshold read from the
+    log-histogram quantile sketch rather than a global sort — the way
+    a 100 TB run tunes per-language length cutoffs (absolute Gopher
+    bounds mis-fire on languages with different tokenization
+    density).  The corpus folds once into the bounded sketch, the
+    per-language thresholds broadcast back, and the gate is an in-row
+    comparison.  Output: the dropped docs with the threshold that
+    fired; the oracle replays bucketing, ceil-rank election and the
+    strict < gate."""
+    from fastie_spark.operators.sketches import (histogram_quantiles,
+                                                 value_histogram)
+    d = _documents(spark, sf_dir)
+    lens = d.select("doc_id", "lang",
+                    F.size(F.split("text", " ")).alias("n_toks"))
+    thr = (histogram_quantiles(
+        value_histogram(lens.select("lang",
+                                    F.col("n_toks").alias("v")),
+                        "lang", "v"), "lang", qs=(10,))
+        .select("lang", F.col("q_lo").alias("thr")))
+    return (lens.join(F.broadcast(thr), "lang")
+            .where(F.col("n_toks") < F.col("thr"))
+            .select("doc_id", "lang",
+                    F.col("n_toks").cast("bigint").alias("n_toks"),
+                    "thr"))

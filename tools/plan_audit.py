@@ -185,6 +185,7 @@ AUDIT = [
     ("graph_hyperball", "HyperBall: per-node HLL gather + MAX rounds"),
     ("doc_keywords", "per-doc TF-IDF top-k: doc-partitioned window"),
     ("graph_nfunction", "N(t) + effective diameter from stacked rounds"),
+    ("quality_percentile_gate", "sketch-thresholded length gate, bcast"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
