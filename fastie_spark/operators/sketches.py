@@ -561,17 +561,20 @@ def histogram_quantiles(hist: DataFrame, grp_col: str,
     tot = Window.partitionBy(grp_col)
     cum = (hist.withColumn("cum", F.sum("cnt").over(w))
            .withColumn("n", F.sum("cnt").over(tot)))
-    out = None
-    for q in qs:
-        # ceil(q*n/100) as integer: (q*n + 99) div 100
-        target = F.expr(f"({q} * n + 99) div 100")
-        hit = (cum.where(F.col("cum") >= target)
-               .groupBy(grp_col)
-               .agg(F.min_by("lo", "bucket").cast("bigint").alias("q_lo"),
-                    F.min_by("hi", "bucket").cast("bigint").alias("q_hi"))
-               .withColumn("q", F.lit(q).cast("bigint")))
-        out = hit if out is None else out.unionByName(hit)
-    return out.select(grp_col, "q", "q_lo", "q_hi")
+    # all quantiles in ONE pass: cross the (tiny) q list onto the
+    # bounded bucket table, filter to buckets at/after each ceil-rank
+    # target, elect the first per (group, q) — ceil(q*n/100) as the
+    # integer (q*n + 99) div 100
+    q_lits = ", ".join(str(int(q)) for q in qs)
+    qf = cum.sparkSession.sql(
+        f"SELECT explode(array({q_lits})) AS q").select(
+        F.col("q").cast("bigint").alias("q"))
+    return (cum.crossJoin(F.broadcast(qf))
+            .where(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+            .groupBy(grp_col, "q")
+            .agg(F.min_by("lo", "bucket").cast("bigint").alias("q_lo"),
+                 F.min_by("hi", "bucket").cast("bigint").alias("q_hi"))
+            .select(grp_col, "q", "q_lo", "q_hi"))
 
 
 def histogram_quantiles_duck_sql(source_sql: str, grp: str, val: str,
