@@ -285,3 +285,64 @@ def moment_outliers(events: DataFrame, key_cols: list[str],
             .withColumn("bound", bound.cast("bigint"))
             .where(F.col("dev_sq") > F.col("bound"))
             .drop("s1", "s2"))
+
+
+def mean_shift_changepoint(events: DataFrame, key_cols: list[str],
+                           time_col: str, val_col: str) -> DataFrame:
+    """Offline change-point detection per key: the first step of
+    binary segmentation (Scott & Knott 1974) — elect the split point
+    maximizing the between-segment mean difference of a per-period
+    total, entirely from prefix sums over the BOUNDED (key, period)
+    aggregate table.
+
+    For each candidate boundary b (every period except the last) with
+    left segment (n1 periods, sum P1) and right segment (n2, P2), the
+    score is the cross-multiplied mean gap
+
+        score = | n2 * P1  -  n1 * P2 |
+
+    (= n1·n2·|mean1 − mean2| — same argmax, no division, so the
+    DuckDB oracle replays it bit-exactly).  The elected change point
+    is the max-score boundary, earliest period on ties.
+
+    Scale shape (100 TB): the corpus folds once into the (key,
+    period) partial agg; every window after that runs over the
+    bounded period table (tens of rows per key — the same
+    sketch-not-corpus discipline as the quantile election).  Overflow
+    bound: n_periods * Σ|x| per key must stay inside a signed bigint
+    — period-bucketed totals keep Σ|x| at day grain.
+
+    Output: one row per key — ``(*key_cols, cp_period, score_num,
+    n1, n2)``.
+    """
+    daily = (events.groupBy(*key_cols,
+                            F.col(time_col).alias("_period"))
+             .agg(F.sum(F.col(val_col).cast("bigint"))
+                  .cast("bigint").alias("_s")))
+    w = (Window.partitionBy(*key_cols).orderBy("_period")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy(*key_cols)
+    scored = (daily
+              .withColumn("_p1", F.sum("_s").over(w))
+              .withColumn("_n1", F.count("*").over(w))
+              .withColumn("_pt", F.sum("_s").over(tot))
+              .withColumn("_nt", F.count("*").over(tot))
+              .where(F.col("_n1") < F.col("_nt"))
+              .withColumn("_n2", F.col("_nt") - F.col("_n1"))
+              .withColumn("score_num", F.abs(
+                  F.col("_n2") * F.col("_p1")
+                  - F.col("_n1") * (F.col("_pt") - F.col("_p1")))
+                  .cast("bigint")))
+    best = scored.groupBy(*key_cols).agg(
+        F.max("score_num").alias("_best"))
+    return (scored.join(best, key_cols)
+            .where(F.col("score_num") == F.col("_best"))
+            .groupBy(*key_cols)
+            .agg(F.min("_period").alias("cp_period"),
+                 F.first("_best").cast("bigint").alias("score_num"))
+            .join(scored.select(*key_cols,
+                                F.col("_period").alias("cp_period"),
+                                F.col("_n1").cast("bigint").alias("n1"),
+                                F.col("_n2").cast("bigint").alias("n2")),
+                  [*key_cols, "cp_period"])
+            .select(*key_cols, "cp_period", "score_num", "n1", "n2"))

@@ -10519,3 +10519,78 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang",
                     F.col("n_toks").cast("bigint").alias("n_toks"),
                     "thr"))
+
+
+@query("events_changepoint", oracle="""
+WITH cp_d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS p,
+         sum(round(value * 100)::BIGINT)::BIGINT AS s
+  FROM events GROUP BY 1, 2),
+cp_w AS (
+  SELECT event_type, p,
+         sum(s) OVER (PARTITION BY event_type ORDER BY p) AS p1,
+         row_number() OVER (PARTITION BY event_type ORDER BY p) AS n1,
+         sum(s) OVER (PARTITION BY event_type) AS pt,
+         count(*) OVER (PARTITION BY event_type) AS nt
+  FROM cp_d),
+cp_s AS (
+  SELECT event_type, p, n1::BIGINT AS n1, (nt - n1)::BIGINT AS n2,
+         abs((nt - n1) * p1 - n1 * (pt - p1))::BIGINT AS score_num
+  FROM cp_w WHERE n1 < nt),
+cp_b AS (
+  SELECT event_type, max(score_num) AS best FROM cp_s GROUP BY 1)
+SELECT s.event_type, min(s.p) AS cp_period,
+       any_value(s.score_num)::BIGINT AS score_num,
+       min_by(s.n1, s.p)::BIGINT AS n1,
+       min_by(s.n2, s.p)::BIGINT AS n2
+FROM cp_s s JOIN cp_b b
+  ON b.event_type = s.event_type AND s.score_num = b.best
+GROUP BY s.event_type
+""")
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type change-point election (binary-segmentation step
+    one): the day boundary maximizing the cross-multiplied
+    between-segment mean gap of daily revenue totals — level-shift
+    detection for a streaming corpus monitor.  The corpus folds once
+    into the (type, day) partial agg; every window after that runs
+    over the bounded day table, the same sketch-not-corpus discipline
+    as the quantile election.  All integer; earliest-day tie-break;
+    replayed exactly."""
+    from fastie_spark.operators.temporal import mean_shift_changepoint
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = ev.select("event_type",
+                  F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents"))
+    return mean_shift_changepoint(x, ["event_type"], "day", "cents")
+
+
+@query("multimodal_dedup", oracle="""
+WITH md_a AS (
+  SELECT doc_id AS asset_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+SELECT md5(text) AS digest, min(asset_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM md_a GROUP BY 1
+""")
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-grain exact dedup over BINARY multimodal assets with
+    planted duplicates (every 5th payload re-ingested under a new
+    asset id): the digest is computed in-row on the binary column and
+    ONLY (digest, id) ever shuffles — the payload is projected away
+    before the exchange, the property that makes exact dedup feasible
+    when payloads are megabyte images rather than strings.  min-id
+    survivor election, exact copy counts; the oracle hashes the
+    identical utf8 bytes."""
+    d = _documents(spark, sf_dir)
+    assets = d.select(F.col("doc_id").alias("asset_id"),
+                      F.encode("text", "UTF-8").alias("payload"))
+    copies = (d.where(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + 1000000).alias("asset_id"),
+                      F.encode("text", "UTF-8").alias("payload")))
+    allx = assets.unionByName(copies)
+    return (allx.select("asset_id", F.md5("payload").alias("digest"))
+            .groupBy("digest")
+            .agg(F.min("asset_id").cast("bigint").alias("keep_id"),
+                 F.count("*").cast("bigint").alias("n_copies")))

@@ -119,3 +119,31 @@ def test_moment_outliers_moments_merge_across_halves(spark):
                              - F.col("s1") * F.col("s1"))))
     assert {r["event_id"] for r in flagged.collect()} == whole
     assert 7 in whole
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    """Hand series: 10 periods at level 100, then 10 at level 500 —
+    the elected boundary must be period 9 (the last low day), with
+    n1=10/n2=10 and the exact cross-multiplied score."""
+    from fastie_spark.operators.temporal import mean_shift_changepoint
+
+    rows = [("g", f"d{i:02d}", 100) for i in range(10)] \
+        + [("g", f"d{i:02d}", 500) for i in range(10, 20)]
+    ev = spark.createDataFrame(rows, "k string, day string, v long")
+    got = mean_shift_changepoint(ev, ["k"], "day", "v").collect()
+    assert len(got) == 1
+    r = got[0]
+    # boundary after d09: P1=1000, P2=5000, score=|10*1000-10*5000|
+    assert (r["cp_period"], r["n1"], r["n2"], r["score_num"]) == \
+        ("d09", 10, 10, 40000)
+
+
+def test_changepoint_tie_breaks_to_earliest_period(spark):
+    """A flat series ties every boundary at score 0 — the election
+    must return the earliest period deterministically."""
+    from fastie_spark.operators.temporal import mean_shift_changepoint
+
+    rows = [("g", f"d{i}", 7) for i in range(5)]
+    ev = spark.createDataFrame(rows, "k string, day string, v long")
+    r = mean_shift_changepoint(ev, ["k"], "day", "v").collect()[0]
+    assert r["cp_period"] == "d0" and r["score_num"] == 0

@@ -186,6 +186,8 @@ AUDIT = [
     ("doc_keywords", "per-doc TF-IDF top-k: doc-partitioned window"),
     ("graph_nfunction", "N(t) + effective diameter from stacked rounds"),
     ("quality_percentile_gate", "sketch-thresholded length gate, bcast"),
+    ("events_changepoint", "mean-shift split: windows over day table"),
+    ("multimodal_dedup", "binary payload dedup: digest-only shuffle"),
 ]
 
 # queries whose 100×-scale contract is "no single-partition Exchange
