@@ -1,0 +1,126 @@
+"""Streaming corpus monitor — the streaming twin of the
+``events_anomaly`` batch query.
+
+A production monitor watches an event stream (ingest rates, revenue,
+error counts) and flags out-of-band values against the standing
+per-key distribution.  The mergeable-moments grain of
+:func:`fastie_spark.operators.temporal.moment_outliers` — per key
+``(n, s1 = Σx, s2 = Σx²)``, additive across any split of the input —
+makes that a pure monoid fold, so the streaming form is
+``foreachBatch``:
+
+    per batch b:  moments(b) ⊕ standing  →  standing′
+
+State lives as VERSIONED parquet snapshots (``moments_<b>`` under
+``out_root``, via the same ``_Snapshots`` helper the durable graph
+loops use) plus an append-only per-batch manifest row.  Delivery is
+at-least-once; the fold stays exactly-once because a replayed batch b
+re-merges from the latest committed version STRICTLY BELOW b and
+overwrites its own ``_<b>`` snapshot — same inputs, same output,
+idempotent (the drain/replay pytest proves it and compares the folded
+state against the batch rebuild over all events seen).
+
+Flagging is deliberately SEPARATE from folding: the standing moments
+table is dimension-sized, so any batch — the stream's newest, or the
+whole corpus — can be flagged against it with one broadcast join and
+the all-integer criterion ``(n·x − s1)² > z²(n·s2 − s1²)``.  That is
+how a monitor actually runs at 100 TB: the fold touches only each
+micro-batch, the corpus is never rescanned, and the flag pass is a
+map-side comparison against the broadcast summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastie_spark.graph import _Snapshots
+
+#: event rows the monitor consumes (the events_anomaly grain)
+EVENTS_SCHEMA = ("event_id bigint, event_type string, day string, "
+                 "cents bigint")
+
+MANIFEST_SCHEMA = ("batch_id bigint, version bigint, n_events bigint, "
+                   "n_keys bigint")
+
+_KEYS = ["event_type", "day"]
+
+
+def moments_of(batch_df: DataFrame) -> DataFrame:
+    """Per-(event_type, day) integer moments of one batch — the
+    mergeable grain."""
+    x = F.col("cents")
+    return (batch_df.groupBy(*_KEYS)
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(x).cast("bigint").alias("s1"),
+                 F.sum(x * x).cast("bigint").alias("s2")))
+
+
+def merge_moments(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Monoid fold: moments of the union = summed moments."""
+    return (a.unionByName(b).groupBy(*_KEYS)
+            .agg(F.sum("n").cast("bigint").alias("n"),
+                 F.sum("s1").cast("bigint").alias("s1"),
+                 F.sum("s2").cast("bigint").alias("s2")))
+
+
+def latest_moments(spark: SparkSession, out_root: str) -> DataFrame | None:
+    """The standing moments table, or None before the first batch."""
+    snaps = _Snapshots(spark, out_root)
+    v = snaps.latest_round("moments")
+    if v is None:
+        return None
+    return snaps.load(f"moments_{v:04d}")
+
+
+def merge_batch(spark: SparkSession, batch_df: DataFrame,
+                batch_id: int, out_root: str) -> None:
+    """One foreachBatch fold: moments(batch) ⊕ latest-committed-below-b
+    → versioned snapshot _<b>.  Idempotent under replay."""
+    snaps = _Snapshots(spark, out_root)
+    m = moments_of(batch_df)
+    prev = snaps.latest_round("moments", below=batch_id)
+    if prev is not None:
+        m = merge_moments(snaps.load(f"moments_{prev:04d}"), m)
+    m = snaps.save(m, f"moments_{batch_id:04d}")
+    spark.createDataFrame(
+        [(batch_id, batch_id, batch_df.count(), m.count())],
+        MANIFEST_SCHEMA,
+    ).write.mode("append").parquet(f"{out_root}/manifest")
+
+
+def streaming_monitor_ingest(spark: SparkSession, events_path: str,
+                             checkpoint_dir: str, out_root: str,
+                             max_files_per_trigger: int = 1) -> None:
+    """Drain all available event files into the standing moments
+    (availableNow; a long-running monitor drops the trigger)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch(spark, batch_df, batch_id, out_root)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def flag_outliers(events: DataFrame, moments: DataFrame,
+                  z: int = 3) -> DataFrame:
+    """Flag ``events`` rows against a standing moments table — the
+    same all-integer criterion as the batch op, with the summary
+    broadcast (it is dimension-sized by construction)."""
+    x = F.col("cents")
+    dev = F.col("n") * x - F.col("s1")
+    bound = (F.lit(z * z)
+             * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+    return (events.join(F.broadcast(moments), _KEYS)
+            .where((dev * dev).cast("bigint") > bound.cast("bigint"))
+            .select("event_id", *_KEYS, "cents", "n"))

@@ -681,3 +681,67 @@ def test_streaming_clone_ingest_equals_rebuild(spark, tmp_path):
     groups = {r["path"]: r["group_size"]
               for r in standing_clone_groups(spark, root).collect()}
     assert groups == {"f1": 2, "f3": 2, "f2": 2, "f4": 2}
+
+
+def test_streaming_monitor_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """Streaming moments monitor: after draining N micro-batches the
+    standing moments equal the batch fold over ALL events, flagging
+    against the folded state equals the batch ``moment_outliers``, and
+    a replayed batch (at-least-once delivery) changes nothing."""
+    from fastie_spark.operators.temporal import moment_outliers
+    from fastie_spark.streaming.monitor import (
+        EVENTS_SCHEMA,
+        flag_outliers,
+        latest_moments,
+        merge_batch,
+        streaming_monitor_ingest,
+    )
+
+    def rows(lo, hi):
+        return [(i, "click", f"d{i % 2}",
+                 100 + (4000 if i == 7 else (i * 37) % 50))
+                for i in range(lo, hi)]
+
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows(0, 40), EVENTS_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows(40, 70), EVENTS_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "mon_state")
+    streaming_monitor_ingest(spark, src, str(tmp_path / "ckpt"), root)
+
+    allx = spark.createDataFrame(rows(0, 70), EVENTS_SCHEMA)
+    standing = latest_moments(spark, root)
+    assert standing is not None
+
+    # folded state == batch moments over everything seen
+    batch_m = {(r["event_type"], r["day"]): (r["n"], r["s1"], r["s2"])
+               for r in allx.groupBy("event_type", "day").agg(
+                   F.count("*").alias("n"),
+                   F.sum("cents").alias("s1"),
+                   F.sum(F.col("cents") * F.col("cents")).alias("s2"))
+               .collect()}
+    got_m = {(r["event_type"], r["day"]): (r["n"], r["s1"], r["s2"])
+             for r in standing.collect()}
+    assert got_m == batch_m
+
+    # flagging against the folded state == the batch operator
+    want = {r["event_id"]
+            for r in moment_outliers(allx, ["event_type", "day"],
+                                     "cents").collect()}
+    got = {r["event_id"]
+           for r in flag_outliers(allx, standing).collect()}
+    assert got == want and 7 in got
+
+    # replaying the 30-row batch under ITS OWN batch id is a no-op —
+    # the manifest says which micro-batch held it (part-file listing
+    # order is not guaranteed, same caveat as the KG ingest test)
+    manifest = spark.read.parquet(f"{root}/manifest")
+    bid = manifest.where(F.col("n_events") == 30) \
+        .collect()[0]["batch_id"]
+    last = spark.createDataFrame(rows(40, 70), EVENTS_SCHEMA)
+    merge_batch(spark, last, int(bid), root)
+    replayed = {(r["event_type"], r["day"]): (r["n"], r["s1"], r["s2"])
+                for r in latest_moments(spark, root).collect()}
+    assert replayed == batch_m
